@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration, so every entry point
+  * (Verify, Bench, tests, and any driver-supplied session passed through
+  * [[GraftSession.prepare]]) sees the same semantics.
+  *
+  * Conf choices, and why they hold at 100 TB:
+  *  - `spark.sql.shuffle.partitions` = core count locally; on a real
+  *    cluster AQE coalesces post-shuffle partitions anyway.
+  *  - AQE on: runtime re-plan (skew-join splitting, shuffle coalescing)
+  *    is the scale path for the skewed keys this engine's entity
+  *    partitioning can hit.
+  *  - UTC session timezone: the determinism contract with the DuckDB
+  *    oracle (QueryDef scaladoc).
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the `events` table is
+  *    parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+  *    this session-wide flag makes nanos columns read as raw longs and
+  *    [[Tables.events]] rebuilds a micros timestamp. Session-wide is
+  *    intentional and documented: every nanos-timestamp read in this
+  *    engine goes through [[Tables]], which expects the long encoding.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** Apply engine conf to an existing session (idempotent). */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Build the engine's local session (Verify/Bench/tests). */
+  def build(appName: String): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

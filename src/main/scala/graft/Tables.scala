@@ -27,6 +27,11 @@ object Tables {
     * round-trip: nanos epochs exceed 2^53, so `/1000` through double
     * would lose microseconds). DuckDB likewise truncates nanos→micros,
     * keeping the two engines' views of `ts` identical.
+    *
+    * The nanos-as-long flag is SESSION-WIDE (no reader-scoped option
+    * exists); [[GraftSession]] sets it at session setup and documents the
+    * contract. The set here is an idempotent safety net for
+    * driver-supplied sessions that bypassed GraftSession.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -336,18 +336,22 @@ object Relational {
     },
 
     /** Argmin snapshot (reference R28 running-minimum, `model.py:248-262`):
-      * the ordering value is made unique (value scaled + event_id) so
-      * min_by is deterministic in both engines.
+      * the ordering key is a (value, event_id) struct — lexicographic tuple
+      * order, no arithmetic encoding, so ties break identically in any
+      * engine at any magnitude. DuckDB's min_by lacks struct keys, so the
+      * oracle states the same argmin as a row_number()=1 subquery.
       */
     QueryDef(
       "q18_min_by",
-      """SELECT event_type,
-        |  min_by(event_id, value*1000000 + event_id) AS min_event,
-        |  round(min(value),2) AS min_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      """SELECT event_type, event_id AS min_event, round(value,2) AS min_value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(min_by(col("event_id"), col("value") * 1000000 + col("event_id")).as("min_event"),
+        .agg(min_by(col("event_id"), struct(col("value"), col("event_id"))).as("min_event"),
           r2(min(col("value"))).as("min_value"))
         .orderBy("event_type")
     },
@@ -489,7 +493,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |  round(exp(l_quantity/25.0),6) AS e_qty,
         |  round(ln(l_quantity + 1),6) AS ln_qty,
-        |  round(tanh(l_discount*10),6) AS tanh_disc,
+        |  round((exp(2*(l_discount*10))-1)/(exp(2*(l_discount*10))+1),6) AS tanh_disc,
         |  round(sqrt(l_extendedprice),6) AS sqrt_price,
         |  round(pow(1 + l_tax, 3),6) AS tax_cubed,
         |  round(greatest(l_quantity, l_extendedprice/1000.0),6) AS gmax,

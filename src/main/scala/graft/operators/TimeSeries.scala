@@ -79,7 +79,7 @@ object TimeSeries {
         |  last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
-        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+        |ORDER BY g.user_id, day""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
       val daily = e.groupBy(col("user_id"), col("ts").cast("date").as("day"))
         .agg(r2(sum(col("value"))).as("day_value"))

@@ -107,10 +107,13 @@ object Windows {
       */
     QueryDef(
       "q44_softmax_window",
-      """SELECT user_id, event_id,
-        |  round(exp(value - max(value) OVER p) / sum(exp(value - max(value) OVER p)) OVER p, 6) AS attn
-        |FROM events
-        |WINDOW p AS (PARTITION BY user_id)
+      """WITH ex AS (
+        |  SELECT user_id, event_id,
+        |    exp(value - max(value) OVER (PARTITION BY user_id)) AS e
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(e / sum(e) OVER (PARTITION BY user_id), 6) AS attn
+        |FROM ex
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val p = Window.partitionBy(col("user_id"))
       Tables.events(s, d)
