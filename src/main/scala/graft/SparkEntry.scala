@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.RelationalExt.defs ++
       operators.Windows.defs ++
-      operators.TimeSeries.defs
+      operators.TimeSeries.defs ++
+      sources.Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The pricing-summary aggregate (SURVEY.md §7.2): one scan, one

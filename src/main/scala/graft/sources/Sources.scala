@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY.md §2.B group 1): CSV with explicit
+  * schema, JSON parse, line-text scan, and parquet/CSV sinks — the
+  * engine-side form of the reference's text time-series scan R1
+  * (`run.py:47`) and B-matrix text sink R30 (`model.py:296-310`).
+  *
+  * Round-trip queries write under `target/graft-io/<sf-hash>` and read
+  * back, so the scan path (schema application, type coercion,
+  * projection pushdown into the format reader) is genuinely exercised;
+  * the oracle states the same result straight off the parquet tables
+  * (the round trip is semantically the identity).
+  */
+object Sources {
+  private def r2(c: Column) = round(c, 2)
+
+  /** Stable scratch dir per (sf, tag) so concurrent sf runs don't clash. */
+  private def scratch(d: String, tag: String): String =
+    s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** CSV sink + scan with explicit schema (no inference pass — at
+      * 100 TB schema inference is a full extra read).
+      */
+    QueryDef(
+      "q57_csv_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice),2) AS total,
+        |  round(sum(l_quantity),2) AS qty
+        |FROM lineitem WHERE l_orderkey % 5 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val path = scratch(d, "lineitem_csv")
+      Tables.lineitem(s, d)
+        .where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_extendedprice"))).as("total"),
+          r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
+    /** Structured JSON parse with an explicit schema: `from_json` the
+      * props column into a typed struct (vs q31's per-path
+      * get_json_object) and aggregate the typed field.
+      */
+    QueryDef(
+      "q58_json_schema_parse",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, d)
+        .withColumn("p", from_json(col("props"), propsSchema))
+        .groupBy("event_type")
+        .agg(sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"),
+          count(col("p.k")).as("n_k"))
+        .orderBy("event_type")
+    },
+
+    /** Line-text sink + scan (reference R1's `{disease}{tag}.txt` shape,
+      * `run.py:47`): dump docs as `id<TAB>lang<TAB>text` lines, re-scan
+      * with `read.text`, split/cast back to columns, aggregate.
+      */
+    QueryDef(
+      "q59_text_scan",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = scratch(d, "docs_txt")
+      Tables.documents(s, d)
+        .select(concat_ws("\t",
+          col("doc_id").cast("string"), col("lang"), col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\t", 3).as("f"))
+        .select(element_at(col("f"), 2).as("lang"),
+          element_at(col("f"), 3).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy("lang")
+    },
+
+    /** Parquet sink + re-scan: partitioned write (the 100 TB layout —
+      * partition pruning on the read path) then a pruned read of one
+      * partition.
+      */
+    QueryDef(
+      "q57b_parquet_partitioned_sink",
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val path = scratch(d, "orders_part")
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .where(col("o_orderstatus") === "O") // partition-pruned scan
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}
