@@ -14,6 +14,7 @@ object SparkEntry {
       operators.RelationalExt.defs ++
       operators.Windows.defs ++
       operators.TimeSeries.defs ++
+      operators.LLMPipeline.defs ++
       sources.Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

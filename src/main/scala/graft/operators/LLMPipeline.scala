@@ -1,0 +1,439 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators (SURVEY.md §2.B group 10, the
+  * BASELINE north star): deduplication (exact, token-set, pairwise
+  * Jaccard, MinHash-LSH, SimHash), embedding similarity search
+  * (brute-force top-k, centroid kNN, hyperplane-LSH bucketing), and text
+  * analysis (quality scoring, language-ID, token counting,
+  * fingerprinting) over the `documents` / `embeddings` tables.
+  *
+  * Scale design: every op is one or two hash shuffles on a content key —
+  * no global sorts except final presentation ORDER BYs on small results.
+  * The pairwise Jaccard op blocks on `source` (in production: LSH band
+  * or length bucket) so the quadratic step is bounded per block; the LSH
+  * ops are the O(n) replacements once blocks outgrow memory.
+  *
+  * Portability: word hashes for SimHash use the first 15 hex chars of
+  * md5 parsed as a 60-bit integer — identical in Spark
+  * (`conv(substring(md5(w),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(w),1,15))::BIGINT`), so the oracle can verify
+  * sketches bit-for-bit.
+  */
+object LLMPipeline {
+  private def r2(c: Column) = round(c, 2)
+  private def r6(c: Column) = round(c, 6)
+
+  /** Non-empty word tokens (split collapses no runs; filter empties). */
+  private def wordsCol(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  // ---- deterministic literal query vector for top-k search (64-dim) ----
+  private val qvec: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+  private def qvecSparkLit: Column = array(qvec.map(lit): _*)
+  private def qvecSqlList: String = qvec.mkString("[", ", ", "]::DOUBLE[]")
+
+  // ---- deterministic hyperplanes for LSH bucketing (8 planes × 64) ----
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(8, 64)((p, i) => (((p * 64 + i) * 31) % 17 - 8) / 8.0)
+
+  /** 60-bit portable word hash (Spark side). */
+  private def wordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  private val simBits = 16
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Exact dedup: sha256 content key, keep lowest doc_id per key.
+      * One shuffle on the hash; at 100 TB this is the canonical
+      * first-pass dedup (hash is 32 bytes regardless of doc size).
+      */
+    QueryDef(
+      "q60_dedup_exact",
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT sha256(text)) AS n_uniq,
+        |  count(*) - count(DISTINCT sha256(text)) AS n_dropped
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val h = sha2(col("text"), 256)
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(h).as("n_uniq"),
+          (count(lit(1)) - countDistinct(h)).as("n_dropped"))
+        .orderBy("source")
+    },
+
+    /** Near-dup clusters by token-SET fingerprint (order/frequency
+      * insensitive): md5 of the sorted distinct word list. O(n), one
+      * shuffle — catches the Jaccard=1.0 permutation/repetition dups.
+      */
+    QueryDef(
+      "q61_dedup_tokenset",
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text,' '), w -> w != ''))), ' ')) AS setfp
+        |  FROM documents)
+        |SELECT setfp, count(*) AS cluster_size, min(doc_id) AS canonical_doc,
+        |  count(DISTINCT source) AS n_sources
+        |FROM fp GROUP BY setfp HAVING count(*) > 1
+        |ORDER BY setfp""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("setfp",
+          md5(array_join(array_sort(array_distinct(wordsCol(col("text")))), " ")))
+        .groupBy("setfp")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("canonical_doc"),
+          countDistinct(col("source")).as("n_sources"))
+        .where(col("cluster_size") > 1)
+        .orderBy("setfp")
+    },
+
+    /** Pairwise token-set Jaccard within a blocking key (`source`):
+      * the quadratic verify step of a dedup pipeline, bounded per block.
+      * At 100 TB the block key becomes an LSH band (q62) — the pair
+      * arithmetic here is unchanged.
+      */
+    QueryDef(
+      "q62_near_dup_jaccard",
+      """WITH ws AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split(text,' '), w -> w != '')) AS w
+        |  FROM documents)
+        |SELECT a.source,
+        |  count(*) AS n_pairs_50,
+        |  count_if(len(list_intersect(a.w,b.w)) = len(a.w)
+        |           AND len(a.w) = len(b.w)) AS n_identical_sets,
+        |  round(max(len(list_intersect(a.w,b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w)))), 6) AS max_j
+        |FROM ws a JOIN ws b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w,b.w))::DOUBLE /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.5
+        |GROUP BY a.source ORDER BY a.source""".stripMargin) { (s, d) =>
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          array_distinct(wordsCol(col("text"))).as("w"))
+      val a = ws.select(col("doc_id").as("a_id"), col("source"), col("w").as("aw"))
+      val b = ws.select(col("doc_id").as("b_id"), col("source").as("b_src"), col("w").as("bw"))
+      val inter = size(array_intersect(col("aw"), col("bw"))).cast("double")
+      val j = inter / (size(col("aw")) + size(col("bw")) - inter)
+      a.join(b, col("source") === col("b_src") && col("a_id") < col("b_id"))
+        .where(j >= 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs_50"),
+          count_if(inter === size(col("aw")) && size(col("aw")) === size(col("bw")))
+            .as("n_identical_sets"),
+          r6(max(j)).as("max_j"))
+        .orderBy("source")
+    },
+
+    /** SimHash sketch (16-bit, portable md5-derived word hashes):
+      * per-document fingerprint whose hamming distance approximates
+      * cosine similarity of the term-frequency vectors. Output is the
+      * sketch histogram — bucket collisions are the near-dup candidates.
+      */
+    QueryDef(
+      "q63_simhash", {
+        val bitSums = (0 until simBits).map(jj =>
+          s"sum(((h >> $jj) & 1) * 2 - 1) AS s$jj").mkString(",\n        ")
+        val bitsExpr = (0 until simBits).map(jj =>
+          s"CASE WHEN s$jj > 0 THEN ${1 << jj} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text,' '), w -> w != '')) AS w
+           |  FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id,
+           |        $bitSums
+           |  FROM hashed GROUP BY doc_id),
+           |sh AS (SELECT doc_id, $bitsExpr AS simhash FROM bits)
+           |SELECT CAST(simhash AS BIGINT) AS simhash, count(*) AS n_docs,
+           |  min(doc_id) AS min_doc
+           |FROM sh GROUP BY simhash HAVING count(*) > 1
+           |ORDER BY simhash""".stripMargin
+      }) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
+        .withColumn("h", wordHash(col("w")))
+      val bitAggs = (0 until simBits).map(jj =>
+        sum((shiftright(col("h"), jj).bitwiseAND(1)) * 2 - 1).as(s"s$jj"))
+      val simhash = (0 until simBits)
+        .map(jj => when(col(s"s$jj") > 0, lit(1L << jj)).otherwise(0L))
+        .reduce(_ + _)
+      tok.groupBy("doc_id")
+        .agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .where(col("n_docs") > 1)
+        .orderBy("simhash")
+    },
+
+    /** Brute-force cosine top-k against a (broadcast) query vector — the
+      * exact baseline every ANN variant is measured against. One
+      * narrow pass + a k-row global top-k.
+      */
+    QueryDef(
+      "q64_embedding_topk",
+      s"""SELECT vec_id, label,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $qvecSqlList), 6) AS cos
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvecSqlList) DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+        .withColumn("cosF", Kernels.cosine(col("emb"), qvecSparkLit))
+      e.orderBy(col("cosF").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), r6(col("cosF")).as("cos"))
+    },
+
+    /** Centroid kNN / nearest-centroid classification: per-label mean
+      * vector (posexplode + two shuffles), broadcast the 10 centroids,
+      * assign each embedding to its max-cosine centroid, emit the
+      * label×assignment confusion counts. The IVF-style coarse
+      * quantizer of an ANN index, end to end.
+      */
+    QueryDef(
+      "q65_centroid_knn",
+      """WITH pos AS (
+        |  SELECT label, unnest(list_transform(embedding::DOUBLE[],
+        |    (x, i) -> {'x': x, 'i': i}), recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, i, avg(x) AS cx FROM pos GROUP BY 1, 2),
+        |centv AS (
+        |  SELECT clabel, list(cx ORDER BY i) AS cvec FROM cent GROUP BY clabel),
+        |assigned AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |               c.clabel) AS rn
+        |  FROM embeddings e CROSS JOIN centv c)
+        |SELECT label, clabel AS pred_label, count(*) AS n
+        |FROM assigned WHERE rn = 1
+        |GROUP BY label, clabel ORDER BY label, pred_label""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      val cent = e
+        .select(col("label").as("clabel"),
+          posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("clabel", "i").agg(avg(col("x")).as("cx"))
+        .groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          s => s.getField("cx")).as("cvec"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(Kernels.cosine(col("emb"), col("cvec")).desc, col("clabel"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    },
+
+    /** Random-hyperplane LSH bucketing (8 fixed planes → 256 buckets):
+      * the O(n) candidate-generation pass of an ANN index. Output is the
+      * occupancy histogram; search = same bucketing on the query +
+      * brute force within the bucket (q64's kernel).
+      */
+    QueryDef(
+      "q66_ann_lsh_buckets", {
+        val bucketSql = planes.zipWithIndex.map { case (p, pi) =>
+          val dot = p.zipWithIndex.map { case (v, i) => s"embedding[${i + 1}]::DOUBLE * ($v)" }
+            .mkString(" + ")
+          s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT CAST($bucketSql AS INT) AS bucket,
+           |  count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+           |FROM embeddings
+           |GROUP BY 1 ORDER BY bucket""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      val bucket = planes.zipWithIndex.map { case (p, pi) =>
+        when(Kernels.arrayDot(col("emb"), array(p.map(lit): _*)) > 0, lit(1 << pi))
+          .otherwise(0)
+      }.reduce(_ + _)
+      e.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+        .orderBy("bucket")
+    },
+
+    /** Text quality scoring: length/word/uniqueness/stopword ratios per
+      * document, aggregated per source (the keep/drop signal of a
+      * pretraining filter).
+      */
+    QueryDef(
+      "q67_text_quality",
+      """WITH q AS (
+        |  SELECT source, n_chars,
+        |    len(list_filter(string_split(text,' '), w -> w != '')) AS n_words,
+        |    len(list_distinct(list_filter(string_split(text,' '), w -> w != ''))) AS n_uniq,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars),6) AS avg_chars,
+        |  round(avg(n_words),6) AS avg_words,
+        |  round(avg(n_uniq::DOUBLE / n_words),6) AS avg_uniq_ratio,
+        |  round(avg(n_stop::DOUBLE / n_words),6) AS avg_stop_ratio
+        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val words = wordsCol(col("text"))
+      val stops = Seq("the", "a", "of", "and", "to")
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          size(words).cast("double").as("n_words"),
+          size(array_distinct(words)).cast("double").as("n_uniq"),
+          size(filter(words, w => w.isin(stops: _*))).cast("double").as("n_stop"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          r6(avg(col("n_chars"))).as("avg_chars"),
+          r6(avg(col("n_words"))).as("avg_words"),
+          r6(avg(col("n_uniq") / col("n_words"))).as("avg_uniq_ratio"),
+          r6(avg(col("n_stop") / col("n_words"))).as("avg_stop_ratio"))
+        .orderBy("source")
+    },
+
+    /** Language-ID by marker-token ratio (n-gram-heuristic family):
+      * score each language by its marker hit-rate, argmax with
+      * alphabetical tie-break, report the confusion against the labeled
+      * `lang` column. (On this synthetic corpus most text scores 'en' —
+      * the operator contract is determinism, not classifier quality.)
+      */
+    QueryDef(
+      "q68_lang_id",
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','les','et','une'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('的','是','了','在'))) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |      WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_de > s_en THEN 'de'
+        |      WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_es > s_en AND s_es > s_de THEN 'es'
+        |      WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+        |      WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_zh > s_en AND s_zh > s_de AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+        |      ELSE 'en' END AS pred
+        |  FROM sc)
+        |SELECT lang, pred, count(*) AS n
+        |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin) { (s, d) =>
+      val words = wordsCol(col("text"))
+      def score(markers: Seq[String]) =
+        size(filter(words, w => w.isin(markers: _*)))
+      val sEn = score(Seq("the", "a", "of", "and"))
+      val sDe = score(Seq("der", "die", "das", "und"))
+      val sEs = score(Seq("el", "la", "los", "y"))
+      val sFr = score(Seq("le", "les", "et", "une"))
+      val sZh = score(Seq("的", "是", "了", "在"))
+      val best = greatest(sEn, sDe, sEs, sFr, sZh)
+      // priority order en > de > es > fr > zh on ties (matches oracle)
+      val pred = when(best === 0, "und")
+        .when(sDe === best && sDe > sEn, "de")
+        .when(sEs === best && sEs > sEn && sEs > sDe, "es")
+        .when(sFr === best && sFr > sEn && sFr > sDe && sFr > sEs, "fr")
+        .when(sZh === best && sZh > sEn && sZh > sDe && sZh > sEs && sZh > sFr, "zh")
+        .otherwise("en")
+      Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+
+    /** Document fingerprints: exact content hash + order/frequency-
+      * insensitive token-set hash, row level (the keys the dedup ops
+      * group on).
+      */
+    QueryDef(
+      "q69_fingerprint",
+      """SELECT doc_id,
+        |  substr(md5(text), 1, 16) AS content_fp,
+        |  substr(md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text,' '), w -> w != ''))), ' ')), 1, 16) AS set_fp
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          substring(md5(col("text")), 1, 16).as("content_fp"),
+          substring(md5(array_join(array_sort(array_distinct(wordsCol(col("text")))), " ")), 1, 16)
+            .as("set_fp"))
+        .orderBy("doc_id")
+    },
+
+    /** MinHash-LSH near-dup candidates via MLlib (`HashingTF` shingles →
+      * `MinHashLSH` → `approxSimilarityJoin`): the O(n·bands) scale path
+      * that replaces q62's blocked quadratic pass at 100 TB. The LSH
+      * banding is exactly what `approxSimilarityJoin` does internally:
+      * explode per-table hashes, shuffle-join on (table, hash), then
+      * verify candidates with the exact distance. Seeded => results are
+      * deterministic, but hash values are implementation-defined, so
+      * the driver does the rows-only check (no ANSI-SQL oracle exists
+      * for MLlib's hash family).
+      */
+    QueryDef.noOracle("q71_minhash_lsh") { (s, d) =>
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          array_distinct(wordsCol(col("text"))).as("words"))
+      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 14).setBinary(true)
+      val feat = tf.transform(docs)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(feat)
+      val pairs = model.approxSimilarityJoin(feat, feat, 0.2, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("a_id"),
+          col("datasetB.doc_id").as("b_id"),
+          col("datasetA.source").as("source"),
+          col("jaccard_dist"))
+        .where(col("a_id") < col("b_id"))
+      pairs.groupBy("source")
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          r6(min(col("jaccard_dist"))).as("min_dist"))
+        .orderBy("source")
+    },
+
+    /** Token counting: whitespace tokens + regex (BPE-ish: runs of
+      * letters / digits / single other) + a subword estimate
+      * (ceil(len/3) per token), per source.
+      */
+    QueryDef(
+      "q70_token_count",
+      """SELECT source,
+        |  CAST(sum(len(list_filter(string_split(text,' '), w -> w != ''))) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_re_tokens,
+        |  CAST(sum(list_sum(list_transform(list_filter(string_split(text,' '), w -> w != ''),
+        |      w -> CAST(ceil(length(w)/3.0) AS BIGINT)))) AS BIGINT) AS n_subwords
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val words = wordsCol(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(words).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+            .cast("long").as("re"),
+          aggregate(words, lit(0L), (acc, w) => acc + ceil(length(w) / 3.0).cast("long")).as("sw"))
+        .groupBy("source")
+        .agg(sum(col("ws")).as("n_ws_tokens"),
+          sum(col("re")).as("n_re_tokens"),
+          sum(col("sw")).as("n_subwords"))
+        .orderBy("source")
+    }
+  )
+}
