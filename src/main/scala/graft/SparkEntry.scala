@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Windows.defs ++
       operators.TimeSeries.defs ++
       operators.LLMPipeline.defs ++
+      operators.Tensor.defs ++
       sources.Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
