@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TimeSeries.defs ++
       operators.LLMPipeline.defs ++
       operators.Tensor.defs ++
+      operators.RetainOps.defs ++
       sources.Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,189 @@
+package graft.functions
+
+/** RETAIN forward kernel (reference `model.py:108-154`) in plain Scala —
+  * the one reference capability with no relational form (SURVEY.md §7.5:
+  * the LSTM recurrence is irreducibly sequential per row). Executors run
+  * this per entity row under a broadcast [[RetainWeights]]; all
+  * parallelism is across rows, exactly the reference's batch axis.
+  *
+  * Architecture (shapes per `model.py:119-127,150-151`, scaled to the
+  * testdata's 5 event-type features and 11 daily steps):
+  *   embed   e_t = x_t · V                      V: [F=5, H=8]     (R7)
+  *   reverse over time                                            (R9)
+  *   α-RNN   LSTM(H) over reversed e; a_t = h_t·wα + bα → softmax (R10,R13)
+  *   β-RNN   LSTM(H) over reversed e; β_t = tanh(g_t·Wβ + bβ)     (R10,R14)
+  *   context c = Σ_t α_t · (β_t ⊙ e_t)  (un-reversed)             (R15)
+  *   head    p = σ(c·w_task + b_task) per task                    (R16,R17)
+  *
+  * Weight sharing follows §0.3.6: V, both RNNs and attention params are
+  * shared across tasks; only the 9-param head (8 weights + bias) is
+  * task-specific. Eval mode only (keep_prob=1, `model.py:207`) — no
+  * dropout, so scoring is deterministic.
+  */
+object Retain {
+  val F = 5   // input features per step (event types)
+  val T = 11  // time steps (fixed grid, cf. steps=11 run.py:18)
+  val H = 8   // hidden units
+  val numTasks = 3
+
+  /** All shared parameters + per-task heads, as flat immutable arrays. */
+  final case class RetainWeights(
+      v: Array[Array[Double]],        // [F][H]
+      alphaCell: LstmCell,
+      betaCell: LstmCell,
+      wAlpha: Array[Double],          // [H] -> scalar score
+      bAlpha: Double,
+      wBeta: Array[Array[Double]],    // [H][H]
+      bBeta: Array[Double],           // [H]
+      heads: Array[Array[Double]],    // [numTasks][H]
+      headB: Array[Double])           // [numTasks]
+
+  /** Single-layer LSTM cell, `tf.nn.rnn_cell.LSTMCell(H)` semantics
+    * (no peepholes, forget-bias 1.0 like TF's default).
+    * Gate layout per input: [i, j(candidate), f, o], TF order.
+    */
+  final case class LstmCell(
+      wx: Array[Array[Double]],  // [H][4H] input→gates
+      wh: Array[Array[Double]],  // [H][4H] hidden→gates
+      b: Array[Double]) {        // [4H]
+
+    /** One step; returns new (c, h). */
+    def step(x: Array[Double], c: Array[Double], h: Array[Double]): (Array[Double], Array[Double]) = {
+      val g = new Array[Double](4 * H)
+      System.arraycopy(b, 0, g, 0, 4 * H)
+      var i = 0
+      while (i < H) {
+        val xi = x(i); val hi = h(i)
+        if (xi != 0.0 || hi != 0.0) {
+          val wxr = wx(i); val whr = wh(i)
+          var j = 0
+          while (j < 4 * H) { g(j) += xi * wxr(j) + hi * whr(j); j += 1 }
+        }
+        i += 1
+      }
+      val nc = new Array[Double](H)
+      val nh = new Array[Double](H)
+      var k = 0
+      while (k < H) {
+        val ig = sigmoid(g(k))
+        val jg = math.tanh(g(H + k))
+        val fg = sigmoid(g(2 * H + k) + 1.0) // forget bias 1.0
+        val og = sigmoid(g(3 * H + k))
+        nc(k) = fg * c(k) + ig * jg
+        nh(k) = og * math.tanh(nc(k))
+        k += 1
+      }
+      (nc, nh)
+    }
+  }
+
+  @inline def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Deterministic params: xorshift64* PRNG mapped to U(-0.5, 0.5),
+    * seeded per parameter group — reproducible across JVMs (no
+    * java.util.Random dependency on iteration order).
+    */
+  final class Prng(seed0: Long) {
+    private var s: Long = if (seed0 == 0) 0x9E3779B97F4A7C15L else seed0
+    def next(): Double = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      val x = s * 0x2545F4914F6CDD1DL
+      ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    def mat(r: Int, c: Int): Array[Array[Double]] = Array.fill(r, c)(next())
+    def vec(n: Int): Array[Double] = Array.fill(n)(next())
+  }
+
+  /** The engine's fixed eval-time weights (seed 42 lineage). */
+  def defaultWeights: RetainWeights = {
+    val p = new Prng(42L)
+    RetainWeights(
+      v = p.mat(F, H),
+      alphaCell = LstmCell(p.mat(H, 4 * H), p.mat(H, 4 * H), p.vec(4 * H)),
+      betaCell = LstmCell(p.mat(H, 4 * H), p.mat(H, 4 * H), p.vec(4 * H)),
+      wAlpha = p.vec(H),
+      bAlpha = p.next(),
+      wBeta = p.mat(H, H),
+      bBeta = p.vec(H),
+      heads = p.mat(numTasks, H),
+      headB = p.vec(numTasks))
+  }
+
+  /** Forward pass for one entity. Input: dense [T][F] series.
+    * Returns (probs[numTasks], alpha[T], context[H]).
+    */
+  def forward(w: RetainWeights, x: Array[Array[Double]]): (Array[Double], Array[Double], Array[Double]) = {
+    // R7: embed each step
+    val e = Array.tabulate(T) { t =>
+      val out = new Array[Double](H)
+      var i = 0
+      while (i < F) {
+        val xi = x(t)(i)
+        if (xi != 0.0) {
+          val vr = w.v(i)
+          var j = 0
+          while (j < H) { out(j) += xi * vr(j); j += 1 }
+        }
+        i += 1
+      }
+      out
+    }
+    // R9: reverse time
+    val rev = Array.tabulate(T)(t => e(T - 1 - t))
+    // R10 α/β recurrences over reversed sequence
+    def runLstm(cell: LstmCell): Array[Array[Double]] = {
+      var c = new Array[Double](H)
+      var h = new Array[Double](H)
+      Array.tabulate(T) { t =>
+        val (nc, nh) = cell.step(rev(t), c, h)
+        c = nc; h = nh
+        nh
+      }
+    }
+    val hA = runLstm(w.alphaCell)
+    val hB = runLstm(w.betaCell)
+    // R12+R13: attention scores → stable softmax (still in reversed order)
+    val scores = Array.tabulate(T) { t =>
+      var sc = w.bAlpha
+      var j = 0
+      while (j < H) { sc += hA(t)(j) * w.wAlpha(j); j += 1 }
+      sc
+    }
+    val mx = scores.max
+    val ez = scores.map(sc => math.exp(sc - mx))
+    val sez = ez.sum
+    val alphaRev = ez.map(_ / sez)
+    // R14: β gates
+    val betaRev = Array.tabulate(T) { t =>
+      val out = new Array[Double](H)
+      var j = 0
+      while (j < H) {
+        var acc = w.bBeta(j)
+        var i = 0
+        while (i < H) { acc += hB(t)(i) * w.wBeta(i)(j); i += 1 }
+        out(j) = math.tanh(acc)
+        j += 1
+      }
+      out
+    }
+    // un-reverse (model.py:142,144) and contract: c = Σ_t α_t (β_t ⊙ e_t)
+    val alpha = Array.tabulate(T)(t => alphaRev(T - 1 - t))
+    val beta = Array.tabulate(T)(t => betaRev(T - 1 - t))
+    val ctx = new Array[Double](H)
+    var t = 0
+    while (t < T) {
+      val a = alpha(t); val bt = beta(t); val et = e(t)
+      var j = 0
+      while (j < H) { ctx(j) += a * bt(j) * et(j); j += 1 }
+      t += 1
+    }
+    // R16+R17: heads
+    val probs = Array.tabulate(numTasks) { k =>
+      var z = w.headB(k)
+      var j = 0
+      while (j < H) { z += ctx(j) * w.heads(k)(j); j += 1 }
+      sigmoid(z)
+    }
+    (probs, alpha, ctx)
+  }
+}

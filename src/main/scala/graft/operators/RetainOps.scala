@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Retain
+import graft.functions.Retain.{RetainWeights, F, H, T, numTasks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RETAIN scoring + AMTL training (SURVEY.md M5/M6): the reference's
+  * actual end-to-end capability — per-entity risk scores with reverse-
+  * time attention (`model.py:129-154`), per-task eval metrics
+  * (`model.py:157-159`), and the asymmetric multi-task B matrix
+  * (`model.py:86-101,174-184`).
+  *
+  * Execution shape (SURVEY.md §4.3): series assembly is two shuffles on
+  * `user_id` (pivot + collect); scoring is a narrow typed `map` under a
+  * broadcast weight struct (no shuffle, scales linearly with rows);
+  * training keeps all head/B parameters on the driver (51 doubles) and
+  * does one `treeAggregate` pass per iteration over cached context
+  * vectors — the classic MLlib optimization pattern. Nothing row-sized
+  * ever reaches the driver.
+  *
+  * These queries are deterministic given the fixed seed-42 weights but
+  * not ANSI-SQL-expressible (the LSTM recurrence, SURVEY.md §7.5), so
+  * the driver applies its rows-only check; numeric correctness is
+  * covered by RetainSpec (hand-computed kernel cases + invariants).
+  */
+object RetainOps {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val gridStart = "2024-01-01"
+  private val labelSplit = "2024-01-12 00:00:00" // steps: days 0..10; labels: after
+
+  /** Dense per-user [T][F] series from the first 11 days of events:
+    * day-bucket → pivot to the 5 event-type features (missing ⇒ 0) →
+    * ordered collect. The engine-side `data_loader` (`run.py:47`).
+    */
+  def assembleSeries(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val feat = e
+      .where(col("ts") < lit(labelSplit).cast("timestamp"))
+      .withColumn("day", datediff(col("ts").cast("date"), lit(gridStart).cast("date")))
+      .where(col("day").between(0, T - 1))
+      .groupBy("user_id", "day")
+      .pivot("event_type", eventTypes)
+      .agg(sum(col("value")))
+    val stepArr = array(eventTypes.map(t => coalesce(col(t), lit(0.0)) / 100.0): _*)
+    feat.select(col("user_id"), col("day"), stepArr.as("fv"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("fv")))).as("steps"))
+  }
+
+  /** Per-user binary labels for the 3 tasks from the post-split window
+    * (no leakage into the feature grid): high-value purchase / error /
+    * signup, thresholds picked for rough class balance.
+    */
+  def labels(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .where(col("ts") >= lit(labelSplit).cast("timestamp"))
+    def lab(t: String) =
+      max(when(col("event_type") === t && col("value") > 140.0, 1.0).otherwise(0.0))
+    e.groupBy("user_id")
+      .agg(lab("purchase").as("y0"), lab("error").as("y1"), lab("signup").as("y2"))
+  }
+
+  /** Score every user with the broadcast weights; returns
+    * (user_id, p0..p2, alpha array, context array, y0..y2).
+    */
+  def scored(s: SparkSession, d: String, w: RetainWeights): DataFrame = {
+    import s.implicits._
+    val bw = s.sparkContext.broadcast(w)
+    val joined = assembleSeries(s, d)
+      .join(labels(s, d), Seq("user_id"), "left")
+      .na.fill(0.0, Seq("y0", "y1", "y2"))
+    val ds = joined
+      .select(col("user_id"), col("steps"), col("y0"), col("y1"), col("y2"))
+      .as[(Long, Seq[(Int, Seq[Double])], Double, Double, Double)]
+    ds.map { case (uid, steps, y0, y1, y2) =>
+      val x = Array.fill(T, F)(0.0)
+      steps.foreach { case (day, fv) =>
+        if (day >= 0 && day < T) {
+          var i = 0
+          while (i < F) { x(day)(i) = fv(i); i += 1 }
+        }
+      }
+      val (p, alpha, ctx) = Retain.forward(bw.value, x)
+      (uid, p(0), p(1), p(2), alpha.toSeq, ctx.toSeq, y0, y1, y2)
+    }.toDF("user_id", "p0", "p1", "p2", "alpha", "ctx", "y0", "y1", "y2")
+  }
+
+  // ---------------- AMTL training (reference model.py:174-184) ----------------
+
+  /** Train per-task heads + B on frozen shared features ("lastlayer"
+    * semantics, the reference's own model_tag `run.py:8`). One
+    * treeAggregate per Adam step; heads/B live on the driver.
+    */
+  def trainAmtl(s: SparkSession, d: String, iters: Int = 40, lr: Double = 0.05,
+                mu: Double = 0.005, lambda: Double = 0.005): (Array[Array[Double]], Array[Double], Array[Double]) = {
+    import s.implicits._
+    val w0 = Retain.defaultWeights
+    val data = scored(s, d, w0)
+      .select(col("ctx"), col("y0"), col("y1"), col("y2"))
+      .as[(Seq[Double], Double, Double, Double)]
+      .map { case (c, y0, y1, y2) => (c.toArray, Array(y0, y1, y2)) }
+      .cache()
+    val n = data.count().toDouble
+    val nPos = data.map(_._2).reduce((a, b) => Array.tabulate(numTasks)(k => a(k) + b(k)))
+    val sqrtn = math.sqrt(n) // single pooled set per task (all users, all tasks)
+
+    // parameters: heads [K][H], biases [K], B [K][K] (diag pinned 0)
+    val K = numTasks
+    val heads = Array.tabulate(K, H)((k, j) => w0.heads(k)(j))
+    val biases = w0.headB.clone()
+    val bMat = Array.fill(K, K)(0.0)
+
+    // Adam state over the flattened parameter vector
+    val dim = K * H + K + K * K
+    val m = new Array[Double](dim); val v = new Array[Double](dim)
+    val b1 = 0.9; val b2 = 0.999; val eps = 1e-8
+
+    def flatIdx(part: Int, i: Int, j: Int): Int = part match {
+      case 0 => i * H + j          // heads
+      case 1 => K * H + i          // biases
+      case _ => K * H + K + i * K + j // B
+    }
+
+    var ces = new Array[Double](K)
+    for (it <- 1 to iters) {
+      // data pass: per task, grad of mean CE wrt (w_k, b_k) + CE value
+      val zero = new Array[Double](K * (H + 2))
+      val agg = data.rdd.treeAggregate(zero)(
+        seqOp = (acc, row) => {
+          val (c, y) = row
+          var k = 0
+          while (k < K) {
+            var z = biases(k)
+            var j = 0
+            while (j < H) { z += heads(k)(j) * c(j); j += 1 }
+            val p = Retain.sigmoid(z)
+            val g = p - y(k)
+            val base = k * (H + 2)
+            j = 0
+            while (j < H) { acc(base + j) += g * c(j); j += 1 }
+            acc(base + H) += g
+            // stable CE: max(z,0) - z y + log1p(exp(-|z|))  (model.py:159)
+            acc(base + H + 1) += math.max(z, 0) - z * y(k) + math.log1p(math.exp(-math.abs(z)))
+            k += 1
+          }
+          acc
+        },
+        combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+
+      val grad = new Array[Double](dim)
+      ces = Array.tabulate(K)(k => agg(k * (H + 2) + H + 1) / n)
+      // CE-path gradients with (1 + μ‖B[k,:]‖₁)/√n scaling (model.py:178)
+      for (k <- 0 until K) {
+        val l1row = (0 until K).map(j => math.abs(bMat(k)(j))).sum
+        val scale = (1.0 + mu * l1row) / sqrtn // task weight (model.py:178)
+        val base = k * (H + 2)
+        for (j <- 0 until H) grad(flatIdx(0, k, j)) += scale * (agg(base + j) / n)
+        grad(flatIdx(1, k, 0)) += scale * (agg(base + H) / n)
+        // μ-path gradient on B row k: μ·sign(B[k,j])·CE_k/√n
+        for (j <- 0 until K if j != k)
+          grad(flatIdx(2, k, j)) += mu * math.signum(bMat(k)(j)) * ces(k) / sqrtn
+      }
+      // λ reconstruction penalty: Σ_t ‖w_t − Σ_j B[j,t] w_j‖² (model.py:179-181)
+      val resid = Array.tabulate(K, H) { (t, j) =>
+        var r = heads(t)(j)
+        for (i <- 0 until K) r -= bMat(i)(t) * heads(i)(j)
+        r
+      }
+      for (t <- 0 until K; j <- 0 until H) {
+        grad(flatIdx(0, t, j)) += lambda * 2.0 * resid(t)(j)
+        for (i <- 0 until K if i != t)
+          grad(flatIdx(0, i, j)) += lambda * 2.0 * resid(t)(j) * (-bMat(i)(t))
+      }
+      for (i <- 0 until K; t <- 0 until K if i != t) {
+        var g = 0.0
+        for (j <- 0 until H) g += 2.0 * resid(t)(j) * (-heads(i)(j))
+        grad(flatIdx(2, i, t)) += lambda * g
+      }
+      // Adam step (model.py:184, lr run.py:27 scaled for the tiny head)
+      val bc1 = 1 - math.pow(b1, it); val bc2 = 1 - math.pow(b2, it)
+      def adam(ix: Int, g: Double): Double = {
+        m(ix) = b1 * m(ix) + (1 - b1) * g
+        v(ix) = b2 * v(ix) + (1 - b2) * g * g
+        lr * (m(ix) / bc1) / (math.sqrt(v(ix) / bc2) + eps)
+      }
+      for (k <- 0 until K; j <- 0 until H)
+        heads(k)(j) -= adam(flatIdx(0, k, j), grad(flatIdx(0, k, j)))
+      for (k <- 0 until K)
+        biases(k) -= adam(flatIdx(1, k, 0), grad(flatIdx(1, k, 0)))
+      for (i <- 0 until K; j <- 0 until K if i != j)
+        bMat(i)(j) -= adam(flatIdx(2, i, j), grad(flatIdx(2, i, j))) // diag stays 0 (model.py:91-92)
+    }
+    data.unpersist()
+    (bMat, ces, nPos)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** RETAIN risk scores per entity (reference entry point semantics,
+      * `model.py:153-154`): deterministic eval-mode forward pass under
+      * broadcast seed-42 weights. Rows-only driver check (no SQL form).
+      */
+    QueryDef.noOracle("q76_retain_score") { (s, d) =>
+      scored(s, d, Retain.defaultWeights)
+        .select(col("user_id"),
+          round(col("p0"), 6).as("p0"),
+          round(col("p1"), 6).as("p1"),
+          round(col("p2"), 6).as("p2"))
+        .orderBy("user_id")
+    },
+
+    /** RETAIN attention explanation (R13's α, the reference's
+      * interpretability output): top-weight step per user + entropy.
+      */
+    QueryDef.noOracle("q77_retain_attention") { (s, d) =>
+      val sc = scored(s, d, Retain.defaultWeights)
+      sc.select(col("user_id"), posexplode(col("alpha")).as(Seq("step", "a")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("a").desc, col("step"))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("step").as("top_step"), round(col("a"), 6).as("top_alpha"))
+        .orderBy("user_id")
+    },
+
+    /** Per-task eval metrics of the RETAIN scores — the reference's
+      * eval loop (R18/R19/R20, `model.py:157-159`): accuracy@0.5, mean
+      * CE, and exact mid-rank AUC per task, one row per task.
+      */
+    QueryDef.noOracle("q78_retain_eval") { (s, d) =>
+      val sc = scored(s, d, Retain.defaultWeights).cache()
+      val perTask = (0 until numTasks).map { k =>
+        val p = col(s"p$k"); val y = col(s"y$k")
+        val z = -log(lit(1.0) / p - 1.0) // logit back from sigmoid
+        val ranked = sc.select(p.as("p"), y.as("y"))
+          .withColumn("mr", rank().over(Window.orderBy(col("p"))) +
+            (count(lit(1)).over(Window.partitionBy(col("p"))) - 1) / 2.0)
+        ranked.agg(
+          lit(k).as("task"),
+          round(lit(100.0) * avg(((col("p") >= 0.5) === (col("y") === 1.0)).cast("double")), 4).as("acc_pct"),
+          round(avg(-(col("y") * log(col("p")) + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("ce"),
+          round((sum(when(col("y") === 1.0, col("mr"))) - sum(col("y")) * (sum(col("y")) + 1) / 2) /
+            (sum(col("y")) * sum(lit(1.0) - col("y"))), 6).as("auc"))
+      }
+      perTask.reduce(_.unionByName(_)).orderBy("task")
+    },
+
+    /** AMTL training: learned B causality matrix + final per-task CE —
+      * the reference's headline artifact (`model.py:296-310`). 9 B rows
+      * (diag exactly 0) + 3 loss rows.
+      */
+    QueryDef.noOracle("q79_train_bmatrix") { (s, d) =>
+      import s.implicits._
+      val (bMat, ces, nPos) = trainAmtl(s, d)
+      val bRows = for (i <- 0 until numTasks; j <- 0 until numTasks)
+        yield ("B", i.toLong, j.toLong, math.rint(bMat(i)(j) * 1e4) / 1e4)
+      val ceRows = (0 until numTasks).map(k =>
+        ("ce", k.toLong, k.toLong, math.rint(ces(k) * 1e4) / 1e4))
+      val posRows = (0 until numTasks).map(k =>
+        ("n_pos", k.toLong, k.toLong, nPos(k)))
+      (bRows ++ ceRows ++ posRows).toSeq
+        .toDF("kind", "src_task", "dst_task", "value")
+        .orderBy("kind", "src_task", "dst_task")
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.RetainOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** AMTL training smoke test (SURVEY.md §5.2.5) on the sf0.001 fixture:
+  * loss decreases, B off-diagonals move from 0, B diagonal stays
+  * exactly 0 (`model.py:91-92`).
+  */
+class TrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName("training-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("B diagonal pinned to zero; off-diagonals learn; CE finite") {
+    val (bMat, ces, _) = RetainOps.trainAmtl(spark, sf, iters = 15)
+    for (i <- 0 until 3) assert(bMat(i)(i) == 0.0)
+    assert(bMat.flatten.exists(v => math.abs(v) > 1e-6),
+      "no off-diagonal B weight moved from its 0 init")
+    assert(ces.forall(c => c > 0 && c.isFinite))
+  }
+
+  test("training reduces CE vs iteration-0 baseline") {
+    val (_, ce15, _) = RetainOps.trainAmtl(spark, sf, iters = 15)
+    val (_, ce1, _) = RetainOps.trainAmtl(spark, sf, iters = 1)
+    assert(ce15.sum < ce1.sum,
+      s"sum CE after 15 iters (${ce15.sum}) not below after 1 iter (${ce1.sum})")
+  }
+
+  test("scored output is deterministic across invocations") {
+    val w = graft.functions.Retain.defaultWeights
+    val a = RetainOps.scored(spark, sf, w).select("user_id", "p0", "p1", "p2")
+      .collect().map(_.toString).sorted
+    val b = RetainOps.scored(spark, sf, w).select("user_id", "p0", "p1", "p2")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
