@@ -17,6 +17,7 @@ object SparkEntry {
       operators.LLMPipeline.defs ++
       operators.Tensor.defs ++
       operators.RetainOps.defs ++
+      streaming.Streaming.defs ++
       sources.Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

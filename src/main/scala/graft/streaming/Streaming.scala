@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.B group 8). The unified
+  * model is the point: the same DataFrame transforms run as a file
+  * stream, and for the windowed aggregates the streaming result is
+  * hash-verified against the batch/DuckDB answer — streaming == batch on
+  * a finite source, which is exactly the contract watermarked
+  * aggregation is supposed to keep.
+  *
+  * Mechanics: the `events` parquet is consumed through
+  * `spark.readStream` (file source, explicit schema — TIMESTAMP(NANOS)
+  * read as long, rebuilt to micros like the batch path), aggregated with
+  * event-time windows + watermark, drained into a memory sink with
+  * `processAllAvailable`, and the sink table is returned as the query
+  * result. At 100 TB the file source becomes Kafka/object-store
+  * listing; nothing in the plan changes.
+  */
+object Streaming {
+
+  /** Raw parquet schema of events with nanos ts as long. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file source requires a directory; stage the single events
+    * parquet into a per-sf scratch dir once (idempotent).
+    */
+  private def stageDir(d: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst)) {
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(s"$d/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  /** File-stream of events with proper event-time column. */
+  private def eventStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(rawSchema).parquet(stageDir(d))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Run a finite streaming DF to a memory sink, return the sink table. */
+  private def drain(s: SparkSession, df: DataFrame, name: String,
+                    mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Watermarked tumbling-window aggregation (group 8 rows 1-2,4):
+      * per-day per-type sums over the event-time stream. Complete mode:
+      * on a finite source it must equal the batch group-by — the oracle
+      * asserts exactly that.
+      */
+    QueryDef(
+      "q80_stream_tumbling",
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      drain(s, agg, "graft_stream_tumbling", "complete")
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("day", "event_type")
+    },
+
+    /** Streaming dedup + aggregation: dropDuplicates on the entity pair
+      * then a complete-mode count — the streaming form of
+      * `count(DISTINCT ...)` (group 8 "streaming dedup").
+      */
+    QueryDef(
+      "q81_stream_dedup",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val agg = eventStream(s, d)
+        .select("event_type", "user_id")
+        .dropDuplicates("event_type", "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+      drain(s, agg, "graft_stream_dedup", "complete")
+        .orderBy("event_type")
+    },
+
+    /** Gap-based session windows via the native `session_window`
+      * operator (batch mode — same operator the streaming engine uses,
+      * here hash-verified against the relational lag/cumsum
+      * sessionization in DuckDB). Session semantics: merge while
+      * gap < 30 min (end-exclusive), matching diff >= 1800s ⇒ new
+      * session in the oracle.
+      */
+    QueryDef(
+      "q82_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    /** Streaming session windows (watermark + append): the same
+      * session_window over the file stream. Append mode only emits
+      * sessions closed before the final watermark, so the tail session
+      * per user is withheld — semantically correct streaming behavior,
+      * checked rows-only by the driver and against batch in
+      * StreamingSpec.
+      */
+    QueryDef.noOracle("q83_stream_sessionize") { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, agg, "graft_stream_sessions", "append")
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming == batch on a finite source (SURVEY.md group 8): the
+  * streaming session windows must be exactly the batch session windows
+  * minus the watermark-withheld tail, and the withheld set must be
+  * small (≤ one open session per user).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName("streaming-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming session windows are a prefix-subset of batch session windows") {
+    val batch = SparkEntry.queries("q82_session_window")(spark, sf)
+      .collect().map(_.toString).toSet
+    val stream = SparkEntry.queries("q83_stream_sessionize")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(stream.subsetOf(batch),
+      s"${(stream -- batch).size} streaming sessions not present in batch result")
+    val users = SparkEntry.queries("q81_stream_dedup")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_users")).head().getLong(0)
+    assert(batch.size - stream.size <= users,
+      "withheld more than one open session per user")
+  }
+
+  test("streaming tumbling aggregation equals batch group-by") {
+    val stream = SparkEntry.queries("q80_stream_tumbling")(spark, sf)
+      .collect().map(_.toString).sorted
+    val batch = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd").as("day"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("value"), 2).as("total"))
+      .orderBy("day", "event_type")
+      .collect().map(_.toString).sorted
+    assert(stream.sameElements(batch))
+  }
+}
