@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TimeSeries.defs ++
       operators.LLMPipeline.defs ++
       operators.Tensor.defs ++
+      operators.Multimodal.defs ++
       operators.RetainOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
