@@ -17,6 +17,7 @@ object SparkEntry {
       operators.LLMPipeline.defs ++
       operators.Tensor.defs ++
       operators.Multimodal.defs ++
+      operators.Extensions.defs ++
       operators.RetainOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{AucHistogram, Kernels, SigmoidCE}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types._
+
+/** Engine extension surface (SURVEY.md groups 4/7/8/9 round-2 additions):
+  * the custom Catalyst expression, the one-pass typed aggregate, stateful
+  * streaming with explicit GroupState, MapType round-trips, and the
+  * two-stage (bucket + rerank) ANN search that composes q66's LSH
+  * bucketing with q64's exact kernel.
+  */
+object Extensions {
+  private def r6(c: org.apache.spark.sql.Column) = round(c, 6)
+
+  /** Same deterministic logit/label as q20/q21 (Relational.scala).
+    * CASTs keep both engines (and SigmoidCE's type check) in DoubleType
+    * — bare 1.0 literals parse as DECIMAL in Spark SQL.
+    */
+  private def zSql = "CAST(l_quantity/10.0 - l_discount*20.0 + l_tax*5.0 - 1.5 AS DOUBLE)"
+  private def ySql = "CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+
+  // deterministic hyperplanes — shared with q66 (LLMPipeline.planes shape)
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(8, 64)((p, i) => (((p * 64 + i) * 31) % 17 - 8) / 8.0)
+  private val qvec: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Fused sigmoid-CE as a native codegen Expression (`sigmoid_ce`,
+      * functions/SigmoidCE.scala): registered in the session function
+      * registry, invoked through SQL text, hash-verified against the
+      * same closed form in DuckDB — proving the doGenCode path computes
+      * the reference loss (`model.py:159`) exactly.
+      */
+    QueryDef(
+      "q86_fused_sigmoid_ce",
+      s"""SELECT l_returnflag,
+         |  round(avg(greatest(z, 0) - z*y + ln(1.0 + exp(-abs(z)))), 6) AS ce_loss,
+         |  count(*) AS n
+         |FROM (SELECT l_returnflag, $zSql AS z, $ySql AS y FROM lineitem) t
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      SigmoidCE.register(s)
+      Tables.lineitem(s, d)
+        .withColumn("z", expr(zSql))
+        .withColumn("y", expr(ySql))
+        .groupBy("l_returnflag")
+        .agg(r6(avg(expr("sigmoid_ce(z, y)"))).as("ce_loss"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    /** One-pass histogram AUC via the typed Aggregator
+      * (functions/AucHistogram.scala) — the documented 100 TB
+      * replacement for q21's global-sort rank AUC. The oracle
+      * recomputes the identical binned trapezoid in SQL, so the
+      * Aggregator's partial/merge/finish path is hash-verified.
+      */
+    QueryDef(
+      "q87_auc_histogram",
+      s"""WITH scored AS (
+         |  SELECT least(CAST(floor((1.0/(1.0+exp(-($zSql)))) * 1000) AS INT), 999) AS bin,
+         |    $ySql AS y
+         |  FROM lineitem),
+         |bins AS (
+         |  SELECT bin, count_if(y = 1.0) AS pos, count_if(y = 0.0) AS neg
+         |  FROM scored GROUP BY bin),
+         |cum AS (
+         |  SELECT pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+         |  FROM bins)
+         |SELECT round(sum(pos*cum_neg + 0.5*pos*neg) / (sum(pos) * sum(neg)), 6) AS auc_hist,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
+         |FROM cum""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val scored = Tables.lineitem(s, d)
+        .select(Kernels.sigmoid(expr(zSql)).as("p"), expr(ySql).as("y"))
+        .as[(Double, Double)]
+      scored.select(AucHistogram.agg.toColumn)
+        .toDF("auc_raw", "np", "nn")
+        .select(r6(col("auc_raw")).as("auc_hist"),
+          col("np").as("n_pos"),
+          col("nn").as("n_neg"))
+    },
+
+    /** Stateful streaming with explicit per-key GroupState
+      * (`mapGroupsWithState`, SURVEY.md group 8 "stateful scoring"):
+      * per-user running (count, sum) state over the event stream. On
+      * the finite source the final state must equal the batch
+      * aggregate — the oracle asserts exactly that.
+      */
+    QueryDef(
+      "q88_stream_stateful",
+      """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // same staged dir as the other stream sources
+      val stage = {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+        val dst = dir.resolve("events.parquet")
+        if (!Files.exists(dst)) {
+          Files.createDirectories(dir)
+          Files.copy(Paths.get(s"$d/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+        dir.toString
+      }
+      val updated = s.readStream.schema(rawSchema).parquet(stage)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state: GroupState[(Long, Double)]) =>
+            val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var sm = sum0
+            rows.foreach { case (_, v) => n += 1; sm += v }
+            state.update((n, sm))
+            (uid, n, sm)
+        }
+        .toDF("user_id", "n_events", "total_raw")
+      val q = updated.writeStream.format("memory")
+        .queryName("graft_stream_stateful").outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // update mode emits one row per key per trigger; keep the latest
+      s.table("graft_stream_stateful")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(max(col("total_raw")), 2).as("total"))
+        .orderBy("user_id")
+    },
+
+    /** MapType round-trip (group 7 map functions): per-user
+      * event_type→total map via map_from_entries, then explode back to
+      * rows — construction, storage and generator verified by the
+      * relational identity.
+      */
+    QueryDef(
+      "q89_map_roundtrip",
+      """SELECT user_id, event_type, round(total, 2) AS total FROM (
+        |  SELECT user_id, event_type, sum(value) AS total
+        |  FROM events GROUP BY user_id, event_type) t
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("value")).as("total"))
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("total"))))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "total_raw")))
+        .select(col("user_id"), col("event_type"), round(col("total_raw"), 2).as("total"))
+        .orderBy("user_id", "event_type")
+    },
+
+    /** Two-stage ANN search (IVF shape): hyperplane-bucket the corpus
+      * AND the query vector (q66's O(n) pass), then exact cosine rerank
+      * only within the query's bucket (q64's kernel) — top-5. The full
+      * approximate-search pipeline, deterministic and hash-verified.
+      */
+    QueryDef(
+      "q90_ann_search", {
+        def bucketSqlOf(vecExpr: Int => String): String =
+          planes.zipWithIndex.map { case (p, pi) =>
+            val dot = p.zipWithIndex.map { case (v, i) => s"${vecExpr(i)} * ($v)" }.mkString(" + ")
+            s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
+          }.mkString(" + ")
+        val corpusBucket = bucketSqlOf(i => s"embedding[${i + 1}]::DOUBLE")
+        val queryBucket = bucketSqlOf(i => s"(${qvec(i)})")
+        val qvecSql = qvec.mkString("[", ", ", "]::DOUBLE[]")
+        s"""SELECT vec_id, label,
+           |  round(list_cosine_similarity(embedding::DOUBLE[], $qvecSql), 6) AS cos
+           |FROM embeddings
+           |WHERE ($corpusBucket) = ($queryBucket)
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvecSql) DESC, vec_id
+           |LIMIT 5""".stripMargin
+      }) { (s, d) =>
+      val emb = col("embedding").cast("array<double>")
+      def bucketOf(dot: Array[Double] => org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (p, pi) =>
+          when(dot(p) > 0, lit(1 << pi)).otherwise(0)
+        }.reduce(_ + _)
+      val corpusBucket = bucketOf(p => Kernels.arrayDot(emb, array(p.map(lit): _*)))
+      val queryBucketVal: Int = planes.zipWithIndex.map { case (p, pi) =>
+        if (p.zip(qvec).map { case (a, b) => a * b }.sum > 0) 1 << pi else 0
+      }.sum
+      val cosF = Kernels.cosine(emb, array(qvec.map(lit): _*))
+      Tables.embeddings(s, d)
+        .where(corpusBucket === queryBucketVal) // prune to the query's cell
+        .withColumn("cosF", cosF)
+        .orderBy(col("cosF").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("label"), r6(col("cosF")).as("cos"))
+    }
+  )
+}
