@@ -3,8 +3,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
-    // Run in name order so per-query timings are comparable across rounds
-    // (first query still absorbs JVM/codegen warmup).
+    // Warm the session (codegen, parquet footer cache, shuffle machinery)
+    // so the first measured query isn't charged for JVM startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
+    // Run in name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -131,6 +131,38 @@ object Streaming {
         .orderBy("user_id", "session_start")
     },
 
+    /** Durable streaming sink: stream → dropDuplicates → parquet file
+      * sink with a checkpoint (exactly-once file output, the
+      * production sink shape) → batch read-back of the sink directory.
+      * No aggregation, so append mode emits every row and the sink
+      * contents equal the batch distinct — hash-verified.
+      */
+    QueryDef(
+      "q91_stream_file_sink",
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import java.util.Comparator
+      val base = s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_sink"
+      // clean slate: the checkpoint binds to one logical plan instance
+      val p = Paths.get(base)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      val q = eventStream(s, d)
+        .dropDuplicates("event_id")
+        .select("event_id", "event_type", "user_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/data")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).cast("long").as("uid_sum"))
+        .orderBy("event_type")
+    },
+
     /** Streaming session windows (watermark + append): the same
       * session_window over the file stream. Append mode only emits
       * sessions closed before the final watermark, so the tail session
