@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.SigmoidCE
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native packaging of the engine's custom expressions: inject via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * so any session (spark-submit, thrift server, notebook) gets the
+  * `sigmoid_ce` codegen expression without touching engine code.
+  * [[graft.functions.SigmoidCE.register]] remains the per-session
+  * programmatic path used by the queries themselves.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("sigmoid_ce"),
+      new ExpressionInfo(classOf[SigmoidCE].getName, "sigmoid_ce"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sigmoid_ce(z, y) takes exactly 2 arguments")
+        SigmoidCE(children.head, children(1))
+      }))
+  }
+}

@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
   */
 object Extensions {
   private def r6(c: org.apache.spark.sql.Column) = round(c, 6)
+  private def r2x(c: org.apache.spark.sql.Column) = round(c, 2)
 
   /** Same deterministic logit/label as q20/q21 (Relational.scala).
     * CASTs keep both engines (and SigmoidCE's type check) in DoubleType
@@ -156,6 +157,82 @@ object Extensions {
         .select(col("user_id"), explode(col("m")).as(Seq("event_type", "total_raw")))
         .select(col("user_id"), col("event_type"), round(col("total_raw"), 2).as("total"))
         .orderBy("user_id", "event_type")
+    },
+
+    /** Bucketed co-located join (the 100 TB shuffle eliminator): write
+      * both join sides bucketed by the key (`bucketBy` + `sortBy`,
+      * `saveAsTable`), then join — the physical plan has NO Exchange on
+      * either side, the join reads co-located buckets directly. The
+      * oracle states the same join over the raw tables.
+      */
+    QueryDef(
+      "q92_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val wh = s"graft_b_${math.abs(d.hashCode)}"
+      // the in-memory catalog is fresh per JVM but the warehouse dir
+      // persists — clear the previous run's table locations first
+      locally {
+        import java.nio.file.{Files, Paths}
+        import java.util.Comparator
+        val whRoot = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          .stripPrefix("file:")
+        val dbDir = Paths.get(whRoot, s"$wh.db")
+        if (Files.exists(dbDir))
+          Files.walk(dbDir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+      }
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $wh")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$wh.lineitem_b")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$wh.orders_b")
+      // hint("merge"): force SMJ so the bucketed no-Exchange path is the
+      // one exercised (at tiny SF AQE would otherwise broadcast and hide
+      // it; at 100 TB SMJ-over-buckets IS the plan)
+      s.table(s"$wh.lineitem_b").hint("merge")
+        .join(s.table(s"$wh.orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), r2x(sum(col("l_extendedprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    /** Salted skew join: the fact side keys are heavily skewed (5
+      * event_type values), so a plain hash join puts everything on 5
+      * tasks. Salt the fact key with 16 shards and replicate the dim
+      * side 16x — parallelism recovers, results identical (oracle =
+      * the unsalted join).
+      */
+    QueryDef(
+      "q93_salted_join",
+      """WITH dim AS (
+        |  SELECT 'click' AS et, 1.0 AS wt UNION ALL SELECT 'error', 5.0
+        |  UNION ALL SELECT 'purchase', 10.0 UNION ALL SELECT 'signup', 2.0
+        |  UNION ALL SELECT 'view', 0.5)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(sum(e.value * dim.wt), 2) AS weighted
+        |FROM events e JOIN dim ON e.event_type = dim.et
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val salts = 16
+      val dim = Seq(("click", 1.0), ("error", 5.0), ("purchase", 10.0),
+        ("signup", 2.0), ("view", 0.5)).toDF("et", "wt")
+      val dimSalted = dim.crossJoin(
+        s.range(salts).select(col("id").cast("int").as("salt")))
+      val factSalted = Tables.events(s, d)
+        .withColumn("salt", (pmod(col("event_id"), lit(salts))).cast("int"))
+      factSalted
+        .join(dimSalted, factSalted("event_type") === dimSalted("et")
+          && factSalted("salt") === dimSalted("salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r2x(sum(col("value") * col("wt"))).as("weighted"))
+        .orderBy("event_type")
     },
 
     /** Two-stage ANN search (IVF shape): hyperplane-bucket the corpus
