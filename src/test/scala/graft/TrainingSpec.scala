@@ -38,6 +38,18 @@ class TrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sum CE after 15 iters (${ce15.sum}) not below after 1 iter (${ce1.sum})")
   }
 
+  test("full joint training reduces loss and moves shared weights") {
+    import graft.functions.{Retain, RetainGrad}
+    val (b12, p12, loss12) = RetainOps.trainFull(spark, sf, iters = 12)
+    val (_, _, loss1) = RetainOps.trainFull(spark, sf, iters = 1)
+    assert(loss12 < loss1, s"loss after 12 iters ($loss12) not below after 1 ($loss1)")
+    val init = RetainGrad.pack(Retain.defaultWeights)
+    val lstmDrift = (RetainGrad.OffACell until RetainGrad.OffWAlpha)
+      .map(i => math.abs(p12(i) - init(i))).max
+    assert(lstmDrift > 1e-6, "BPTT did not move any LSTM weight")
+    for (i <- 0 until 3) assert(b12(i)(i) == 0.0)
+  }
+
   test("scored output is deterministic across invocations") {
     val w = graft.functions.Retain.defaultWeights
     val a = RetainOps.scored(spark, sf, w).select("user_id", "p0", "p1", "p2")
