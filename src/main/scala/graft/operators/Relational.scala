@@ -548,11 +548,17 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    /** HLL sketch distinct — approximate, so rows-only check. */
+    /** Sketch aggregates — HLL distinct + KLL-style approx_percentile
+      * (the mergeable one-pass forms that replace exact distinct /
+      * exact percentile at 100 TB). Approximate ⇒ rows-only check;
+      * exact counterparts are oracled in q17/q22.
+      */
     QueryDef.noOracle("q38_approx_distinct") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("approx_price_p50_p95"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }
