@@ -78,7 +78,8 @@ object RetainGrad {
     * and returns the row's scaled loss.
     */
   def rowGrad(w: RetainWeights, x: Array[Array[Double]], y: Array[Double],
-              taskScale: Array[Double], acc: Array[Double]): Double = {
+              taskScale: Array[Double], acc: Array[Double],
+              ceAcc: Array[Double] = null): Double = {
     // ---------- forward with caches ----------
     val e = Array.tabulate(T) { t =>
       val out = new Array[Double](H)
@@ -172,7 +173,9 @@ object RetainGrad {
     for (k <- 0 until K) {
       var z = w.headB(k); var j = 0
       while (j < H) { z += ctx(j) * w.heads(k)(j); j += 1 }
-      loss += taskScale(k) * (math.max(z, 0) - z * y(k) + math.log1p(math.exp(-math.abs(z))))
+      val ceK = math.max(z, 0) - z * y(k) + math.log1p(math.exp(-math.abs(z)))
+      if (ceAcc != null) ceAcc(k) += ceK
+      loss += taskScale(k) * ceK
       dlogit(k) = taskScale(k) * (sigmoid(z) - y(k))
     }
 

@@ -239,17 +239,21 @@ object RetainOps {
         (1.0 + mu * (0 until K).map(j => math.abs(bMat(k)(j))).sum) / sqrtn
       }
       val bw = s.sparkContext.broadcast((w, scale))
-      // one distributed pass: flat grad ++ [loss]
-      val agg = data.rdd.treeAggregate(new Array[Double](Dim + 1))(
+      // one distributed pass: flat grad ++ [scaled loss] ++ per-task CE
+      val agg = data.rdd.treeAggregate(new Array[Double](Dim + 1 + K))(
         seqOp = (acc, row) => {
           val (xs, ys) = row
           val x = xs.map(_.toArray).toArray
-          acc(Dim) += RetainGrad.rowGrad(bw.value._1, x, ys.toArray, bw.value._2, acc)
+          val ceView = new Array[Double](K)
+          acc(Dim) += RetainGrad.rowGrad(bw.value._1, x, ys.toArray, bw.value._2, acc, ceView)
+          var k = 0
+          while (k < K) { acc(Dim + 1 + k) += ceView(k); k += 1 }
           acc
         },
         combOp = (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a })
       bw.destroy()
       lastLoss = agg(Dim) / n
+      val ceTask = Array.tabulate(K)(k => agg(Dim + 1 + k) / n)
       val grad = new Array[Double](Dim + K * K)
       locally { var i = 0; while (i < Dim) { grad(i) = agg(i) / n; i += 1 } }
       // λ head-reconstruction coupling + B gradients (driver side, tiny)
@@ -264,12 +268,11 @@ object RetainOps {
         for (i <- 0 until K if i != t)
           grad(OffHeads + i * H + j) += lambda * 2.0 * resid(t)(j) * (-bMat(i)(t))
       }
-      // per-task mean CE (approx: reuse scaled loss split evenly) for the
-      // μ-path B gradient; exact per-task CE would need a second fetch —
-      // use the aggregate loss share, adequate for the smoke contract
-      val cePerTask = lastLoss / K
+      // μ-path B gradient uses the exact per-task mean CE carried
+      // through the same treeAggregate pass (model.py:178 couples
+      // B's L1 row to task i's loss)
       for (i <- 0 until K; t <- 0 until K if i != t) {
-        var g = mu * math.signum(bMat(i)(t)) * cePerTask / sqrtn
+        var g = mu * math.signum(bMat(i)(t)) * ceTask(i) / sqrtn
         for (j <- 0 until H) g += lambda * 2.0 * resid(t)(j) * (-heads(i)(j))
         grad(Dim + i * K + t) = g
       }
