@@ -341,6 +341,74 @@ object RetainOps {
       perTask.reduce(_.unionByName(_)).orderBy("task")
     },
 
+    /** Streaming stateful RETAIN scoring (SURVEY group 8 "stateful
+      * scoring", the streaming analogue of R10): per-user GroupState
+      * holds the running [T][F] feature grid; every update re-scores
+      * the user with the broadcast weights. On the finite stream the
+      * final scores match batch q76 (up to fp summation order —
+      * asserted with tolerance in StreamingSpec).
+      */
+    QueryDef.noOracle("q95_stream_retain_score") { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      import org.apache.spark.sql.types._
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stage = {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+        val dst = dir.resolve("events.parquet")
+        if (!Files.exists(dst)) {
+          Files.createDirectories(dir)
+          Files.copy(Paths.get(s"$d/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+        dir.toString
+      }
+      val bw = s.sparkContext.broadcast(Retain.defaultWeights)
+      val typeIdx = eventTypes.zipWithIndex.toMap
+      val splitMicros = java.time.LocalDateTime.parse("2024-01-12T00:00:00")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val startMicros = java.time.LocalDate.parse(gridStart)
+        .atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val scoredStream = s.readStream.schema(rawSchema).parquet(stage)
+        .withColumn("tsm", expr("ts DIV 1000")) // nanos → micros
+        .where(col("tsm") < splitMicros)
+        .select(col("user_id"), col("tsm"), col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[Seq[Double], (Long, Long, Double, Double, Double)](
+          GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state: GroupState[Seq[Double]]) =>
+            val grid = state.getOption.map(_.toArray).getOrElse(new Array[Double](T * F + 1))
+            rows.foreach { case (_, tsm, et, v) =>
+              val day = ((tsm - startMicros) / 86400000000L).toInt
+              typeIdx.get(et).foreach { fi =>
+                if (day >= 0 && day < T) { grid(day * F + fi) += v; grid(T * F) += 1 }
+              }
+            }
+            state.update(grid.toSeq)
+            val x = Array.tabulate(T, F)((t, i) => grid(t * F + i) / 100.0)
+            val (p, _, _) = Retain.forward(bw.value, x)
+            (uid, grid(T * F).toLong, p(0), p(1), p(2))
+        }
+        .toDF("user_id", "n_seen", "p0r", "p1r", "p2r")
+      val q = scoredStream.writeStream.format("memory")
+        .queryName("graft_stream_retain").outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // update mode may emit per microbatch; keep the fullest state per user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      s.table("graft_stream_retain")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"),
+          round(col("p0r"), 6).as("p0"),
+          round(col("p1r"), 6).as("p1"),
+          round(col("p2r"), 6).as("p2"))
+        .orderBy("user_id")
+    },
+
     /** Full joint RETAIN+AMTL training (all parameters via distributed
       * BPTT + driver Adam): emits the learned B matrix, the final mean
       * loss, and gradient-flow evidence (how far shared weights moved

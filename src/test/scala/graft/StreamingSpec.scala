@@ -36,6 +36,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "withheld more than one open session per user")
   }
 
+  test("streaming stateful RETAIN scores match batch scores (fp tolerance)") {
+    val stream = SparkEntry.queries("q95_stream_retain_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batch = SparkEntry.queries("q76_retain_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(stream.keySet == batch.keySet,
+      s"user sets differ: ${(stream.keySet diff batch.keySet).size}/${(batch.keySet diff stream.keySet).size}")
+    for ((uid, (a0, a1, a2)) <- stream) {
+      val (b0, b1, b2) = batch(uid)
+      // state accumulates event-by-event; batch sums via shuffle — fp
+      // order differs, results agree to ~1e-6 (both rounded to 6dp)
+      assert(math.abs(a0 - b0) <= 2e-6 && math.abs(a1 - b1) <= 2e-6 && math.abs(a2 - b2) <= 2e-6,
+        s"user $uid: stream ($a0,$a1,$a2) vs batch ($b0,$b1,$b2)")
+    }
+  }
+
   test("streaming tumbling aggregation equals batch group-by") {
     val stream = SparkEntry.queries("q80_stream_tumbling")(spark, sf)
       .collect().map(_.toString).sorted
