@@ -77,9 +77,26 @@ object RetainGrad {
     * Accumulates the flat gradient into `acc` (executor-local buffer)
     * and returns the row's scaled loss.
     */
+  /** R11 train-mode dropout (reference `DropoutWrapper(output_keep_prob)`,
+    * `model.py:114,204`): with `keepProb < 1`, the α/β LSTM *outputs* as
+    * consumed by the attention projections are masked and inverted-scaled
+    * (TF semantics: the recurrent state is NOT dropped, only the output
+    * handed downstream). Masks are deterministic from `dropSeed` so the
+    * gradient is finite-difference checkable and runs reproduce.
+    */
   def rowGrad(w: RetainWeights, x: Array[Array[Double]], y: Array[Double],
               taskScale: Array[Double], acc: Array[Double],
-              ceAcc: Array[Double] = null): Double = {
+              ceAcc: Array[Double] = null,
+              keepProb: Double = 1.0, dropSeed: Long = 0L): Double = {
+    val dropping = keepProb < 1.0
+    val (maskA, maskB): (Array[Array[Double]], Array[Array[Double]]) =
+      if (!dropping) (null, null)
+      else {
+        val prng = new Retain.Prng(dropSeed ^ 0x5DEECE66DL)
+        val ma = Array.fill(T, H)(if (prng.next() + 0.5 < keepProb) 1.0 / keepProb else 0.0)
+        val mb = Array.fill(T, H)(if (prng.next() + 0.5 < keepProb) 1.0 / keepProb else 0.0)
+        (ma, mb)
+      }
     // ---------- forward with caches ----------
     val e = Array.tabulate(T) { t =>
       val out = new Array[Double](H)
@@ -134,9 +151,15 @@ object RetainGrad {
     val trA = runLstm(w.alphaCell)
     val trB = runLstm(w.betaCell)
 
+    // dropped-output views consumed by the attention projections (R11)
+    @inline def hA(t: Int, j: Int): Double =
+      if (dropping) trA.h(t)(j) * maskA(t)(j) else trA.h(t)(j)
+    @inline def hB(t: Int, j: Int): Double =
+      if (dropping) trB.h(t)(j) * maskB(t)(j) else trB.h(t)(j)
+
     val scores = Array.tabulate(T) { t =>
       var sc = w.bAlpha; var j = 0
-      while (j < H) { sc += trA.h(t)(j) * w.wAlpha(j); j += 1 }
+      while (j < H) { sc += hA(t, j) * w.wAlpha(j); j += 1 }
       sc
     }
     val mx = scores.max
@@ -148,7 +171,7 @@ object RetainGrad {
       var j = 0
       while (j < H) {
         var a = w.bBeta(j); var i = 0
-        while (i < H) { a += trB.h(t)(i) * w.wBeta(i)(j); i += 1 }
+        while (i < H) { a += hB(t, i) * w.wBeta(i)(j); i += 1 }
         out(j) = a; j += 1
       }
       out
@@ -227,8 +250,8 @@ object RetainGrad {
         acc(OffBAlpha) += ds
         var j = 0
         while (j < H) {
-          acc(OffWAlpha + j) += ds * trA.h(t)(j)
-          dHA(t)(j) = ds * w.wAlpha(j)
+          acc(OffWAlpha + j) += ds * hA(t, j)
+          dHA(t)(j) = ds * w.wAlpha(j) * (if (dropping) maskA(t)(j) else 1.0)
           j += 1
         }
         t += 1
@@ -246,8 +269,8 @@ object RetainGrad {
           acc(OffBBeta + j) += dpre
           var i = 0
           while (i < H) {
-            acc(OffWBeta + i * H + j) += dpre * trB.h(t)(i)
-            dHB(t)(i) += dpre * w.wBeta(i)(j)
+            acc(OffWBeta + i * H + j) += dpre * hB(t, i)
+            dHB(t)(i) += dpre * w.wBeta(i)(j) * (if (dropping) maskB(t)(i) else 1.0)
             i += 1
           }
           j += 1

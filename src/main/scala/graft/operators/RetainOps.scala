@@ -207,7 +207,8 @@ object RetainOps {
     * validated in RetainGradSpec.
     */
   def trainFull(s: SparkSession, d: String, iters: Int = 12, lr: Double = 0.01,
-                mu: Double = 0.005, lambda: Double = 0.005): (Array[Array[Double]], Array[Double], Double) = {
+                mu: Double = 0.005, lambda: Double = 0.005,
+                keepProb: Double = 1.0): (Array[Array[Double]], Array[Double], Double) = {
     import graft.functions.RetainGrad
     import graft.functions.RetainGrad._
     import s.implicits._
@@ -215,14 +216,14 @@ object RetainOps {
     val data = assembleSeries(s, d)
       .join(labels(s, d), Seq("user_id"), "left")
       .na.fill(0.0, Seq("y0", "y1", "y2"))
-      .select(col("steps"), col("y0"), col("y1"), col("y2"))
-      .as[(Seq[(Int, Seq[Double])], Double, Double, Double)]
-      .map { case (steps, y0, y1, y2) =>
+      .select(col("user_id"), col("steps"), col("y0"), col("y1"), col("y2"))
+      .as[(Long, Seq[(Int, Seq[Double])], Double, Double, Double)]
+      .map { case (uid, steps, y0, y1, y2) =>
         val x = Array.fill(T, F)(0.0)
         steps.foreach { case (day, fv) =>
           if (day >= 0 && day < T) { var i = 0; while (i < F) { x(day)(i) = fv(i); i += 1 } }
         }
-        (x.map(_.toSeq).toSeq, Seq(y0, y1, y2))
+        (uid, x.map(_.toSeq).toSeq, Seq(y0, y1, y2))
       }.cache()
     val n = data.count().toDouble
     val sqrtn = math.sqrt(n)
@@ -242,10 +243,13 @@ object RetainOps {
       // one distributed pass: flat grad ++ [scaled loss] ++ per-task CE
       val agg = data.rdd.treeAggregate(new Array[Double](Dim + 1 + K))(
         seqOp = (acc, row) => {
-          val (xs, ys) = row
+          val (uid, xs, ys) = row
           val x = xs.map(_.toArray).toArray
           val ceView = new Array[Double](K)
-          acc(Dim) += RetainGrad.rowGrad(bw.value._1, x, ys.toArray, bw.value._2, acc, ceView)
+          // per-(row, iter) dropout seed: deterministic across runs and
+          // partitionings (R11, keep_prob model.py:204)
+          acc(Dim) += RetainGrad.rowGrad(bw.value._1, x, ys.toArray, bw.value._2, acc,
+            ceView, keepProb, uid * 7919L + it)
           var k = 0
           while (k < K) { acc(Dim + 1 + k) += ceView(k); k += 1 }
           acc
@@ -417,7 +421,7 @@ object RetainOps {
     QueryDef.noOracle("q94_train_full") { (s, d) =>
       import graft.functions.RetainGrad
       import s.implicits._
-      val (bMat, params, loss) = trainFull(s, d)
+      val (bMat, params, loss) = trainFull(s, d, keepProb = 0.5) // keep_prob run.py model.py:204
       val init = RetainGrad.pack(Retain.defaultWeights)
       def drift(from: Int, until: Int): Double = {
         var acc = 0.0

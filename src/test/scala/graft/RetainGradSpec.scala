@@ -60,6 +60,37 @@ class RetainGradSpec extends AnyFunSuite {
     }
   }
 
+  test("analytic gradient matches finite differences WITH dropout active") {
+    val prng = new Retain.Prng(11L)
+    val x = Array.tabulate(T, F)((_, _) => prng.next())
+    val y = Array(0.0, 1.0, 1.0)
+    val scale = Array(1.0, 1.0, 1.0)
+    val p0 = pack(Retain.defaultWeights)
+    val keep = 0.5; val seed = 99L
+
+    def lossDrop(p: Array[Double]): Double = {
+      val dummy = new Array[Double](Dim)
+      rowGrad(unpack(p), x, y, scale, dummy, null, keep, seed)
+    }
+    val acc = new Array[Double](Dim)
+    rowGrad(unpack(p0), x, y, scale, acc, null, keep, seed)
+    val eps = 1e-6
+    for (ix <- Seq(OffV + 3, OffACell + 50, OffBCell + H * 4 * H + 99,
+      OffWAlpha + 2, OffWBeta + 11, OffHeads + 5)) {
+      val pp = p0.clone(); pp(ix) += eps
+      val pm = p0.clone(); pm(ix) -= eps
+      val num = (lossDrop(pp) - lossDrop(pm)) / (2 * eps)
+      val rel = math.abs(num - acc(ix)) / math.max(1e-8, math.max(math.abs(num), math.abs(acc(ix))))
+      assert(rel < 1e-5 || math.abs(num - acc(ix)) < 1e-8,
+        s"dropout grad mismatch at $ix: analytic=${acc(ix)} numeric=$num")
+    }
+    // same seed → same mask → identical loss; different seed → different loss
+    assert(lossDrop(p0) == lossDrop(p0))
+    val acc2 = new Array[Double](Dim)
+    val other = rowGrad(unpack(p0), x, y, scale, acc2, null, keep, seed + 1)
+    assert(other != lossDrop(p0))
+  }
+
   test("pack/unpack round-trips the weights exactly") {
     val w = Retain.defaultWeights
     val w2 = unpack(pack(w))
