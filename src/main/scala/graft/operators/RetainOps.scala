@@ -206,9 +206,15 @@ object RetainOps {
     * coupling stay on the driver. Backprop is finite-difference
     * validated in RetainGradSpec.
     */
+  /** @return (B matrix, final flat params, final mean loss,
+    *          per-iteration eval history: (iter, perTaskCE)) — the
+    *          history is the reference's check_iter eval stream
+    *          (`model.py:236-272`), consumed by q96's running-minimum
+    *          tracking (R28).
+    */
   def trainFull(s: SparkSession, d: String, iters: Int = 12, lr: Double = 0.01,
                 mu: Double = 0.005, lambda: Double = 0.005,
-                keepProb: Double = 1.0): (Array[Array[Double]], Array[Double], Double) = {
+                keepProb: Double = 1.0): (Array[Array[Double]], Array[Double], Double, Seq[(Int, Array[Double])]) = {
     import graft.functions.RetainGrad
     import graft.functions.RetainGrad._
     import s.implicits._
@@ -233,6 +239,7 @@ object RetainOps {
     val m = new Array[Double](Dim + K * K); val v = new Array[Double](Dim + K * K)
     val b1 = 0.9; val b2 = 0.999; val eps = 1e-8
     var lastLoss = 0.0
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])]
 
     for (it <- 1 to iters) {
       val w = RetainGrad.unpack(params)
@@ -258,6 +265,7 @@ object RetainOps {
       bw.destroy()
       lastLoss = agg(Dim) / n
       val ceTask = Array.tabulate(K)(k => agg(Dim + 1 + k) / n)
+      history += ((it, ceTask))
       val grad = new Array[Double](Dim + K * K)
       locally { var i = 0; while (i < Dim) { grad(i) = agg(i) / n; i += 1 } }
       // λ head-reconstruction coupling + B gradients (driver side, tiny)
@@ -292,7 +300,7 @@ object RetainOps {
         bMat(i)(j) -= adam(Dim + i * K + j, grad(Dim + i * K + j))
     }
     data.unpersist()
-    (bMat, params, lastLoss)
+    (bMat, params, lastLoss, history.toSeq)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -421,7 +429,7 @@ object RetainOps {
     QueryDef.noOracle("q94_train_full") { (s, d) =>
       import graft.functions.RetainGrad
       import s.implicits._
-      val (bMat, params, loss) = trainFull(s, d, keepProb = 0.5) // keep_prob run.py model.py:204
+      val (bMat, params, loss, _) = trainFull(s, d, keepProb = 0.5) // keep_prob run.py model.py:204
       val init = RetainGrad.pack(Retain.defaultWeights)
       def drift(from: Int, until: Int): Double = {
         var acc = 0.0
@@ -440,6 +448,28 @@ object RetainOps {
       (bRows ++ extra).toSeq
         .toDF("kind", "src_task", "dst_task", "value")
         .orderBy("kind", "src_task", "dst_task")
+    },
+
+    /** Training eval stream + running-minimum tracking (R27/R28,
+      * `model.py:219-228,236-272`): the per-iteration per-task CE
+      * history from a real training run, with the running min and the
+      * arg-min iteration computed relationally (window functions over
+      * the history — the engine form of the reference's Python minima
+      * bookkeeping).
+      */
+    QueryDef.noOracle("q96_train_eval_history") { (s, d) =>
+      import s.implicits._
+      val (_, _, _, history) = trainFull(s, d, iters = 10)
+      val rows = for ((it, ces) <- history; k <- 0 until numTasks)
+        yield (it, k, math.rint(ces(k) * 1e6) / 1e6)
+      val hist = rows.toDF("iter", "task", "ce")
+      val w = Window.partitionBy(col("task")).orderBy(col("iter"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("run_min_ce", min(col("ce")).over(w))
+        .withColumn("best_iter",
+          min_by(col("iter"), struct(col("ce"), col("iter"))).over(w))
+        .orderBy("task", "iter")
     },
 
     /** AMTL training: learned B causality matrix + final per-task CE —

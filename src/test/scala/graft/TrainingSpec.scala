@@ -40,9 +40,10 @@ class TrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("full joint training reduces loss and moves shared weights") {
     import graft.functions.{Retain, RetainGrad}
-    val (b12, p12, loss12) = RetainOps.trainFull(spark, sf, iters = 12)
-    val (_, _, loss1) = RetainOps.trainFull(spark, sf, iters = 1)
+    val (b12, p12, loss12, hist12) = RetainOps.trainFull(spark, sf, iters = 12)
+    val (_, _, loss1, _) = RetainOps.trainFull(spark, sf, iters = 1)
     assert(loss12 < loss1, s"loss after 12 iters ($loss12) not below after 1 ($loss1)")
+    assert(hist12.size == 12 && hist12.head._1 == 1 && hist12.last._1 == 12)
     val init = RetainGrad.pack(Retain.defaultWeights)
     val lstmDrift = (RetainGrad.OffACell until RetainGrad.OffWAlpha)
       .map(i => math.abs(p12(i) - init(i))).max
