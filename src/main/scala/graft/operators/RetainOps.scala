@@ -459,7 +459,7 @@ object RetainOps {
       */
     QueryDef.noOracle("q96_train_eval_history") { (s, d) =>
       import s.implicits._
-      val (_, _, _, history) = trainFull(s, d, iters = 10)
+      val (_, _, _, history) = trainFull(s, d, iters = 6)
       val rows = for ((it, ces) <- history; k <- 0 until numTasks)
         yield (it, k, math.rint(ces(k) * 1e6) / 1e6)
       val hist = rows.toDF("iter", "task", "ce")
@@ -478,7 +478,7 @@ object RetainOps {
       */
     QueryDef.noOracle("q79_train_bmatrix") { (s, d) =>
       import s.implicits._
-      val (bMat, ces, nPos) = trainAmtl(s, d)
+      val (bMat, ces, nPos) = trainAmtl(s, d, iters = 30)
       val bRows = for (i <- 0 until numTasks; j <- 0 until numTasks)
         yield ("B", i.toLong, j.toLong, math.rint(bMat(i)(j) * 1e4) / 1e4)
       val ceRows = (0 until numTasks).map(k =>
