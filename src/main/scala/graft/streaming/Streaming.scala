@@ -163,6 +163,66 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    /** Custom stateful sessionizer via flatMapGroupsWithState: per-key
+      * logic emits CLOSED sessions (gap >= 30 min) and keeps the open
+      * session in GroupState. Run over the batch source the operator
+      * semantics become "every session except each user's last" —
+      * which the oracle states relationally, so the custom state
+      * machine is hash-verified.
+      */
+    QueryDef(
+      "q97_flatmap_sessions",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    count(*) AS n_events, max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events FROM agg
+        |WHERE sid < max_sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val closed = graft.Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("usec"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Seq[Long], (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state: GroupState[Seq[Long]]) =>
+            // state (unused in batch: always empty) would carry the open
+            // session's (start, lastSeen, n) across micro-batches
+            val times = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var start = times(0); var last = times(0); var n = 1L
+            var i = 1
+            while (i < times.length) {
+              if (times(i) - last >= 1800000000L) { // gap >= 30 min → close
+                out += ((uid, start, n))
+                start = times(i); n = 0L
+              }
+              last = times(i); n += 1
+              i += 1
+            }
+            state.update(Seq(start, last, n)) // open session stays in state
+            out.iterator
+        }
+        .toDF("user_id", "start_usec", "n_events")
+      closed
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_usec")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     /** Streaming session windows (watermark + append): the same
       * session_window over the file stream. Append mode only emits
       * sessions closed before the final watermark, so the tail session
