@@ -103,6 +103,7 @@ object RetainOps {
       .select(col("ctx"), col("y0"), col("y1"), col("y2"))
       .as[(Seq[Double], Double, Double, Double)]
       .map { case (c, y0, y1, y2) => (c.toArray, Array(y0, y1, y2)) }
+      .coalesce(8) // rows are tiny; fewer tasks per Adam step beats idle parallelism
       .cache()
     val n = data.count().toDouble
     val nPos = data.map(_._2).reduce((a, b) => Array.tabulate(numTasks)(k => a(k) + b(k)))
@@ -230,7 +231,8 @@ object RetainOps {
           if (day >= 0 && day < T) { var i = 0; while (i < F) { x(day)(i) = fv(i); i += 1 } }
         }
         (uid, x.map(_.toSeq).toSeq, Seq(y0, y1, y2))
-      }.cache()
+      }.coalesce(8) // tiny rows: cut per-iteration task-scheduling overhead
+      .cache()
     val n = data.count().toDouble
     val sqrtn = math.sqrt(n)
 
