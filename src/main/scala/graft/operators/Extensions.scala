@@ -235,6 +235,51 @@ object Extensions {
         .orderBy("event_type")
     },
 
+    /** Embedding-cosine near-duplicate detection: LSH-bucket the
+      * vectors (q66's O(n) pass), then exact cosine only on
+      * within-bucket pairs — the vector-space dedup op of an LLM data
+      * pipeline (near-identical embeddings ⇒ near-identical content).
+      * Fully deterministic, hash-verified.
+      */
+    QueryDef(
+      "q98_embedding_neardup", {
+        val bucketSql = planes.zipWithIndex.map { case (p, pi) =>
+          val dot = p.zipWithIndex.map { case (v, i) => s"embedding[${i + 1}]::DOUBLE * ($v)" }
+            .mkString(" + ")
+          s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           |    CAST($bucketSql AS INT) AS bucket
+           |  FROM embeddings)
+           |SELECT x.bucket, count(*) AS n_pairs,
+           |  round(max(list_cosine_similarity(x.emb, y.emb)), 6) AS max_cos,
+           |  count_if(x.label = y.label) AS n_same_label
+           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           |WHERE list_cosine_similarity(x.emb, y.emb) >= 0.8
+           |GROUP BY x.bucket ORDER BY x.bucket""".stripMargin
+      }) { (s, d) =>
+      val emb = col("embedding").cast("array<double>")
+      val bucket = planes.zipWithIndex.map { case (p, pi) =>
+        when(Kernels.arrayDot(emb, array(p.map(lit): _*)) > 0, lit(1 << pi)).otherwise(0)
+      }.reduce(_ + _)
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), emb.as("emb"), bucket.cast("int").as("bucket"))
+      val x = b.select(col("bucket"), col("vec_id").as("x_id"),
+        col("label").as("x_label"), col("emb").as("x_emb"))
+      val y = b.select(col("bucket").as("y_bucket"), col("vec_id").as("y_id"),
+        col("label").as("y_label"), col("emb").as("y_emb"))
+      x.join(y, col("bucket") === col("y_bucket") && col("x_id") < col("y_id"))
+        .select(col("bucket"), col("x_label"), col("y_label"),
+          Kernels.cosine(col("x_emb"), col("y_emb")).as("cos"))
+        .where(col("cos") >= 0.8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          r6(max(col("cos"))).as("max_cos"),
+          count_if(col("x_label") === col("y_label")).as("n_same_label"))
+        .orderBy("bucket")
+    },
+
     /** Two-stage ANN search (IVF shape): hyperplane-bucket the corpus
       * AND the query vector (q66's O(n) pass), then exact cosine rerank
       * only within the query's bucket (q64's kernel) — top-5. The full
