@@ -416,7 +416,14 @@ object LLMPipeline {
         transform(sequence(lit(1), size(w) - 1),
           i => array_join(slice(w, i, lit(2)), " ")))
         .otherwise(array(array_join(w, " ")))
+      // production pipeline order: exact dedup FIRST (keep-first per
+      // content hash), then LSH over the surviving representatives —
+      // identical candidate semantics, strictly less quadratic mass.
+      val repW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val docs = Tables.documents(s, d)
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(repW))
+        .where(col("rn") === 1)
         .select(col("doc_id"), col("source"),
           array_distinct(shingles).as("words"))
       // 2^18 features: shingle space must not alias through HashingTF —
