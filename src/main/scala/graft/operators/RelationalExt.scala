@@ -47,6 +47,27 @@ object RelationalExt {
         .orderBy("nk")
     },
 
+    /** Right outer join + explicit NULLS FIRST/LAST ordering: every
+      * customer with their (possibly absent) 1995 high-value order;
+      * unmatched rows carry nulls that the sort must place
+      * deterministically.
+      */
+    QueryDef(
+      "q99_join_right_nulls",
+      """SELECT o.o_orderkey, c.c_custkey, o.o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 250000
+        |      AND year(o_orderdate) = 1995) o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC NULLS LAST, c.c_custkey
+        |LIMIT 200""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .where(col("o_totalprice") > 250000 && year(col("o_orderdate")) === 1995)
+      o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("o_orderkey"), col("c_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("c_custkey"))
+        .limit(200)
+    },
+
     /** Exact interpolated percentiles (Spark `percentile` == DuckDB
       * `quantile_cont`). At 100 TB the drop-in is
       * `approx_percentile` (KLL-style sketch, one pass, mergeable).
