@@ -15,6 +15,9 @@ run / fork := true
 // drivers parse Bench's single JSON line, and sbt's default logger
 // decoration ("[info] ...") breaks their json parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the "[success] Total time: ..." epilogue sbt prints AFTER the
+// JSON line also breaks a last-line parse — suppress it globally.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

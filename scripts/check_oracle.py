@@ -23,12 +23,18 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver hashes text; round-trip through repr at fixed precision
-        return f"{v:.10g}"
+        # repr, not a %g format: round 2 proved the driver's hash is
+        # type-sensitive — DuckDB HUGEINT aggregates (count_if, sum of
+        # ints) come through pandas as float64 and render "2.0" where
+        # Spark's BIGINT renders "2" (q28/q62/q98 passed here at .10g yet
+        # hash-mismatched in CORRECTNESS_r02). repr keeps the trailing
+        # ".0" AND full round-trip precision, so both the type-shape and
+        # any last-ulp engine difference are treated as a FAIL.
+        return repr(v)
     try:  # Decimal → float-ish
         import decimal
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
+            return repr(float(v))
     except Exception:
         pass
     if isinstance(v, bytes):

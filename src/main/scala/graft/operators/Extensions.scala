@@ -254,7 +254,7 @@ object Extensions {
            |  FROM embeddings)
            |SELECT x.bucket, count(*) AS n_pairs,
            |  round(max(list_cosine_similarity(x.emb, y.emb)), 6) AS max_cos,
-           |  count_if(x.label = y.label) AS n_same_label
+           |  CAST(count_if(x.label = y.label) AS BIGINT) AS n_same_label
            |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
            |WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4
            |GROUP BY x.bucket ORDER BY x.bucket""".stripMargin

@@ -107,8 +107,8 @@ object LLMPipeline {
         |  FROM documents)
         |SELECT a.source,
         |  count(*) AS n_pairs_50,
-        |  count_if(len(list_intersect(a.w,b.w)) = len(a.w)
-        |           AND len(a.w) = len(b.w)) AS n_identical_sets,
+        |  CAST(count_if(len(list_intersect(a.w,b.w)) = len(a.w)
+        |           AND len(a.w) = len(b.w)) AS BIGINT) AS n_identical_sets,
         |  round(max(len(list_intersect(a.w,b.w))::DOUBLE /
         |        (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w)))), 6) AS max_j
         |FROM ws a JOIN ws b ON a.source = b.source AND a.doc_id < b.doc_id

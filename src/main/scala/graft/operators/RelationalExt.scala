@@ -215,7 +215,7 @@ object RelationalExt {
     QueryDef(
       "q28_conditional_agg",
       """SELECT event_type,
-        |  count_if(value > 100) AS n_big,
+        |  CAST(count_if(value > 100) AS BIGINT) AS n_big,
         |  bool_or(value > 400) AS any_huge,
         |  bool_and(value >= 0) AS all_nonneg,
         |  round(sum(value) FILTER (WHERE user_id % 2 = 0), 2) AS sum_even_users
