@@ -8,8 +8,20 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // ... and the streaming machinery (micro-batch planner, state store
+    // provider) — otherwise the alphabetically-first streaming query
+    // gets charged several seconds of one-time setup.
+    try graft.streaming.Streaming.warm(spark, sfDir)
+    catch { case _: Throwable => () }
+    // Optional comma-separated name filter for focused local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q71_minhash_lsh); driver leaves it
+    // unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // Run in name order so per-query timings are comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -126,8 +126,10 @@ object Extensions {
             (uid, n, sm)
         }
         .toDF("user_id", "n_events", "total_raw")
-      val q = updated.writeStream.format("memory")
-        .queryName("graft_stream_stateful").outputMode("update").start()
+      val q = graft.streaming.Streaming.withStreamConf(s) {
+        updated.writeStream.format("memory")
+          .queryName("graft_stream_stateful").outputMode("update").start()
+      }
       try q.processAllAvailable() finally q.stop()
       // update mode emits one row per key per trigger; keep the latest
       s.table("graft_stream_stateful")

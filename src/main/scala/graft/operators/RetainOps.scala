@@ -99,12 +99,17 @@ object RetainOps {
                 mu: Double = 0.005, lambda: Double = 0.005): (Array[Array[Double]], Array[Double], Array[Double]) = {
     import s.implicits._
     val w0 = Retain.defaultWeights
+    // Persist the OBJECT RDD, not the Dataset: the Adam loop reuses the
+    // same partitions every iteration, and a persisted object RDD skips
+    // both the per-iteration Catalyst planning a fresh `.rdd` would do
+    // and the InternalRow→tuple deserialization a cached Dataset pays
+    // on every pass.
     val data = scored(s, d, w0)
       .select(col("ctx"), col("y0"), col("y1"), col("y2"))
       .as[(Seq[Double], Double, Double, Double)]
       .map { case (c, y0, y1, y2) => (c.toArray, Array(y0, y1, y2)) }
       .coalesce(8) // rows are tiny; fewer tasks per Adam step beats idle parallelism
-      .cache()
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = data.count().toDouble
     val nPos = data.map(_._2).reduce((a, b) => Array.tabulate(numTasks)(k => a(k) + b(k)))
     val sqrtn = math.sqrt(n) // single pooled set per task (all users, all tasks)
@@ -130,7 +135,7 @@ object RetainOps {
     for (it <- 1 to iters) {
       // data pass: per task, grad of mean CE wrt (w_k, b_k) + CE value
       val zero = new Array[Double](K * (H + 2))
-      val agg = data.rdd.treeAggregate(zero)(
+      val agg = data.treeAggregate(zero)(
         seqOp = (acc, row) => {
           val (c, y) = row
           var k = 0
@@ -232,7 +237,12 @@ object RetainOps {
         }
         (uid, x.map(_.toSeq).toSeq, Seq(y0, y1, y2))
       }.coalesce(8) // tiny rows: cut per-iteration task-scheduling overhead
-      .cache()
+      // persist the object RDD with the tensors already in Array form:
+      // every Adam iteration reuses the same partitions, so planning,
+      // row deserialization, and the Seq→Array conversion all happen
+      // once instead of once per iteration
+      .rdd.map { case (uid, xs, ys) => (uid, xs.map(_.toArray).toArray, ys.toArray) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = data.count().toDouble
     val sqrtn = math.sqrt(n)
 
@@ -250,14 +260,13 @@ object RetainOps {
       }
       val bw = s.sparkContext.broadcast((w, scale))
       // one distributed pass: flat grad ++ [scaled loss] ++ per-task CE
-      val agg = data.rdd.treeAggregate(new Array[Double](Dim + 1 + K))(
+      val agg = data.treeAggregate(new Array[Double](Dim + 1 + K))(
         seqOp = (acc, row) => {
-          val (uid, xs, ys) = row
-          val x = xs.map(_.toArray).toArray
+          val (uid, x, ys) = row
           val ceView = new Array[Double](K)
           // per-(row, iter) dropout seed: deterministic across runs and
           // partitionings (R11, keep_prob model.py:204)
-          acc(Dim) += RetainGrad.rowGrad(bw.value._1, x, ys.toArray, bw.value._2, acc,
+          acc(Dim) += RetainGrad.rowGrad(bw.value._1, x, ys, bw.value._2, acc,
             ceView, keepProb, uid * 7919L + it)
           var k = 0
           while (k < K) { acc(Dim + 1 + k) += ceView(k); k += 1 }
@@ -408,8 +417,10 @@ object RetainOps {
             (uid, grid(T * F).toLong, p(0), p(1), p(2))
         }
         .toDF("user_id", "n_seen", "p0r", "p1r", "p2r")
-      val q = scoredStream.writeStream.format("memory")
-        .queryName("graft_stream_retain").outputMode("update").start()
+      val q = graft.streaming.Streaming.withStreamConf(s) {
+        scoredStream.writeStream.format("memory")
+          .queryName("graft_stream_retain").outputMode("update").start()
+      }
       try q.processAllAvailable() finally q.stop()
       // update mode may emit per microbatch; keep the fullest state per user
       val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
