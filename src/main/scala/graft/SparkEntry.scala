@@ -12,6 +12,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.RelationalExt.defs ++
+      operators.RelationalMore.defs ++
+      operators.PipelineMore.defs ++
       operators.Windows.defs ++
       operators.TimeSeries.defs ++
       operators.LLMPipeline.defs ++

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline round 3 additions: document chunking with
+  * overlap, token-budget sequence packing, edit-distance near-dup, and
+  * mergeable HLL sketches. All operate on the shared `documents`/`part`
+  * tables and stay in whole-stage codegen.
+  */
+object PipelineMore {
+  private def r6(c: Column) = round(c, 6)
+
+  /** Whitespace words, empty tokens dropped (same contract as
+    * LLMPipeline's tokenizer — reference tokenization is whitespace
+    * split, SURVEY.md §2.B G10).
+    */
+  private def wordsCol(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Overlapping chunking (context-window prep): split each document
+      * into 50-token chunks at stride 30 (20-token overlap). The chunk
+      * grid is a generated `sequence` exploded per document — no UDF,
+      * no shuffle before the final sort; at 100 TB this is a map-only
+      * stage.
+      */
+    QueryDef(
+      "q100_chunk_stride",
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w != '') AS w
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |st AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w)+1, 30)) AS s FROM ws)
+        |SELECT doc_id, CAST((s-1)/30 AS BIGINT) AS chunk_idx,
+        |  CAST(len(w[s:s+49]) AS BIGINT) AS n_tok,
+        |  w[s] AS first_tok, w[s:s+49][-1] AS last_tok
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), wordsCol(col("text")).as("w"))
+        .where(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")), lit(30))).as("st"))
+        .select(col("doc_id"),
+          ((col("st") - 1) / 30).cast("long").as("chunk_idx"),
+          slice(col("w"), col("st"), lit(50)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          element_at(col("chunk"), 1).as("first_tok"),
+          element_at(col("chunk"), -1).as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    /** Token-budget sequence packing: documents are laid into 2048-token
+      * bins per source in doc_id order, bin = floor(preceding-cumsum /
+      * budget) — the prefix-sum packing used to batch variable-length
+      * sequences for training. One window, one aggregation; at 100 TB
+      * the partition key (source) is the pack-group boundary.
+      */
+    QueryDef(
+      "q101_pack_budget",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text,' '), w -> w != '')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok)
+        |SELECT source, CAST(floor((cum - n)/2048) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), size(wordsCol(col("text"))).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .groupBy(col("source"),
+          floor((col("cum") - col("n")) / 2048).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("n_tokens"))
+        .orderBy("source", "bin")
+    },
+
+    /** Edit-distance near-dup (fuzzy dedup for short strings): part
+      * names within a brand block, Levenshtein <= 2, with the cheap
+      * length prefilter (|len(a)-len(b)| <= 2 is a lower bound on edit
+      * distance) pruning pairs before the O(len^2) distance runs. The
+      * block key bounds the quadratic exactly like q62's source block.
+      */
+    QueryDef(
+      "q105_edit_distance_dedup",
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+        |SELECT a.p_brand, count(*) AS n_close_pairs,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+        |  count(DISTINCT a.p_partkey) AS n_docs_with_dup
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("p_brand"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+        col("p_brand").as("b_brand"))
+      // block join on brand; spread the probe side over all partitions
+      // (25 brand keys would cap a shuffled join's parallelism) and
+      // broadcast the build side — same plan shape as q62.
+      a.repartition(col("a_key"))
+        .join(broadcast(b), col("p_brand") === col("b_brand")
+          && col("a_key") < col("b_key")
+          && abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .where(col("dist") <= 2)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_close_pairs"),
+          min(col("dist")).cast("long").as("min_dist"),
+          countDistinct(col("a_key")).as("n_docs_with_dup"))
+        .orderBy("p_brand")
+    },
+
+    /** Mergeable HLL sketches (DataSketches, native in Spark): per-source
+      * distinct-word sketches, re-aggregated with hll_union_agg into a
+      * corpus-wide estimate — the two-level merge is exactly how a
+      * 1000-executor cluster combines per-partition sketches without a
+      * distinct shuffle. Estimates are sketch-implementation-defined,
+      * so the driver does the rows-only check; HllSketchSpec asserts the
+      * estimates against exact counts.
+      */
+    QueryDef.noOracle("q106_hll_sketch_union") { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(wordsCol(col("text"))).as("w"))
+      val perSrc = words.groupBy("source")
+        .agg(expr("hll_sketch_agg(w, 12)").as("sk"),
+          countDistinct(col("w")).as("exact_words"))
+      val bySrc = perSrc.select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("approx_words"), col("exact_words"))
+      val overall = perSrc
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("approx_words"))
+        .crossJoin(words.agg(countDistinct(col("w")).as("exact_words")))
+        .select(lit("__ALL__").as("source"), col("approx_words"), col("exact_words"))
+      bySrc.unionByName(overall).orderBy("source")
+    }
+  )
+}

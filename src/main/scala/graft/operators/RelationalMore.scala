@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface round 3 additions: unpivot/melt, ordered string
+  * aggregation, IGNORE NULLS window fill, regression aggregates,
+  * distribution entropy, LATERAL joins, and the Spark 4 VARIANT json
+  * path. Each query pairs a Catalyst plan with its ANSI/DuckDB oracle;
+  * all stay inside whole-stage codegen (no UDFs).
+  */
+object RelationalMore {
+  private def r2(c: Column) = round(c, 2)
+  private def r6(c: Column) = round(c, 6)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Unpivot/melt (wide → long), the inverse of q51's pivot: three
+      * lineitem measures into (measure, val) rows, then re-aggregated.
+      * Spark's native `unpivot` is a zero-shuffle generator; the oracle
+      * states the same relation as a UNION ALL.
+      */
+    QueryDef(
+      "q47_unpivot_measures",
+      """SELECT l_returnflag, measure, round(sum(v),2) AS total, count(*) AS n
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "v")
+        .groupBy("l_returnflag", "measure")
+        .agg(r2(sum(col("v"))).as("total"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "measure")
+    },
+
+    /** Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+      * native in Spark 4): nations per region in deterministic order.
+      * DuckDB spells it string_agg(... ORDER BY).
+      */
+    QueryDef(
+      "q48_listagg_ordered",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    },
+
+    /** Forward-fill via IGNORE NULLS window semantics (the gap-fill
+      * idiom a feature pipeline uses constantly): values below a
+      * threshold become NULL and are carried forward from the last
+      * valid observation per user, in event-time order.
+      */
+    QueryDef(
+      "q49_ffill_ignore_nulls",
+      """SELECT user_id, event_id,
+        |  round(coalesce(last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING), -1), 2) AS filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v", when(col("value") >= 50, col("value")))
+        .select(col("user_id"), col("event_id"),
+          r2(coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1))).as("filled"))
+        .orderBy("user_id", "event_id")
+    },
+
+    /** Linear-regression aggregate family (regr_slope / regr_intercept /
+      * regr_r2 / corr): per-type trend of value over event-time days —
+      * one partial-aggregable pass, the scale-out form of fitting a
+      * per-group OLS line.
+      */
+    QueryDef(
+      "q102_regr_family",
+      """SELECT event_type,
+        |  round(regr_slope(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS slope,
+        |  round(regr_intercept(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 4) AS icept,
+        |  round(regr_r2(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS r2,
+        |  round(corr(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6) AS c,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val day = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
+      Tables.events(s, d)
+        .withColumn("day", day)
+        .groupBy("event_type")
+        .agg(r6(regr_slope(col("value"), col("day"))).as("slope"),
+          round(regr_intercept(col("value"), col("day")), 4).as("icept"),
+          r6(regr_r2(col("value"), col("day"))).as("r2"),
+          r6(corr(col("value"), col("day"))).as("c"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    /** Distribution shape per group: Shannon entropy (bits) of the
+      * value-bucket histogram plus the deterministic modal bucket
+      * (smallest bucket among the max-count ties). Pure relational
+      * two-level aggregation — the form that scales where a
+      * collect-and-count would not.
+      */
+    QueryDef(
+      "q103_entropy_dist",
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value/100) AS BIGINT) AS bucket, count(*) AS c
+        |  FROM events GROUP BY event_type, bucket),
+        |e AS (
+        |  SELECT event_type, bucket, c,
+        |    sum(c) OVER (PARTITION BY event_type) AS n,
+        |    max(c) OVER (PARTITION BY event_type) AS mx
+        |  FROM b)
+        |SELECT event_type,
+        |  round(-sum((c/n) * log2(c/n)), 6) AS entropy,
+        |  count(*) AS n_buckets,
+        |  min(CASE WHEN c = mx THEN bucket END) AS mode_bucket
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), floor(col("value") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(w))
+        .withColumn("mx", max(col("c")).over(w))
+        .groupBy("event_type")
+        .agg(r6(-sum((col("c") / col("n")) * log2(col("c") / col("n")))).as("entropy"),
+          count(lit(1)).as("n_buckets"),
+          min(when(col("c") === col("mx"), col("bucket"))).as("mode_bucket"))
+        .orderBy("event_type")
+    },
+
+    /** LATERAL correlated derived table (SQL:1999 lateral join): each
+      * customer's single highest-value order via a per-row ORDER BY +
+      * LIMIT subquery — the "top-1 per key without a window over the
+      * whole fact table" idiom. Catalyst decorrelates it into a
+      * ranked join rather than executing per-row.
+      */
+    QueryDef(
+      "q104_lateral_topk",
+      """SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS top_price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+        |WHERE c.c_custkey % 50 = 0
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS top_price
+          |FROM graft_customer_v c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_orders_v o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+          |WHERE c.c_custkey % 50 = 0
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    /** Spark 4 VARIANT path for semi-structured data: parse the JSON
+      * props column once into a variant, extract typed fields with
+      * variant_get — the columnar-JSON engine path (shredded access,
+      * no per-row string re-parse per field). Oracle reads the same
+      * field through DuckDB's JSON extraction.
+      */
+    QueryDef(
+      "q107_variant_json",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy("k_mod")
+    }
+  )
+}
