@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions: the properties the 100 TB story depends on
+  * (SURVEY.md §4.2/§7.3) are pinned here so a regression in plan shape
+  * fails CI, not a cluster run — filters reach the parquet scan, scans
+  * prune columns, star joins broadcast dimensions, the bucketed join
+  * has no Exchange under it, and hot paths stay in whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.warehouse.dir", "target/graft-warehouse")
+        .config("spark.ui.enabled", "false")
+        .appName("plan-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Execute and return the final (post-AQE) physical plan. */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Full traversal of the executed plan: AQE wraps materialized
+    * subtrees in QueryStageExec whose plan is a FIELD, not a child, so
+    * plain `collect` stops at stage boundaries — descend explicitly.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    allNodes(p).collect { case s: FileSourceScanExec => s }
+
+  test("q02 predicates are pushed into the parquet scan") {
+    val p = finalPlan(SparkEntry.queries("q02_filter_predicates")(spark, sf))
+    val pushed = scans(p).map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(f => f != "[]" && f.nonEmpty), s"no pushed filters in: $pushed")
+  }
+
+  test("q01 scan prunes to the referenced lineitem columns only") {
+    val p = finalPlan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    val widths = scans(p).map(_.requiredSchema.length)
+    val full = Tables.lineitem(spark, sf).schema.length
+    assert(widths.nonEmpty && widths.forall(_ < full),
+      s"scan reads $widths of $full columns")
+  }
+
+  test("q08 star join broadcasts the dimension sides") {
+    val p = finalPlan(SparkEntry.queries("q08_star_join")(spark, sf))
+    val bhj = allNodes(p).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected BroadcastHashJoin for the dimensions")
+  }
+
+  test("q92 bucketed join has no shuffle below the sort-merge join") {
+    val p = finalPlan(SparkEntry.queries("q92_bucketed_join")(spark, sf))
+    val smj = allNodes(p).collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "expected a SortMergeJoin over the bucketed tables")
+    val shuffled = smj.flatMap(allNodes).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffled.isEmpty, "bucketed join inputs must not re-shuffle")
+  }
+
+  test("hot aggregation path stays in whole-stage codegen") {
+    val p = finalPlan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    val spans = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, "expected WholeStageCodegen spans in the aggregate plan")
+  }
+
+  test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
+    val p = finalPlan(SparkEntry.queries("q71_minhash_lsh")(spark, sf))
+    val s = allNodes(p).mkString("\n")
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"),
+      "banded MinHash must stay in native expressions")
+  }
+}
