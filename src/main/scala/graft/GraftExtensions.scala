@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: plans graft.plans.TopKPerGroup logical
+    // nodes as the partial/final bounded-heap exec pair
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("sigmoid_ce"),
       new ExpressionInfo(classOf[SigmoidCE].getName, "sigmoid_ce"),

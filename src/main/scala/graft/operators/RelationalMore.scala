@@ -167,6 +167,31 @@ object RelationalMore {
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
+    /** Top-k per group through the engine's custom whole-operator plan
+      * ([[graft.plans.TopKPerGroup]]: logical node → TopKStrategy →
+      * partial/final bounded-heap exec). Hash-verified against the
+      * window-function formulation, so the custom operator's
+      * partial-combine + shuffle + final-combine path provably computes
+      * row_number() <= k semantics. q40 keeps the window form for
+      * comparison.
+      */
+    QueryDef(
+      "q108_topk_operator",
+      """SELECT event_type, event_id, round(value,2) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.plans.TopKPerGroupOps
+        .topKPerGroup(s, ev, Seq(ev("event_type")),
+          Seq(ev("value").desc, ev("event_id").asc), 3)
+        .select(col("event_type"), col("event_id"), r2(col("value")).as("value"))
+        .orderBy("event_type", "event_id")
+    },
+
     /** Spark 4 VARIANT path for semi-structured data: parse the JSON
       * props column once into a variant, extract typed fields with
       * variant_get — the columnar-JSON engine path (shredded access,

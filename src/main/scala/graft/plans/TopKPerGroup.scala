@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan (SURVEY.md §7.3 tier (c), the pattern the
+  * reference's R28 running-minimum snapshot generalizes to): top-k rows
+  * per group as a FIRST-CLASS operator — logical node, planner strategy,
+  * and a two-phase physical exec — instead of the window-function form
+  * (`row_number() OVER (...) <= k`) that q40 uses.
+  *
+  * Why an operator, not a window: the window form must shuffle and
+  * fully SORT every row of every group; this exec keeps a bounded
+  * k-heap per group, runs a PARTIAL pass before the shuffle (top-k is a
+  * semigroup: topk(A ∪ B) = topk(topk(A) ∪ topk(B))), so only
+  * ~k·groups·partitions rows ever reach the exchange, and never sorts
+  * more than k rows per group. At 100 TB that's the difference between
+  * shuffling the fact table and shuffling a sample.
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Planner strategy: partial (pre-shuffle) + final (post-shuffle)
+  * physical pair, mirroring how HashAggregate plans partial/final.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded per-group top-k heap pass. `partial = true` runs on whatever
+  * partitioning the child has (map-side combine); `partial = false`
+  * requires a clustered distribution on the group keys, which Catalyst
+  * satisfies with an Exchange over the (already k-bounded) partial
+  * output.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupE = groupExprs
+    val sortE = ordering
+    val limit = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val cmp = GenerateOrdering.generate(sortE, childOutput)
+      // max-heap by the sort order: head = worst retained row, evicted
+      // when a better row arrives and the heap is full
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val reverse = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
+      }
+      while (iter.hasNext) {
+        val row = iter.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) {
+          heap.add(row.copy())
+        } else if (cmp.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** User-facing entry: `TopKPerGroup.of(df, groupCols, sortCols, k)`. */
+object TopKPerGroupOps {
+  /** Plans `df` through the custom operator. Registers the strategy on
+    * the session's experimental methods (idempotent) — the
+    * spark.sql.extensions path in [[graft.GraftExtensions]] does the
+    * same for packaged deployments.
+    */
+  def topKPerGroup(spark: SparkSession, df: DataFrame,
+                   groupCols: Seq[Column], sortCols: Seq[Column], k: Int): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val plan = GraftBridge.analyzedPlan(df)
+    val ordering = sortCols.map(c => GraftBridge.expr(spark, c)).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    GraftBridge.ofRows(spark,
+      TopKPerGroup(groupCols.map(c => GraftBridge.expr(spark, c)), ordering, k, plan))
+  }
+}

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into the `private[sql]` constructor surface: turning a
+  * hand-built [[LogicalPlan]] back into a user-facing DataFrame. This is
+  * the standard extension-library pattern for custom operators (the
+  * public `SparkSessionExtensions` API injects rules/strategies but has
+  * no public "wrap this plan" call).
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Spark 4 moved Column to a connect-compatible facade; the catalyst
+    * Expression behind it comes back through the classic converter.
+    */
+  def expr(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+}
