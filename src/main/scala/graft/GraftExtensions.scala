@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.TopKPerGroup logical
     // nodes as the partial/final bounded-heap exec pair
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // optimizer extension: window-function top-k idiom -> TopKPerGroup
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("sigmoid_ce"),
       new ExpressionInfo(classOf[SigmoidCE].getName, "sigmoid_ce"),

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule (the third `SparkSessionExtensions` injection type,
+  * after the `sigmoid_ce` function and `TopKStrategy`): rewrites the
+  * ubiquitous window-function top-k idiom
+  *
+  *   SELECT ... FROM (SELECT *, row_number() OVER
+  *     (PARTITION BY g ORDER BY o) rn FROM t) WHERE rn <= k
+  *
+  * into the engine's [[TopKPerGroup]] operator, which plans as a
+  * partial/final bounded-heap pair — shuffling only k-bounded partial
+  * output instead of the whole table, and never sorting a full group.
+  * Spark's own InferWindowGroupLimit (3.5+) already inserts a
+  * WindowGroupLimit below the Window to prune rows early but still
+  * runs the full Window exec + filter above it; this rule replaces the
+  * whole subtree. Fires only when:
+  *   - the single window expression is row_number() (rank/dense_rank
+  *     admit >k rows on ties — different semantics than a k-heap),
+  *   - the filter is `rn <= k` / `rn < k` / `rn = 1` on that alias,
+  *   - the projection above drops the rn column (so output equals
+  *     TopKPerGroup's child schema).
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  /** Extract (k) from a comparison on the row-number attribute. */
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
+  }
+
+  /** The Window child, looking through the WindowGroupLimit that
+    * InferWindowGroupLimit may already have inserted.
+    */
+  private def windowChild(p: LogicalPlan): LogicalPlan = p match {
+    case WindowGroupLimit(_, _, _, _, child) => child
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+        Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
+        if limitOf(cond, alias.toAttribute).isDefined
+          && projectList.forall(_.references.forall(_.exprId != alias.exprId)) =>
+      val k = limitOf(cond, alias.toAttribute).get
+      if (k <= 0) LocalRelation(p.output)
+      else Project(projectList, TopKPerGroup(part, order, k, windowChild(wchild)))
+  }
+}

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.QueryDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.B group 8). The unified
@@ -98,7 +99,69 @@ object Streaming {
     ()
   }
 
+  /** Running per-user (count, sum) for q109 via the Spark 4
+    * `transformWithState` arbitrary-state API (the successor of the
+    * mapGroupsWithState path q88 exercises): explicit named ValueState,
+    * update-mode emission per micro-batch.
+    */
+  private class RunningAggProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, sm) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; sm += v }
+      state.update((n, sm))
+      Iterator.single((key, n, sm))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    /** Arbitrary stateful processing through the transformWithState API
+      * (Spark 4's replacement for mapGroupsWithState, group 8 stateful
+      * row): named RocksDB-backed ValueState per user, update-mode
+      * emission; on the finite source the final state equals the batch
+      * group-by, which the oracle asserts. The RocksDB provider is
+      * required by the operator and scoped to this query's start.
+      */
+    QueryDef(
+      "q109_transform_with_state",
+      """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val updated = eventStream(s, d)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningAggProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "total_raw")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val q = withStreamConf(s) {
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          updated.writeStream.format("memory").queryName("graft_tws")
+            .outputMode("update").start()
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      // update mode emits one row per key per micro-batch that saw input;
+      // n_events strictly increases, so max_by picks the final state
+      s.table("graft_tws")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(max_by(col("total_raw"), col("n_events")), 2).as("total"))
+        .orderBy("user_id")
+    },
 
     /** Watermarked tumbling-window aggregation (group 8 rows 1-2,4):
       * per-day per-type sums over the event-time stream. Complete mode:

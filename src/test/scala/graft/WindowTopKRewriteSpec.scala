@@ -1,0 +1,93 @@
+package graft
+
+import graft.plans.TopKPerGroupExec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end proof of the packaged extension path: a session built with
+  * spark.sql.extensions=graft.GraftExtensions rewrites the plain
+  * window-function top-k idiom through WindowTopKRewrite into the
+  * TopKPerGroup exec, with identical results to an unextended session.
+  */
+class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .appName("window-topk-rewrite-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def windowTopK(k: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("event_type", "event_id", "value")
+  }
+
+  test("window top-k idiom plans through TopKPerGroupExec") {
+    val df = windowTopK(4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val custom = allNodes(plan).collect { case t: TopKPerGroupExec => t }
+    assert(custom.nonEmpty, s"rewrite did not fire:\n$plan")
+    assert(!plan.toString.contains("WindowExec") &&
+      !allNodes(plan).exists(_.getClass.getSimpleName.startsWith("Window")),
+      "the Window exec should be gone after the rewrite")
+  }
+
+  test("rewritten plan returns exactly the window-function rows") {
+    val got = windowTopK(4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // exact reference computed outside Spark: collect and sort on the
+    // driver (the dataset is sf0.001-tiny)
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(4).toSeq
+    }.map(t => (t._1, t._2)).toSet
+    assert(got === expect)
+  }
+
+  test("rn = 1 (argmax per group) also rewrites") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("event_type", "event_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(allNodes(plan).exists(_.isInstanceOf[TopKPerGroupExec]))
+    assert(df.count() === Tables.events(spark, sf)
+      .select("event_type").distinct().count())
+  }
+}
