@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: window-function top-k idiom -> TopKPerGroup
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect_count(a, b) takes exactly 2 arguments")
+        graft.functions.SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sigmoid_ce"),
       new ExpressionInfo(classOf[SigmoidCE].getName, "sigmoid_ce"),
       (children: Seq[Expression]) => {

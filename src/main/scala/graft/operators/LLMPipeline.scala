@@ -115,13 +115,17 @@ object LLMPipeline {
         |WHERE len(list_intersect(a.w,b.w))::DOUBLE /
         |      (len(a.w) + len(b.w) - len(list_intersect(a.w,b.w))) >= 0.5
         |GROUP BY a.source ORDER BY a.source""".stripMargin) { (s, d) =>
-      // intersect on 64-bit word hashes, not strings: same counts (the
-      // corpus vocabulary is a fixed small set, collision-free under
-      // xxhash64 — the sf0.01 hash-compare against the string-based
-      // oracle proves the equivalence), ~5x cheaper per pair.
+      // intersect on SORTED 64-bit word hashes, not strings: same counts
+      // (the corpus vocabulary is a fixed small set, collision-free
+      // under xxhash64 — the sf0.01 hash-compare against the
+      // string-based oracle proves the equivalence). Sorting once per
+      // ROW lets the pair loop use the allocation-free merge-count
+      // expression instead of array_intersect's per-PAIR hash set.
+      graft.functions.SortedIntersectCount.register(s)
       val ws = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(transform(wordsCol(col("text")), w => xxhash64(w))).as("w"))
+          array_sort(array_distinct(transform(wordsCol(col("text")), w => xxhash64(w))))
+            .as("w"))
       val a = ws.select(col("doc_id").as("a_id"), col("source"), col("w").as("aw"))
       val b = ws.select(col("doc_id").as("b_id"), col("source").as("b_src"), col("w").as("bw"))
       // size-ratio prefilter: J >= 0.5 requires |a| <= 2|b| and vice
@@ -137,7 +141,7 @@ object LLMPipeline {
           && size(col("aw")) <= size(col("bw")) * 2
           && size(col("bw")) <= size(col("aw")) * 2)
         .select(col("source"),
-          size(array_intersect(col("aw"), col("bw"))).cast("double").as("inter"),
+          expr("sorted_intersect_count(aw, bw)").cast("double").as("inter"),
           size(col("aw")).as("na"), size(col("bw")).as("nb"))
         .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
         .where(col("j") >= 0.5)
@@ -436,19 +440,27 @@ object LLMPipeline {
         }
         xxhash64(rows: _*).as(s"sig$b")
       }
+      graft.functions.SortedIntersectCount.register(s)
       val docs = Tables.documents(s, d)
         .withColumn("h", sha2(col("text"), 256))
         .withColumn("rn", row_number().over(repW))
         .where(col("rn") === 1)
         .select(col("doc_id"), col("source"), array_distinct(shingles).as("shingles"))
+      // the verify arm works on sorted 64-bit shingle hashes (sh64):
+      // sorted once per row, the exact-Jaccard pair loop is the
+      // allocation-free sorted_intersect_count merge instead of
+      // array_intersect over string arrays — and the cached build side
+      // drops the string payload entirely
       val signed = docs.select(
-        (Seq(col("doc_id"), col("source"), col("shingles")) ++ sigCols): _*)
+        (Seq(col("doc_id"), col("source"),
+          array_sort(transform(col("shingles"), x => xxhash64(lit(-1), x))).as("sh64"))
+          ++ sigCols): _*)
         .cache() // reused: both sides of the band join + the verify re-join
       // candidates: ids only through the (band, sig) join — the shingle
       // arrays are re-attached for the verify step, so the wide payload
       // never rides through the exploded band shuffle
       val banded = signed.select(col("doc_id"), col("source"),
-        size(col("shingles")).as("nsh"),
+        size(col("sh64")).as("nsh"),
         posexplode(array((0 until numBands).map(b => col(s"sig$b")): _*))
           .as(Seq("band", "sig")))
       // size-ratio prefilter inside the band join: J >= 0.8 forces
@@ -465,10 +477,10 @@ object LLMPipeline {
           col("a.source").as("source"))
         .dropDuplicates("a_id", "b_id") // a pair may collide in both bands
       val verified = cand
-        .join(signed.select(col("doc_id").as("a_id"), col("shingles").as("aw")), "a_id")
-        .join(signed.select(col("doc_id").as("b_id"), col("shingles").as("bw")), "b_id")
+        .join(signed.select(col("doc_id").as("a_id"), col("sh64").as("aw")), "a_id")
+        .join(signed.select(col("doc_id").as("b_id"), col("sh64").as("bw")), "b_id")
         .select(col("source"),
-          size(array_intersect(col("aw"), col("bw"))).cast("double").as("inter"),
+          expr("sorted_intersect_count(aw, bw)").cast("double").as("inter"),
           size(col("aw")).as("na"), size(col("bw")).as("nb"))
         .withColumn("jaccard_dist",
           lit(1.0) - col("inter") / (col("na") + col("nb") - col("inter")))

@@ -77,6 +77,30 @@ class PipelineMoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sorted_intersect_count == size(array_intersect) on random arrays") {
+    graft.functions.SortedIntersectCount.register(spark)
+    // deterministic pseudo-random sorted distinct arrays from the
+    // documents word hashes, plus edge cases (empty, disjoint, equal)
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => xxhash64(w)))).as("a"),
+        array_sort(array_distinct(transform(
+          filter(split(col("text"), " "), w => w =!= ""),
+          w => xxhash64(w, col("doc_id") % 3)))).as("b"))
+    val bad = df.where(
+      expr("sorted_intersect_count(a, b)") =!= size(array_intersect(col("a"), col("b"))))
+    assert(bad.count() === 0)
+    val edge = spark.sql(
+      """SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS x,
+        |  sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS y,
+        |  sorted_intersect_count(array(5L), array(5L)) AS z""".stripMargin)
+    // registration is session-wide, so SQL text sees it too
+    val r = edge.collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((2, 0, 1)))
+  }
+
   test("q71 banded MinHash finds every J>=0.9 pair the exact pass finds") {
     // exact pairs at J >= 0.9 over 2-word shingle sets, blocked by source
     val w = filter(split(col("text"), " "), x => x =!= "")
