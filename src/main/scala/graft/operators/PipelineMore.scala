@@ -133,6 +133,29 @@ object PipelineMore {
         .orderBy("p_brand")
     },
 
+    /** Generator edge semantics: explode_outer preserves rows whose
+      * array is empty (emits one NULL element) — the LEFT JOIN of
+      * generators. 500 of the 2000 sf0.01 docs have no >8-char word, so
+      * the outer row path is genuinely exercised; the oracle emulates
+      * it with a CASE to a [NULL] singleton (DuckDB's unnest drops
+      * empty lists).
+      */
+    QueryDef(
+      "q110_explode_outer",
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> len(w) > 8) AS l
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id,
+        |  coalesce(unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END), '__none__') AS w
+        |FROM d ORDER BY doc_id, w""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "), w => length(w) > 8)).as("e"))
+        .select(col("doc_id"), coalesce(col("e"), lit("__none__")).as("w"))
+        .orderBy("doc_id", "w")
+    },
+
     /** Mergeable HLL sketches (DataSketches, native in Spark): per-source
       * distinct-word sketches, re-aggregated with hll_union_agg into a
       * corpus-wide estimate — the two-level merge is exactly how a

@@ -167,6 +167,33 @@ object RelationalMore {
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
+    /** CUBE with explicit grouping() markers: unlike q15's
+      * coalesce-based labels, the grouping flags distinguish a real
+      * NULL group value from a rolled-up level — the lineage columns a
+      * reporting layer needs over multi-level aggregates.
+      */
+    QueryDef(
+      "q111_grouping_cube",
+      """WITH t AS (SELECT event_type, user_id % 4 AS ub, value FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS etype,
+        |  coalesce(CAST(ub AS VARCHAR), 'ALL') AS ubucket,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(ub) AS BIGINT) AS g_user,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM t GROUP BY CUBE(event_type, ub)
+        |ORDER BY etype, ubucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 4).as("ub"), col("value"))
+        .cube(col("event_type"), col("ub"))
+        .agg(grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("ub")).cast("long").as("g_user"),
+          count(lit(1)).as("n"), r2(sum(col("value"))).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("ub").cast("string"), lit("ALL")).as("ubucket"),
+          col("g_type"), col("g_user"), col("n"), col("total"))
+        .orderBy("etype", "ubucket")
+    },
+
     /** Top-k per group through the engine's custom whole-operator plan
       * ([[graft.plans.TopKPerGroup]]: logical node → TopKStrategy →
       * partial/final bounded-heap exec). Hash-verified against the

@@ -118,6 +118,37 @@ object Sources {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    /** Dynamic partition pruning (the runtime sibling of q57b's static
+      * pruning): the fact side is partitioned by event_type and the
+      * SELECTIVE predicate lives on the dim side (a non-partition
+      * column), so only a runtime filter can prune — the broadcast
+      * build-side values become a `dynamicpruningexpression` partition
+      * filter on the fact scan, and the non-matching partitions are
+      * never read. At 100 TB this is the difference between scanning
+      * the whole fact table and scanning the two matching partitions.
+      * PlanSpec asserts the pruning expression is present.
+      */
+    QueryDef(
+      "q112_dpp_join",
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total
+        |FROM events WHERE substr(event_type, 1, 1) = 'c'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = scratch(d, "events_part")
+      // stage the partitioned fact once per sf (idempotent: _SUCCESS
+      // marker only exists after a completed write)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        Tables.events(s, d)
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      }
+      val fact = s.read.parquet(path)
+      val dim = Tables.events(s, d).select("event_type").distinct()
+        .withColumn("cat", substring(col("event_type"), 1, 1))
+      fact.join(broadcast(dim.where(col("cat") === "c")), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"))
+        .orderBy("event_type")
     }
   )
 }

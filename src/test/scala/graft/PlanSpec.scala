@@ -91,6 +91,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spans.nonEmpty, "expected WholeStageCodegen spans in the aggregate plan")
   }
 
+  test("q112 join prunes fact partitions dynamically (DPP)") {
+    val p = finalPlan(SparkEntry.queries("q112_dpp_join")(spark, sf))
+    val factScans = scans(p).filter(_.metadata.getOrElse("Location", "").contains("events_part"))
+    assert(factScans.nonEmpty, "expected a scan over the partitioned fact table")
+    assert(factScans.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning on the fact scan:\n${factScans.mkString("\n")}")
+  }
+
   test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
     val p = finalPlan(SparkEntry.queries("q71_minhash_lsh")(spark, sf))
     val s = allNodes(p).mkString("\n")
