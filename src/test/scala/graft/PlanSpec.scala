@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -97,6 +98,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(factScans.nonEmpty, "expected a scan over the partitioned fact table")
     assert(factScans.exists(_.toString.toLowerCase.contains("dynamicpruning")),
       s"no dynamic pruning on the fact scan:\n${factScans.mkString("\n")}")
+  }
+
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // the runtime-filter sibling of DPP for non-partition keys: a bloom
+    // filter built from the selective (dim) side is pushed into the
+    // fact side's scan filter. Defaults only fire at real scale
+    // (10 GB application-side scans), so pin the thresholds down and
+    // force a shuffle join to exercise the mechanism.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, sf).where(col("o_totalprice") > 400000)
+      val join = Tables.lineitem(spark, sf)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      join.collect()
+      val s = allNodes(finalPlan(join)).mkString("\n")
+      assert(s.contains("bloom_filter") || s.contains("BloomFilter"),
+        "expected a runtime bloom filter on the fact side")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
