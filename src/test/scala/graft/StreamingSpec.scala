@@ -23,6 +23,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("rate source streams rows through an aggregation (non-file source)") {
+    // the engine's queries use the file source; this pins that the
+    // plan shape also runs over a generator source (the local stand-in
+    // for Kafka-style unbounded ingestion)
+    val agg = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1000").option("numPartitions", "2").load()
+      .groupBy(org.apache.spark.sql.functions.col("value") % 10)
+      .count()
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_rate_smoke").outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = spark.table("graft_rate_smoke").count()
+      }
+      assert(n > 0, "rate stream produced no aggregated rows within 30s")
+    } finally q.stop()
+  }
+
   test("streaming session windows are a prefix-subset of batch session windows") {
     val batch = SparkEntry.queries("q82_session_window")(spark, sf)
       .collect().map(_.toString).toSet
