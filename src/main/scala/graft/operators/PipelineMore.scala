@@ -156,6 +156,59 @@ object PipelineMore {
         .orderBy("doc_id", "w")
     },
 
+    /** Per-group feature scaling (the feature-pipeline normalize step):
+      * z-score and min-max over unbounded group windows — one shuffle,
+      * no collect; at 100 TB the group stats come from the same window
+      * exchange the fill/rank operators already use.
+      */
+    QueryDef(
+      "q113_feature_scaling",
+      """SELECT event_id, event_type,
+        |  round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore,
+        |  round((value - min(value) OVER w) /
+        |        nullif(max(value) OVER w - min(value) OVER w, 0), 6) AS minmax
+        |FROM events WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          r6((col("value") - avg(col("value")).over(w)) / stddev_samp(col("value")).over(w))
+            .as("zscore"),
+          r6((col("value") - min(col("value")).over(w)) /
+            nullif(max(col("value")).over(w) - min(col("value")).over(w), lit(0)))
+            .as("minmax"))
+        .orderBy("event_id")
+    },
+
+    /** TF-IDF (the classic text-weighting op): term frequency per
+      * (doc, word) × inverse document frequency over the corpus subset,
+      * as three aggregations + a broadcast-sized dictionary join — no
+      * per-document vocabulary collect.
+      */
+    QueryDef(
+      "q114_tfidf",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x != '')) AS word
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |idf AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM w)
+        |SELECT doc_id, word, round(tf * ln(CAST(n.n AS DOUBLE) / idf.df), 6) AS tfidf
+        |FROM tf JOIN idf USING (word) CROSS JOIN n
+        |ORDER BY doc_id, word""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), explode(wordsCol(col("text"))).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val idf = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val n = words.agg(countDistinct(col("doc_id")).as("n"))
+      tf.join(broadcast(idf), "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          r6(col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+        .orderBy("doc_id", "word")
+    },
+
     /** Mergeable HLL sketches (DataSketches, native in Spark): per-source
       * distinct-word sketches, re-aggregated with hll_union_agg into a
       * corpus-wide estimate — the two-level merge is exactly how a
