@@ -219,6 +219,28 @@ object RelationalMore {
         .orderBy("event_type", "event_id")
     },
 
+    /** Join-strategy hints: the explicit-control surface for when the
+      * optimizer's size estimates are wrong at scale. SHUFFLE_HASH on
+      * the build side picks a shuffled hash join (no sort of either
+      * side — right when the build side fits per-partition memory but
+      * exceeds the broadcast threshold). PlanSpec asserts the strategy
+      * actually took effect; the result is hint-invariant and
+      * hash-verified.
+      */
+    QueryDef(
+      "q115_join_hints",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     /** Spark 4 VARIANT path for semi-structured data: parse the JSON
       * props column once into a variant, extract typed fields with
       * variant_get — the columnar-JSON engine path (shredded access,

@@ -127,6 +127,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q115 SHUFFLE_HASH hint picks a shuffled hash join") {
+    val p = finalPlan(SparkEntry.queries("q115_join_hints")(spark, sf))
+    val shj = allNodes(p).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty, "expected ShuffledHashJoin from the hint")
+  }
+
   test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
     val p = finalPlan(SparkEntry.queries("q71_minhash_lsh")(spark, sf))
     val s = allNodes(p).mkString("\n")
