@@ -149,6 +149,31 @@ object Sources {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"))
         .orderBy("event_type")
+    },
+
+    /** Custom DataSource V2 connector ([[graft.sources.v2.SeriesSource]],
+      * registered as `format("graft-series")`): a partition-planned,
+      * column-pruning generated time-grid table. The deterministic
+      * integer value function lets the DuckDB oracle reproduce the
+      * "external system" exactly, so the connector's partitioning and
+      * row emission are hash-verified; PlanSpec asserts the pruned
+      * read schema.
+      */
+    QueryDef(
+      "q116_custom_source",
+      """SELECT day, count(*) AS n, round(sum(v), 2) AS total, round(avg(v), 6) AS mean_v
+        |FROM (
+        |  SELECT u.user_id, d.day,
+        |    CAST(((u.user_id*31 + d.day*7) % 100) AS DOUBLE)/10.0 AS v
+        |  FROM generate_series(0, 99) u(user_id), generate_series(0, 29) d(day)) t
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, _) =>
+      s.read.format("graft-series")
+        .option("users", "100").option("days", "30").option("partitions", "8")
+        .load()
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"),
+          round(avg(col("value")), 6).as("mean_v"))
+        .orderBy("day")
     }
   )
 }

@@ -1,0 +1,120 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSource V2 connector (`format("graft-series")`): a
+  * deterministic generated (user_id, day, value) time-grid — the
+  * engine-native form of the reference's missing `data_loader` synth
+  * path, and the template for wrapping any external series store as a
+  * first-class Spark table.
+  *
+  * Proper connector behaviors, not a collect-and-parallelize:
+  *   - partition planning: the user range is split into `partitions`
+  *     independent [[InputPartition]]s, so a 1000-executor cluster
+  *     generates/reads in parallel with no driver materialization;
+  *   - column pruning: implements [[SupportsPushDownRequiredColumns]] —
+  *     a `select(day)` never computes the value column (PlanSpec
+  *     asserts the pruned read schema);
+  *   - rows are emitted directly as [[InternalRow]] in the pruned
+  *     schema order (no Row→InternalRow conversion layer).
+  *
+  * Options: users (default 100), days (30), partitions (4).
+  * value(u, t) = ((u*31 + t*7) % 100) / 10.0 — integer arithmetic, so
+  * any engine (the DuckDB oracle included) reproduces it bit-exactly.
+  */
+class SeriesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-series"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeriesSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeriesTable(properties)
+}
+
+object SeriesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("day", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  def value(u: Long, t: Int): Double = ((u * 31 + t * 7) % 100) / 10.0
+}
+
+private class SeriesTable(props: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "graft_series"
+  override def schema(): StructType = SeriesSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(k: String, dflt: Int): Int = {
+      val fromScan = options.getInt(k, -1)
+      if (fromScan >= 0) fromScan
+      else Option(props.get(k)).map(_.toInt).getOrElse(dflt)
+    }
+    new SeriesScanBuilder(opt("users", 100), opt("days", 30), opt("partitions", 4))
+  }
+}
+
+private class SeriesScanBuilder(users: Int, days: Int, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SeriesSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeriesScan(users, days, partitions, required)
+}
+
+private case class SeriesPartition(userStart: Long, userEnd: Long)
+    extends InputPartition
+
+private class SeriesScan(users: Int, days: Int, partitions: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-series users=$users days=$days readSchema=${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(partitions, users))
+    (0 until n).map { i =>
+      val start = users.toLong * i / n
+      val end = users.toLong * (i + 1) / n
+      SeriesPartition(start, end)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cols = required.fieldNames
+    val d = days
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[SeriesPartition]
+        new PartitionReader[InternalRow] {
+          private var u = p.userStart
+          private var t = -1
+          override def next(): Boolean = {
+            t += 1
+            if (t >= d) { t = 0; u += 1 }
+            u < p.userEnd
+          }
+          override def get(): InternalRow = {
+            val vals: Array[Any] = cols.map {
+              case "user_id" => u
+              case "day" => t
+              case "value" => SeriesSource.value(u, t)
+            }
+            InternalRow.fromSeq(vals.toIndexedSeq)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}

@@ -135,6 +135,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shj.nonEmpty, "expected ShuffledHashJoin from the hint")
   }
 
+  test("graft-series DSv2 connector prunes columns at the scan") {
+    val df = spark.read.format("graft-series").load().select("day").distinct()
+    df.collect()
+    val p = finalPlan(df)
+    val v2 = allNodes(p).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(v2.nonEmpty, "expected a BatchScan over the custom source")
+    assert(v2.head.scan.readSchema().fieldNames.toSeq === Seq("day"),
+      s"scan should read only 'day', got ${v2.head.scan.readSchema()}")
+  }
+
   test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
     val p = finalPlan(SparkEntry.queries("q71_minhash_lsh")(spark, sf))
     val s = allNodes(p).mkString("\n")
