@@ -4,8 +4,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -64,28 +64,61 @@ private class SeriesTable(props: util.Map[String, String])
 }
 
 private class SeriesScanBuilder(users: Int, days: Int, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SeriesSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = users.toLong // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeriesScan(users, days, partitions, required)
+
+  /** user_id range predicates are absorbed into the partition plan
+    * (the generator simply never emits the excluded range); everything
+    * else stays residual for Spark to evaluate.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case GreaterThanOrEqual("user_id", _: Long) | GreaterThan("user_id", _: Long)
+           | LessThanOrEqual("user_id", _: Long) | LessThan("user_id", _: Long)
+           | EqualTo("user_id", _: Long) => true
+      case _ => false
+    }
+    supported.foreach {
+      case GreaterThanOrEqual("user_id", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("user_id", v: Long) => lo = math.max(lo, v + 1)
+      case LessThanOrEqual("user_id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThan("user_id", v: Long) => hi = math.min(hi, v)
+      case EqualTo("user_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SeriesScan(lo, math.max(lo, hi), days, partitions, required)
 }
 
 private case class SeriesPartition(userStart: Long, userEnd: Long)
     extends InputPartition
 
-private class SeriesScan(users: Int, days: Int, partitions: Int,
+private class SeriesScan(userLo: Long, userHi: Long, days: Int, partitions: Int,
     required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-series users=$users days=$days readSchema=${required.simpleString}"
+    s"graft-series users=[$userLo,$userHi) days=$days readSchema=${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(partitions, users))
+    val span = userHi - userLo
+    val n = math.max(1L, math.min(partitions.toLong, math.max(span, 1L))).toInt
     (0 until n).map { i =>
-      val start = users.toLong * i / n
-      val end = users.toLong * (i + 1) / n
+      val start = userLo + span * i / n
+      val end = userLo + span * (i + 1) / n
       SeriesPartition(start, end)
     }.toArray
   }

@@ -147,6 +147,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan should read only 'day', got ${v2.head.scan.readSchema()}")
   }
 
+  test("graft-series DSv2 connector pushes user_id range filters") {
+    val df = spark.read.format("graft-series").load()
+      .where(col("user_id") >= 90 && col("user_id") < 95)
+    assert(df.count() === 5 * 30) // 5 users x 30 days survive the clamp
+    df.collect()
+    val v2 = allNodes(finalPlan(df)).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(v2.nonEmpty)
+    assert(v2.head.scan.description().contains("users=[90,95)"),
+      s"range not pushed into partition planning: ${v2.head.scan.description()}")
+  }
+
   test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
     val p = finalPlan(SparkEntry.queries("q71_minhash_lsh")(spark, sf))
     val s = allNodes(p).mkString("\n")
