@@ -160,6 +160,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"range not pushed into partition planning: ${v2.head.scan.description()}")
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    // q93 shows MANUAL salting; this pins the automatic path — AQE's
+    // OptimizeSkewedJoin splitting an oversized partition — with the
+    // thresholds lowered to fire at test scale.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of fact rows share key 0 — one shuffle partition dwarfs the rest
+      val fact = spark.range(200000)
+        .select(when(col("id") % 20 === 0, col("id") % 100).otherwise(0L).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // global aggregate only: a per-key groupBy above the join would
+      // require hash distribution on k, and AQE refuses to split a
+      // skewed partition when that breaks a downstream requirement
+      val j = fact.join(dim, "k").agg(sum(col("payload")).as("s"))
+      j.collect()
+      val plan = allNodes(finalPlan(j))
+      val skewed = plan.collect {
+        case s: SortMergeJoinExec if s.isSkewJoin => s
+        case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec if s.isSkewJoin => s
+      }
+      assert(skewed.nonEmpty,
+        s"expected a skew-optimized join, got:\n${plan.mkString("\n")}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q71 LSH pipeline is UDF-free (no non-codegen eval nodes)") {
     val p = finalPlan(SparkEntry.queries("q71_minhash_lsh")(spark, sf))
     val s = allNodes(p).mkString("\n")
