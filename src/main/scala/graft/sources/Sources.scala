@@ -174,6 +174,34 @@ object Sources {
         .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"),
           round(avg(col("value")), 6).as("mean_v"))
         .orderBy("day")
+    },
+
+    /** The same connector consumed as a STREAM (MICRO_BATCH_READ +
+      * MicroBatchStream on the shared scan): readStream over
+      * graft-series, complete-mode aggregation, drained to a memory
+      * sink — hash-verified against the identical oracle as the batch
+      * q116, pinning batch/stream parity for the custom source.
+      */
+    QueryDef(
+      "q117_stream_custom_source",
+      """SELECT day, count(*) AS n, round(sum(v), 2) AS total, round(avg(v), 6) AS mean_v
+        |FROM (
+        |  SELECT u.user_id, d.day,
+        |    CAST(((u.user_id*31 + d.day*7) % 100) AS DOUBLE)/10.0 AS v
+        |  FROM generate_series(0, 99) u(user_id), generate_series(0, 29) d(day)) t
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, _) =>
+      val agg = s.readStream.format("graft-series")
+        .option("users", "100").option("days", "30").option("partitions", "8")
+        .load()
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"),
+          round(avg(col("value")), 6).as("mean_v"))
+      val q = graft.streaming.Streaming.withStreamConf(s) {
+        agg.writeStream.format("memory").queryName("graft_series_stream")
+          .outputMode("complete").start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_series_stream").orderBy("day")
     }
   )
 }

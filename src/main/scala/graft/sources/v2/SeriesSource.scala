@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +53,7 @@ private class SeriesTable(props: util.Map[String, String])
   override def name(): String = "graft_series"
   override def schema(): StructType = SeriesSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(k: String, dflt: Int): Int = {
       val fromScan = options.getInt(k, -1)
@@ -106,19 +107,49 @@ private class SeriesScanBuilder(users: Int, days: Int, partitions: Int)
 private case class SeriesPartition(userStart: Long, userEnd: Long)
     extends InputPartition
 
+/** Stream offset = next user id not yet emitted. */
+private case class SeriesOffset(user: Long) extends Offset {
+  override def json(): String = user.toString
+}
+
 private class SeriesScan(userLo: Long, userHi: Long, days: Int, partitions: Int,
     required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Same generator as a micro-batch stream: the offset axis is the
+    * user range, all of it available immediately (a finite replayable
+    * stream — the test double for a Kafka-style source; pruning and
+    * partition planning are shared with the batch path).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def initialOffset(): Offset = SeriesOffset(userLo)
+      override def latestOffset(): Offset = SeriesOffset(userHi)
+      override def deserializeOffset(json: String): Offset =
+        SeriesOffset(json.toLong)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val lo = start.asInstanceOf[SeriesOffset].user
+        val hi = end.asInstanceOf[SeriesOffset].user
+        planRange(lo, hi)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        SeriesScan.this.createReaderFactory()
+    }
   override def description(): String =
     s"graft-series users=[$userLo,$userHi) days=$days readSchema=${required.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val span = userHi - userLo
+  override def planInputPartitions(): Array[InputPartition] =
+    planRange(userLo, userHi)
+
+  private def planRange(lo: Long, hi: Long): Array[InputPartition] = {
+    val span = math.max(hi - lo, 0L)
     val n = math.max(1L, math.min(partitions.toLong, math.max(span, 1L))).toInt
     (0 until n).map { i =>
-      val start = userLo + span * i / n
-      val end = userLo + span * (i + 1) / n
+      val start = lo + span * i / n
+      val end = lo + span * (i + 1) / n
       SeriesPartition(start, end)
     }.toArray
   }
