@@ -77,6 +77,21 @@ class PipelineMoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("seeded samples are deterministic and exact-k is exactly k") {
+    val a = SparkEntry.queries("q36_sample_bernoulli")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("q36_sample_bernoulli")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "seeded Bernoulli sample must be run-stable")
+    assert(a.nonEmpty)
+    val k1 = SparkEntry.queries("q37_sample_exactk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val k2 = SparkEntry.queries("q37_sample_exactk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(k1 === k2, "seeded exact-k sample must be run-stable")
+    assert(k1.size === 128)
+  }
+
   test("sorted_intersect_count == size(array_intersect) on random arrays") {
     graft.functions.SortedIntersectCount.register(spark)
     // deterministic pseudo-random sorted distinct arrays from the
