@@ -6,8 +6,13 @@ object Bench {
     // Warm the session (codegen, parquet footer cache, shuffle machinery)
     // so the first measured query isn't charged for JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // touch every table once so no measured query is charged for the
+    // first-scan costs (footer reads, OS page cache, scan codegen)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) {
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // ... and the streaming machinery (micro-batch planner, state store
     // provider) — otherwise the alphabetically-first streaming query
     // gets charged several seconds of one-time setup.
