@@ -4,7 +4,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -66,11 +68,40 @@ private class SeriesTable(props: util.Map[String, String])
 
 private class SeriesScanBuilder(users: Int, days: Int, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = SeriesSource.schema
   private var lo: Long = 0L
   private var hi: Long = users.toLong // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** Global COUNT(*)/MIN/MAX over the generated grid are closed-form —
+    * answered from the (already filter-clamped) bounds without
+    * generating a single row. Complete pushdown: Spark replaces its
+    * whole Aggregate with a projection over the scan's one-row output.
+    */
+  private def aggColumn(f: AggregateFunc): Option[String] = f match {
+    case m: Min => m.column() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    case m: Max => m.column() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    case _ => None
+  }
+  private def canHandle(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case f @ (_: Min | _: Max) =>
+        aggColumn(f).exists(c => c == "user_id" || c == "day")
+      case _ => false
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canHandle(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (canHandle(agg)) { pushedAgg = Some(agg); true } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -100,8 +131,59 @@ private class SeriesScanBuilder(users: Int, days: Int, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SeriesScan(lo, math.max(lo, hi), days, partitions, required)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new SeriesAggScan(lo, math.max(lo, hi), days, agg)
+    case None => new SeriesScan(lo, math.max(lo, hi), days, partitions, required)
+  }
+}
+
+/** One-row scan answering a completely-pushed global aggregation from
+  * the grid bounds.
+  */
+private class SeriesAggScan(userLo: Long, userHi: Long, days: Int,
+    agg: Aggregation) extends Scan with Batch {
+  private val funcs = agg.aggregateExpressions().toIndexedSeq
+  private val span = math.max(userHi - userLo, 0L)
+  private val empty = span == 0 || days == 0
+
+  private def colOf(f: AggregateFunc): String = f match {
+    case m: Min => m.column().asInstanceOf[NamedReference].fieldNames()(0)
+    case m: Max => m.column().asInstanceOf[NamedReference].fieldNames()(0)
+    case _ => ""
+  }
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (f, i) =>
+      val t = if (colOf(f) == "user_id") LongType else IntegerType
+      StructField(s"agg$i", t, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-series pushedAgg=${funcs.mkString(",")} users=[$userLo,$userHi)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeriesPartition(0, 0))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: IndexedSeq[Any] = funcs.map {
+      case _: CountStar => span * days
+      case f: Min if colOf(f) == "user_id" => if (empty) null else userLo
+      case f: Max if colOf(f) == "user_id" => if (empty) null else userHi - 1
+      case f: Min => if (empty) null else 0
+      case f: Max => if (empty) null else days - 1
+      case _ => null
+    }
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(values)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 private case class SeriesPartition(userStart: Long, userEnd: Long)

@@ -160,6 +160,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"range not pushed into partition planning: ${v2.head.scan.description()}")
   }
 
+  test("graft-series answers global count/min/max without generating rows") {
+    val df = spark.read.format("graft-series")
+      .option("users", "100").option("days", "30").load()
+      .agg(expr("count(*)").as("n"), min(col("user_id")).as("mn"),
+        max(col("day")).as("mx"))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getInt(2)) === ((3000L, 0L, 29)))
+    val v2 = allNodes(finalPlan(df)).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(v2.nonEmpty && v2.head.scan.description().contains("pushedAgg="),
+      s"aggregation not pushed: ${v2.map(_.scan.description())}")
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     // q93 shows MANUAL salting; this pins the automatic path — AQE's
     // OptimizeSkewedJoin splitting an oversized partition — with the
