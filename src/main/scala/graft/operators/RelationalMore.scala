@@ -241,6 +241,36 @@ object RelationalMore {
         .orderBy("c_mktsegment")
     },
 
+    /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+      * key group joins to itself instead of silently dropping — the
+      * semantics a keyed merge of two sketchy feature extracts needs.
+      * With a plain `=` this query would lose the NULL row on both
+      * sides; the oracle states the same null-safe predicate.
+      */
+    QueryDef(
+      "q118_nullsafe_join",
+      """WITH a AS (
+        |  SELECT nullif(user_id % 5, 0) AS k, count(*) AS na,
+        |    round(sum(value), 2) AS sa
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY k),
+        |b AS (
+        |  SELECT nullif(user_id % 5, 0) AS k, count(*) AS nb
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY k)
+        |SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS k, na, sa, nb
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val key = nullif(col("user_id") % 5, lit(0)).as("k")
+      val a = Tables.events(s, d).where(col("event_id") % 2 === 0)
+        .groupBy(key).agg(count(lit(1)).as("na"), r2(sum(col("value"))).as("sa"))
+      val b = Tables.events(s, d).where(col("event_id") % 2 === 1)
+        .groupBy(key).agg(count(lit(1)).as("nb"))
+        .withColumnRenamed("k", "bk")
+      a.join(b, col("k") <=> col("bk"))
+        .select(coalesce(col("k").cast("string"), lit("NULL")).as("k"),
+          col("na"), col("sa"), col("nb"))
+        .orderBy("k")
+    },
+
     /** Spark 4 VARIANT path for semi-structured data: parse the JSON
       * props column once into a variant, extract typed fields with
       * variant_get — the columnar-JSON engine path (shredded access,
