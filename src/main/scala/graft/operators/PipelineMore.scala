@@ -135,15 +135,16 @@ object PipelineMore {
 
     /** Generator edge semantics: explode_outer preserves rows whose
       * array is empty (emits one NULL element) — the LEFT JOIN of
-      * generators. 500 of the 2000 sf0.01 docs have no >8-char word, so
-      * the outer row path is genuinely exercised; the oracle emulates
-      * it with a CASE to a [NULL] singleton (DuckDB's unnest drops
-      * empty lists).
+      * generators. The >=7-char threshold splits the corpus (12 of the
+      * 46 selected sf0.01 docs have NO such word, 34 have some), so
+      * BOTH the outer-NULL path and the element path are genuinely
+      * exercised; the oracle emulates the outer row with a CASE to a
+      * [NULL] singleton (DuckDB's unnest drops empty lists).
       */
     QueryDef(
       "q110_explode_outer",
       """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split(text,' '), w -> len(w) > 8) AS l
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> len(w) >= 7) AS l
         |  FROM documents WHERE doc_id % 11 = 0)
         |SELECT doc_id,
         |  coalesce(unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END), '__none__') AS w
@@ -151,7 +152,7 @@ object PipelineMore {
       Tables.documents(s, d)
         .where(col("doc_id") % 11 === 0)
         .select(col("doc_id"),
-          explode_outer(filter(split(col("text"), " "), w => length(w) > 8)).as("e"))
+          explode_outer(filter(split(col("text"), " "), w => length(w) >= 7)).as("e"))
         .select(col("doc_id"), coalesce(col("e"), lit("__none__")).as("w"))
         .orderBy("doc_id", "w")
     },

@@ -62,6 +62,10 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // ClusteredDistribution rejects an empty clustering; a global top-k
+    // (no group exprs) needs all partial output on one partition
+    else if (groupExprs.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =

@@ -49,7 +49,8 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
-        if limitOf(cond, alias.toAttribute).isDefined
+        if part.nonEmpty // global top-k (no PARTITION BY) stays on the window path
+          && limitOf(cond, alias.toAttribute).isDefined
           && projectList.forall(_.references.forall(_.exprId != alias.exprId)) =>
       val k = limitOf(cond, alias.toAttribute).get
       if (k <= 0) LocalRelation(p.output)

@@ -246,6 +246,7 @@ private class SeriesScan(userLo: Long, userHi: Long, days: Int, partitions: Int,
           private var u = p.userStart
           private var t = -1
           override def next(): Boolean = {
+            if (d <= 0) return false // day-rollover below would emit phantom rows
             t += 1
             if (t >= d) { t = 0; u += 1 }
             u < p.userEnd

@@ -32,26 +32,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  /** Execute and return the final (post-AQE) physical plan. */
-  private def finalPlan(df: DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
-
-  /** Full traversal of the executed plan: AQE wraps materialized
-    * subtrees in QueryStageExec whose plan is a FIELD, not a child, so
-    * plain `collect` stops at stage boundaries — descend explicitly.
-    */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
+  import PlanTestUtils.{allNodes, finalPlan}
 
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
     allNodes(p).collect { case s: FileSourceScanExec => s }
@@ -117,7 +98,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       val join = Tables.lineitem(spark, sf)
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      join.collect()
       val s = allNodes(finalPlan(join)).mkString("\n")
       assert(s.contains("bloom_filter") || s.contains("BloomFilter"),
         "expected a runtime bloom filter on the fact side")
@@ -137,7 +117,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("graft-series DSv2 connector prunes columns at the scan") {
     val df = spark.read.format("graft-series").load().select("day").distinct()
-    df.collect()
     val p = finalPlan(df)
     val v2 = allNodes(p).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
@@ -151,7 +130,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.read.format("graft-series").load()
       .where(col("user_id") >= 90 && col("user_id") < 95)
     assert(df.count() === 5 * 30) // 5 users x 30 days survive the clamp
-    df.collect()
     val v2 = allNodes(finalPlan(df)).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
@@ -172,6 +150,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(v2.nonEmpty && v2.head.scan.description().contains("pushedAgg="),
       s"aggregation not pushed: ${v2.map(_.scan.description())}")
+  }
+
+  test("graft-series with days=0 yields no rows on both scan paths") {
+    // regression: the row reader's day-rollover used to emit one
+    // phantom row per user; the pushed-aggregate path always said 0
+    val df = spark.read.format("graft-series").option("days", "0").load()
+    assert(df.count() === 0)          // aggregate-pushdown path
+    assert(df.collect().isEmpty)      // row-generation path
   }
 
   test("AQE splits skewed join partitions at runtime") {
@@ -197,7 +183,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // require hash distribution on k, and AQE refuses to split a
       // skewed partition when that breaks a downstream requirement
       val j = fact.join(dim, "k").agg(sum(col("payload")).as("s"))
-      j.collect()
       val plan = allNodes(finalPlan(j))
       val skewed = plan.collect {
         case s: SortMergeJoinExec if s.isSkewJoin => s

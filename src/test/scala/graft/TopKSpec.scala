@@ -29,13 +29,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
+  import PlanTestUtils.{allNodes, finalPlan}
 
   test("custom operator matches the window-function top-k exactly") {
     val ev = Tables.events(spark, sf)
@@ -56,12 +50,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ev = Tables.events(spark, sf)
     val df = TopKPerGroupOps.topKPerGroup(spark, ev, Seq(ev("event_type")),
       Seq(ev("value").desc, ev("event_id").asc), 5)
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val nodes = allNodes(plan)
+    val nodes = allNodes(finalPlan(df))
     val execs = nodes.collect { case t: TopKPerGroupExec => t }
     assert(execs.map(_.partial).sorted === Seq(false, true),
       s"expected one partial and one final TopKPerGroupExec, got $execs")

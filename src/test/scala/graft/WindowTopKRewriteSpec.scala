@@ -29,13 +29,7 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
+  import PlanTestUtils.{allNodes, finalPlan}
 
   private def windowTopK(k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
@@ -48,11 +42,7 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("window top-k idiom plans through TopKPerGroupExec") {
     val df = windowTopK(4)
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
+    val plan = finalPlan(df)
     val custom = allNodes(plan).collect { case t: TopKPerGroupExec => t }
     assert(custom.nonEmpty, s"rewrite did not fire:\n$plan")
     assert(!plan.toString.contains("WindowExec") &&
@@ -74,6 +64,21 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("global top-k (no PARTITION BY) works under the extension") {
+    // the rule must NOT fire (empty partitionSpec) and the query must
+    // not crash — regression for ClusteredDistribution(Nil)
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("event_id")
+    assert(df.count() === 3)
+    // the direct operator API supports empty group exprs via AllTuples
+    val ev = Tables.events(spark, sf)
+    val direct = graft.plans.TopKPerGroupOps.topKPerGroup(spark, ev, Seq.empty,
+      Seq(ev("value").desc, ev("event_id").asc), 3)
+    assert(direct.count() === 3)
+  }
+
   test("rn = 1 (argmax per group) also rewrites") {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("event_id"))
@@ -81,12 +86,7 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select("event_type", "event_id")
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    assert(allNodes(plan).exists(_.isInstanceOf[TopKPerGroupExec]))
+    assert(allNodes(finalPlan(df)).exists(_.isInstanceOf[TopKPerGroupExec]))
     assert(df.count() === Tables.events(spark, sf)
       .select("event_type").distinct().count())
   }
