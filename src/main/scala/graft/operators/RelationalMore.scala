@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
 object RelationalMore {
   private def r2(c: Column) = round(c, 2)
   private def r6(c: Column) = round(c, 6)
+  private def wordsCol(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -239,6 +241,68 @@ object RelationalMore {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("total"))
         .orderBy("c_mktsegment")
+    },
+
+    /** Map higher-order functions (map_zip_with / map_filter /
+      * transform_values over per-user maps): the per-key mean via
+      * zipping a totals map with a counts map, filtered in map space —
+      * the oracle states the equivalent flat relation (same pattern as
+      * q89's map round-trip).
+      */
+    QueryDef(
+      "q119_map_transform",
+      """SELECT user_id, event_type, round(sum(value)/count(*), 2) AS avg_value
+        |FROM events GROUP BY user_id, event_type
+        |HAVING sum(value)/count(*) >= 50
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val flat = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      flat.groupBy("user_id")
+        .agg(
+          map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("total"))))).as("mt"),
+          map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("n"))))).as("mn"))
+        .select(col("user_id"),
+          explode(map_filter(
+            map_zip_with(col("mt"), col("mn"), (_, t, c) => t / c),
+            (_, v) => v >= 50)).as(Seq("event_type", "avg_raw")))
+        .select(col("user_id"), col("event_type"),
+          r2(col("avg_raw")).as("avg_value"))
+        .orderBy("user_id", "event_type")
+    },
+
+    /** Array algebra over token lists: position lookup, overlap test,
+      * slice+flatten, remove, and element-wise zip_with against the
+      * reversed list — each with its DuckDB list-function counterpart.
+      */
+    QueryDef(
+      "q120_array_algebra",
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w != '') AS l
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_position(l, 'data'), 0) AS BIGINT) AS pos_data,
+        |  len(list_intersect(l, ['data','model'])) > 0 AS has_overlap,
+        |  CAST(len(flatten([l[1:3], l[-3:]])) AS BIGINT) AS n_flat,
+        |  CAST(len(list_filter(l, w -> w != 'the')) AS BIGINT) AS n_no_the,
+        |  list_transform(range(1, len(l)+1), i -> l[i] || '_' || l[len(l)-i+1])[1] AS first_zip
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val l = col("l")
+      Tables.documents(s, d)
+        .where(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), wordsCol(col("text")).as("l"))
+        .select(col("doc_id"),
+          size(l).cast("long").as("n_words"),
+          array_position(l, "data").as("pos_data"),
+          arrays_overlap(l, array(lit("data"), lit("model"))).as("has_overlap"),
+          size(flatten(array(slice(l, 1, 3), slice(l, -3, 3)))).cast("long").as("n_flat"),
+          size(array_remove(l, "the")).cast("long").as("n_no_the"),
+          element_at(zip_with(l, reverse(l), (a, b) => concat(a, lit("_"), b)), 1)
+            .as("first_zip"))
+        .orderBy("doc_id")
     },
 
     /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
