@@ -95,8 +95,17 @@ object RetainOps {
     * semantics, the reference's own model_tag `run.py:8`). One
     * treeAggregate per Adam step; heads/B live on the driver.
     */
+  /** @param minibatch 0 = full batch (every iteration sees all rows);
+    *                   >0 = the reference's regime (`model.py:187-194`,
+    *                   R4+R26): each Adam step consumes a fresh seeded
+    *                   ~`minibatch`-row Bernoulli sample of the cached
+    *                   rows (seed = iteration, so the trajectory is
+    *                   deterministic), gradients normalized by the rows
+    *                   actually sampled.
+    */
   def trainAmtl(s: SparkSession, d: String, iters: Int = 40, lr: Double = 0.05,
-                mu: Double = 0.005, lambda: Double = 0.005): (Array[Array[Double]], Array[Double], Array[Double]) = {
+                mu: Double = 0.005, lambda: Double = 0.005,
+                minibatch: Int = 0): (Array[Array[Double]], Array[Double], Array[Double]) = {
     import s.implicits._
     val w0 = Retain.defaultWeights
     // Persist the OBJECT RDD, not the Dataset: the Adam loop reuses the
@@ -133,9 +142,15 @@ object RetainOps {
 
     var ces = new Array[Double](K)
     for (it <- 1 to iters) {
-      // data pass: per task, grad of mean CE wrt (w_k, b_k) + CE value
-      val zero = new Array[Double](K * (H + 2))
-      val agg = data.treeAggregate(zero)(
+      // data pass: per task, grad of mean CE wrt (w_k, b_k) + CE value;
+      // the trailing slot counts the rows that contributed (== n for
+      // full batch; the sampled size for minibatch)
+      val batch =
+        if (minibatch > 0) data.sample(withReplacement = false,
+          math.min(1.0, minibatch / n), seed = it)
+        else data
+      val zero = new Array[Double](K * (H + 2) + 1)
+      val agg = batch.treeAggregate(zero)(
         seqOp = (acc, row) => {
           val (c, y) = row
           var k = 0
@@ -153,19 +168,23 @@ object RetainOps {
             acc(base + H + 1) += math.max(z, 0) - z * y(k) + math.log1p(math.exp(-math.abs(z)))
             k += 1
           }
+          acc(K * (H + 2)) += 1
           acc
         },
         combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
 
       val grad = new Array[Double](dim)
-      ces = Array.tabulate(K)(k => agg(k * (H + 2) + H + 1) / n)
+      // normalize by the rows this step actually saw (an empty sampled
+      // batch — possible at tiny SF — contributes a zero gradient)
+      val cnt = math.max(agg(K * (H + 2)), 1.0)
+      ces = Array.tabulate(K)(k => agg(k * (H + 2) + H + 1) / cnt)
       // CE-path gradients with (1 + μ‖B[k,:]‖₁)/√n scaling (model.py:178)
       for (k <- 0 until K) {
         val l1row = (0 until K).map(j => math.abs(bMat(k)(j))).sum
         val scale = (1.0 + mu * l1row) / sqrtn // task weight (model.py:178)
         val base = k * (H + 2)
-        for (j <- 0 until H) grad(flatIdx(0, k, j)) += scale * (agg(base + j) / n)
-        grad(flatIdx(1, k, 0)) += scale * (agg(base + H) / n)
+        for (j <- 0 until H) grad(flatIdx(0, k, j)) += scale * (agg(base + j) / cnt)
+        grad(flatIdx(1, k, 0)) += scale * (agg(base + H) / cnt)
         // μ-path gradient on B row k: μ·sign(B[k,j])·CE_k/√n
         for (j <- 0 until K if j != k)
           grad(flatIdx(2, k, j)) += mu * math.signum(bMat(k)(j)) * ces(k) / sqrtn
@@ -489,6 +508,26 @@ object RetainOps {
       * the reference's headline artifact (`model.py:296-310`). 9 B rows
       * (diag exactly 0) + 3 loss rows.
       */
+    /** The reference's actual training regime (R4+R26,
+      * `model.py:187-194`): each Adam step consumes a fresh seeded
+      * ~128-row minibatch instead of the full batch — stochastic
+      * trajectory, deterministic given the per-iteration seeds. Output
+      * shape matches q79 so the two regimes are directly comparable.
+      */
+    QueryDef.noOracle("q121_train_minibatch") { (s, d) =>
+      import s.implicits._
+      val (bMat, ces, nPos) = trainAmtl(s, d, iters = 20, minibatch = 128)
+      val bRows = for (i <- 0 until numTasks; j <- 0 until numTasks)
+        yield ("B", i.toLong, j.toLong, math.rint(bMat(i)(j) * 1e4) / 1e4)
+      val ceRows = (0 until numTasks).map(k =>
+        ("ce", k.toLong, k.toLong, math.rint(ces(k) * 1e4) / 1e4))
+      val posRows = (0 until numTasks).map(k =>
+        ("n_pos", k.toLong, k.toLong, nPos(k)))
+      (bRows ++ ceRows ++ posRows).toSeq
+        .toDF("kind", "src_task", "dst_task", "value")
+        .orderBy("kind", "src_task", "dst_task")
+    },
+
     QueryDef.noOracle("q79_train_bmatrix") { (s, d) =>
       import s.implicits._
       val (bMat, ces, nPos) = trainAmtl(s, d, iters = 30)
