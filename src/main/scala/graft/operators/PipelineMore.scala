@@ -210,6 +210,44 @@ object PipelineMore {
         .orderBy("doc_id", "word")
     },
 
+    /** Composed dedup policy: cluster by token-set fingerprint (q61's
+      * key) but keep the HIGHEST-quality member per cluster (word/char
+      * density, q67's style) instead of min doc_id — the actual
+      * keep-best dedup a training-data pipeline runs. One window over
+      * the fingerprint clusters; ties broken by doc_id.
+      */
+    QueryDef(
+      "q122_dedup_keep_best",
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text,' '), w -> w != ''))), ' ')) AS setfp,
+        |    len(list_filter(string_split(text,' '), w -> w != '')) AS n_words,
+        |    greatest(len(text), 1) AS n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY setfp
+        |    ORDER BY n_words * 1.0 / n_chars DESC, doc_id) AS rn
+        |  FROM s)
+        |SELECT source, count(*) AS n_kept, CAST(sum(n_words) AS BIGINT) AS tokens_kept
+        |FROM r WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val words = wordsCol(col("text"))
+      val w = Window.partitionBy(col("setfp"))
+        .orderBy((col("n_words") * 1.0 / col("n_chars")).desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(array_join(array_sort(array_distinct(words)), " ")).as("setfp"),
+          size(words).as("n_words"),
+          greatest(length(col("text")), lit(1)).as("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_words")).cast("long").as("tokens_kept"))
+        .orderBy("source")
+    },
+
     /** Mergeable HLL sketches (DataSketches, native in Spark): per-source
       * distinct-word sketches, re-aggregated with hll_union_agg into a
       * corpus-wide estimate — the two-level merge is exactly how a
