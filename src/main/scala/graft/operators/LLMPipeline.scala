@@ -28,9 +28,10 @@ object LLMPipeline {
   private def r2(c: Column) = round(c, 2)
   private def r6(c: Column) = round(c, 6)
 
-  /** Non-empty word tokens (split collapses no runs; filter empties). */
-  private def wordsCol(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+  /** Non-empty word tokens — the shared contract in
+    * [[graft.functions.Text.wordsCol]].
+    */
+  private def wordsCol(text: Column): Column = graft.functions.Text.wordsCol(text)
 
   // ---- deterministic literal query vector for top-k search (64-dim) ----
   private val qvec: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)

@@ -17,8 +17,7 @@ object PipelineMore {
     * LLMPipeline's tokenizer — reference tokenization is whitespace
     * split, SURVEY.md §2.B G10).
     */
-  private def wordsCol(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+  private def wordsCol(text: Column): Column = graft.functions.Text.wordsCol(text)
 
   val defs: Seq[QueryDef] = Seq(
 

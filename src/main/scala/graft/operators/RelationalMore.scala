@@ -14,8 +14,7 @@ import org.apache.spark.sql.functions._
 object RelationalMore {
   private def r2(c: Column) = round(c, 2)
   private def r6(c: Column) = round(c, 6)
-  private def wordsCol(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+  private def wordsCol(text: Column): Column = graft.functions.Text.wordsCol(text)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -243,15 +242,19 @@ object RelationalMore {
         .orderBy("c_mktsegment")
     },
 
-    /** Map higher-order functions (map_zip_with / map_filter /
-      * transform_values over per-user maps): the per-key mean via
-      * zipping a totals map with a counts map, filtered in map space —
-      * the oracle states the equivalent flat relation (same pattern as
-      * q89's map round-trip).
+    /** Map higher-order functions (map_zip_with / map_filter over
+      * per-user maps): a totals map zipped with a counts map, entries
+      * kept where the mean clears a threshold — the oracle states the
+      * equivalent flat relation (same pattern as q89's map round-trip).
+      * The ROUNDED outputs are the sum and count, not the mean: 24 of
+      * the sf0.01 group means sit exactly on a half-cent boundary, so
+      * rounding the mean would hang the hash match on bit-identical
+      * double summation order between engines; the sums have no
+      * boundary groups.
       */
     QueryDef(
       "q119_map_transform",
-      """SELECT user_id, event_type, round(sum(value)/count(*), 2) AS avg_value
+      """SELECT user_id, event_type, round(sum(value), 2) AS total, count(*) AS n
         |FROM events GROUP BY user_id, event_type
         |HAVING sum(value)/count(*) >= 50
         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
@@ -266,16 +269,22 @@ object RelationalMore {
             collect_list(struct(col("event_type"), col("n"))))).as("mn"))
         .select(col("user_id"),
           explode(map_filter(
-            map_zip_with(col("mt"), col("mn"), (_, t, c) => t / c),
-            (_, v) => v >= 50)).as(Seq("event_type", "avg_raw")))
+            map_zip_with(col("mt"), col("mn"),
+              (_, t, c) => struct(t.as("t"), c.as("c"))),
+            (_, v) => v.getField("t") / v.getField("c") >= 50))
+            .as(Seq("event_type", "tc")))
         .select(col("user_id"), col("event_type"),
-          r2(col("avg_raw")).as("avg_value"))
+          r2(col("tc.t")).as("total"), col("tc.c").as("n"))
         .orderBy("user_id", "event_type")
     },
 
     /** Array algebra over token lists: position lookup, overlap test,
       * slice+flatten, remove, and element-wise zip_with against the
       * reversed list — each with its DuckDB list-function counterpart.
+      * The len >= 3 guard keeps the two engines' divergent short-list
+      * edges out of scope (Spark's slice(l,-3,3) is empty when |start|
+      * exceeds the length where DuckDB's l[-3:] returns the whole list,
+      * and element_at on an empty zip throws under ANSI mode).
       */
     QueryDef(
       "q120_array_algebra",
@@ -289,11 +298,12 @@ object RelationalMore {
         |  CAST(len(flatten([l[1:3], l[-3:]])) AS BIGINT) AS n_flat,
         |  CAST(len(list_filter(l, w -> w != 'the')) AS BIGINT) AS n_no_the,
         |  list_transform(range(1, len(l)+1), i -> l[i] || '_' || l[len(l)-i+1])[1] AS first_zip
-        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |FROM d WHERE len(l) >= 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val l = col("l")
       Tables.documents(s, d)
         .where(col("doc_id") % 17 === 0)
         .select(col("doc_id"), wordsCol(col("text")).as("l"))
+        .where(size(col("l")) >= 3)
         .select(col("doc_id"),
           size(l).cast("long").as("n_words"),
           array_position(l, "data").as("pos_data"),

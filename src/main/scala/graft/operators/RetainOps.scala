@@ -94,14 +94,14 @@ object RetainOps {
   /** Train per-task heads + B on frozen shared features ("lastlayer"
     * semantics, the reference's own model_tag `run.py:8`). One
     * treeAggregate per Adam step; heads/B live on the driver.
-    */
-  /** @param minibatch 0 = full batch (every iteration sees all rows);
-    *                   >0 = the reference's regime (`model.py:187-194`,
-    *                   R4+R26): each Adam step consumes a fresh seeded
-    *                   ~`minibatch`-row Bernoulli sample of the cached
-    *                   rows (seed = iteration, so the trajectory is
-    *                   deterministic), gradients normalized by the rows
-    *                   actually sampled.
+    *
+    * @param minibatch 0 = full batch (every iteration sees all rows);
+    *                  >0 = the reference's regime (`model.py:187-194`,
+    *                  R4+R26): each Adam step consumes a fresh seeded
+    *                  ~`minibatch`-row Bernoulli sample of the cached
+    *                  rows (seed = iteration, so the trajectory is
+    *                  deterministic), gradients normalized by the rows
+    *                  actually sampled.
     */
   def trainAmtl(s: SparkSession, d: String, iters: Int = 40, lr: Double = 0.05,
                 mu: Double = 0.005, lambda: Double = 0.005,
@@ -504,42 +504,42 @@ object RetainOps {
         .orderBy("task", "iter")
     },
 
-    /** AMTL training: learned B causality matrix + final per-task CE —
-      * the reference's headline artifact (`model.py:296-310`). 9 B rows
-      * (diag exactly 0) + 3 loss rows.
-      */
     /** The reference's actual training regime (R4+R26,
       * `model.py:187-194`): each Adam step consumes a fresh seeded
       * ~128-row minibatch instead of the full batch — stochastic
       * trajectory, deterministic given the per-iteration seeds. Output
-      * shape matches q79 so the two regimes are directly comparable.
+      * shape matches q79 ([[amtlResultDf]]) so the two regimes are
+      * directly comparable.
       */
     QueryDef.noOracle("q121_train_minibatch") { (s, d) =>
-      import s.implicits._
       val (bMat, ces, nPos) = trainAmtl(s, d, iters = 20, minibatch = 128)
-      val bRows = for (i <- 0 until numTasks; j <- 0 until numTasks)
-        yield ("B", i.toLong, j.toLong, math.rint(bMat(i)(j) * 1e4) / 1e4)
-      val ceRows = (0 until numTasks).map(k =>
-        ("ce", k.toLong, k.toLong, math.rint(ces(k) * 1e4) / 1e4))
-      val posRows = (0 until numTasks).map(k =>
-        ("n_pos", k.toLong, k.toLong, nPos(k)))
-      (bRows ++ ceRows ++ posRows).toSeq
-        .toDF("kind", "src_task", "dst_task", "value")
-        .orderBy("kind", "src_task", "dst_task")
+      amtlResultDf(s, bMat, ces, nPos)
     },
 
+    /** AMTL training: learned B causality matrix + final per-task CE —
+      * the reference's headline artifact (`model.py:296-310`). 9 B rows
+      * (diag exactly 0) + 3 loss rows.
+      */
     QueryDef.noOracle("q79_train_bmatrix") { (s, d) =>
-      import s.implicits._
       val (bMat, ces, nPos) = trainAmtl(s, d, iters = 30)
-      val bRows = for (i <- 0 until numTasks; j <- 0 until numTasks)
-        yield ("B", i.toLong, j.toLong, math.rint(bMat(i)(j) * 1e4) / 1e4)
-      val ceRows = (0 until numTasks).map(k =>
-        ("ce", k.toLong, k.toLong, math.rint(ces(k) * 1e4) / 1e4))
-      val posRows = (0 until numTasks).map(k =>
-        ("n_pos", k.toLong, k.toLong, nPos(k)))
-      (bRows ++ ceRows ++ posRows).toSeq
-        .toDF("kind", "src_task", "dst_task", "value")
-        .orderBy("kind", "src_task", "dst_task")
+      amtlResultDf(s, bMat, ces, nPos)
     }
   )
+
+  /** Shared q79/q121 result shape: 9 B rows + 3 CE rows + 3 n_pos rows,
+    * values rounded to 4 decimals for the rows-only stability check.
+    */
+  private def amtlResultDf(s: SparkSession, bMat: Array[Array[Double]],
+      ces: Array[Double], nPos: Array[Double]): DataFrame = {
+    import s.implicits._
+    val bRows = for (i <- 0 until numTasks; j <- 0 until numTasks)
+      yield ("B", i.toLong, j.toLong, math.rint(bMat(i)(j) * 1e4) / 1e4)
+    val ceRows = (0 until numTasks).map(k =>
+      ("ce", k.toLong, k.toLong, math.rint(ces(k) * 1e4) / 1e4))
+    val posRows = (0 until numTasks).map(k =>
+      ("n_pos", k.toLong, k.toLong, nPos(k)))
+    (bRows ++ ceRows ++ posRows).toSeq
+      .toDF("kind", "src_task", "dst_task", "value")
+      .orderBy("kind", "src_task", "dst_task")
+  }
 }
