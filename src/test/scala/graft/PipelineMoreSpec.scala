@@ -77,6 +77,10 @@ class PipelineMoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("driver entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("seeded samples are deterministic and exact-k is exactly k") {
     val a = SparkEntry.queries("q36_sample_bernoulli")(spark, sf)
       .collect().map(_.toString).toSeq
