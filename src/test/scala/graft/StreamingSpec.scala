@@ -23,6 +23,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("checkpointed file sink resumes exactly-once across a restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.util.Comparator
+    import org.apache.spark.sql.functions._
+    val base = "target/graft-io/recovery_test"
+    val p = Paths.get(base)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // two deterministic halves of events, staged one per stream run
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "user_id")
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/stage0")
+    ev.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/stage1")
+    val schema = spark.read.parquet(s"$base/stage0").schema
+    def copyIn(stage: String): Unit =
+      Files.list(Paths.get(s"$base/$stage")).forEach { f =>
+        if (f.getFileName.toString.endsWith(".parquet"))
+          Files.copy(f, Paths.get(s"$base/in/$stage.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$base/in")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    copyIn("stage0"); runOnce()             // first run: half the rows
+    copyIn("stage1"); runOnce()             // restart from the SAME checkpoint
+    val out = spark.read.parquet(s"$base/out")
+    // exactly-once: every event exactly one time, no stage0 replays
+    assert(out.count() === ev.count())
+    assert(out.select("event_id").distinct().count() === ev.count())
+  }
+
   test("rate source streams rows through an aggregation (non-file source)") {
     // the engine's queries use the file source; this pins that the
     // plan shape also runs over a generator source (the local stand-in
