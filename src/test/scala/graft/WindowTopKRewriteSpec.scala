@@ -64,6 +64,15 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("injected functions resolve from SQL text in the extension session") {
+    val r = spark.sql(
+      """SELECT round(sigmoid_ce(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS ce,
+        |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === math.rint((1.0 + math.log1p(math.exp(-1.0))) * 1e6) / 1e6)
+    assert(r.getInt(1) === 2)
+  }
+
   test("global top-k (no PARTITION BY) works under the extension") {
     // the rule must NOT fire (empty partitionSpec) and the query must
     // not crash — regression for ClusteredDistribution(Nil)
