@@ -31,16 +31,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses the LAST line of the run's output, so the JSON must
-    // print after every other writer is done: silence logging, stop Spark
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(results)},"sf":"$sfDir"}"""
+    // The driver keeps only a ~2000-char tail of the run's output, so a
+    // 123-query map truncates mid-line and never parses. Final line =
+    // compact summary (total + the slowest headline queries, guaranteed
+    // to fit in the tail); the full per-query map goes to a file and to
+    // an earlier stdout line for human readers.
+    val headline = results.sortBy(-_._2).take(16).sortBy(_._1)
+    val compactJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(headline)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Print after every other writer is done: silence logging, stop Spark
     // (its shutdown WARNs would otherwise land after us), then print.
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
-    println(json)
+    println(fullJson)
+    println(compactJson)
   }
 }

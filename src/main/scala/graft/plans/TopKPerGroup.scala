@@ -85,12 +85,20 @@ case class TopKPerGroupExec(
       val reverse = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
       }
+      // SparkPlan.execute() only guarantees InternalRow; non-codegen
+      // children (RDD scans, future execs) can emit GenericInternalRow
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = iter.next() match {
+          case u: UnsafeRow => u
+          case r => toUnsafe(r)
+        }
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, reverse)
+          // the queue grows dynamically; a k-sized eager allocation is
+          // wasted for small groups and overflows for k near Int.MaxValue
+          heap = new java.util.PriorityQueue[UnsafeRow](math.min(limit.toLong + 1, 16L).toInt, reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < limit) {

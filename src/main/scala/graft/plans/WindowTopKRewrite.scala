@@ -26,6 +26,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
+  /** Above this k the bounded heap stops being a win: the exec keeps
+    * k rows per group per partition on-heap (it cannot spill, unlike
+    * the sort-based window path), so a huge user-written k (or
+    * Int.MaxValue as an "unbounded" idiom) must stay on the vanilla
+    * window path.
+    */
+  private val MaxRewriteK = 1 << 20
+
   /** Extract (k) from a comparison on the row-number attribute. */
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
@@ -44,16 +52,40 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** Split a conjunctive Filter condition into (k from the single rn
+    * comparison, the remaining predicates). The remaining predicates
+    * must not touch rn — `rn <= k AND rn >= 2` has pagination
+    * semantics a k-heap can't express.
+    */
+  private def splitCondition(cond: Expression, rn: Attribute): Option[(Int, Seq[Expression])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (onRn, rest) = conjuncts.partition(_.references.exists(_.exprId == rn.exprId))
+    onRn match {
+      case Seq(single) => limitOf(single, rn).map(k => (k, rest))
+      case _ => None
+    }
+  }
+
+  private def splitConjunctivePredicates(cond: Expression): Seq[Expression] = cond match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => other :: Nil
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
         if part.nonEmpty // global top-k (no PARTITION BY) stays on the window path
-          && limitOf(cond, alias.toAttribute).isDefined
+          && splitCondition(cond, alias.toAttribute).exists(_._1 <= MaxRewriteK)
           && projectList.forall(_.references.forall(_.exprId != alias.exprId)) =>
-      val k = limitOf(cond, alias.toAttribute).get
+      val (k, rest) = splitCondition(cond, alias.toAttribute).get
       if (k <= 0) LocalRelation(p.output)
-      else Project(projectList, TopKPerGroup(part, order, k, windowChild(wchild)))
+      else {
+        // rn is computed over ALL rows before the original Filter ran,
+        // so the extra predicates apply ABOVE the top-k, not below it
+        val topk = TopKPerGroup(part, order, k, windowChild(wchild))
+        Project(projectList, rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk))
+      }
   }
 }

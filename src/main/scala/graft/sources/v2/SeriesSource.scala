@@ -117,13 +117,16 @@ private class SeriesScanBuilder(users: Int, days: Int, partitions: Int)
            | EqualTo("user_id", _: Long) => true
       case _ => false
     }
+    // saturating +1: `user_id > Long.MaxValue` / `<= Long.MaxValue`
+    // must not wrap to Long.MinValue and silently flip the bound
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     supported.foreach {
       case GreaterThanOrEqual("user_id", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("user_id", v: Long) => lo = math.max(lo, v + 1)
-      case LessThanOrEqual("user_id", v: Long) => hi = math.min(hi, v + 1)
+      case GreaterThan("user_id", v: Long) => lo = math.max(lo, succ(v))
+      case LessThanOrEqual("user_id", v: Long) => hi = math.min(hi, succ(v))
       case LessThan("user_id", v: Long) => hi = math.min(hi, v)
       case EqualTo("user_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+        lo = math.max(lo, v); hi = math.min(hi, succ(v))
       case _ => ()
     }
     pushed = supported

@@ -20,4 +20,14 @@ object GraftBridge {
     */
   def expr(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Test-only: a physical scan over raw (possibly non-Unsafe)
+    * InternalRows, for driving custom execs the way an arbitrary child
+    * SparkPlan would — SparkPlan.execute() guarantees only InternalRow.
+    */
+  def rawRowScan(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.execution.SparkPlan =
+    org.apache.spark.sql.execution.RDDScanExec(output, rows, "RawRowScan")
 }

@@ -152,6 +152,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"aggregation not pushed: ${v2.map(_.scan.description())}")
   }
 
+  test("graft-series Long.MaxValue range bounds do not overflow") {
+    // regression: `v + 1` in the pushed bounds wrapped to Long.MinValue
+    // for v = Long.MaxValue, silently returning every row
+    val base = spark.read.format("graft-series")
+      .option("users", "10").option("days", "3").load()
+    assert(base.where(col("user_id") > Long.MaxValue).count() === 0)
+    assert(base.where(col("user_id") === Long.MaxValue).count() === 0)
+    assert(base.where(col("user_id") <= Long.MaxValue).count() === 30)
+  }
+
   test("graft-series with days=0 yields no rows on both scan paths") {
     // regression: the row reader's day-rollover used to emit one
     // phantom row per user; the pushed-aggregate path always said 0

@@ -71,4 +71,31 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(ev("value").desc, ev("event_id").asc), (n + 100).toInt)
     assert(all.count() === n)
   }
+
+  test("accepts a child that emits GenericInternalRow (not UnsafeRow)") {
+    // SparkPlan.execute() only guarantees InternalRow; drive the exec
+    // directly over a raw-row scan to pin the UnsafeProjection fallback
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, GenericInternalRow, SortOrder}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import graft.plans.TopKPerGroupExec
+    val g = AttributeReference("g", IntegerType, nullable = false)()
+    val v = AttributeReference("v", LongType, nullable = false)()
+    val rows = spark.sparkContext.parallelize(
+      (1 to 40).map(i => new GenericInternalRow(Array[Any](i % 4, i.toLong)): InternalRow), 3)
+    val scan = org.apache.spark.sql.GraftBridge.rawRowScan(Seq(g, v), rows)
+    val exec = TopKPerGroupExec(Seq(g), Seq(SortOrder(v, Ascending)), 2, partial = true, scan)
+    val out = exec.execute().map(r => (r.getInt(0), r.getLong(1))).collect()
+    // partial pass over 3 partitions: ≤2 rows per (partition, group),
+    // all drawn from the input — the point is it no longer ClassCastExceptions
+    assert(out.length >= 8 && out.toSet.subsetOf(
+      (1 to 40).map(i => (i % 4, i.toLong)).toSet))
+    // exact check: global top-2 per group after a final pass
+    val fin = TopKPerGroupExec(Seq(g), Seq(SortOrder(v, Ascending)), 2, partial = true,
+      org.apache.spark.sql.GraftBridge.rawRowScan(Seq(g, v), rows.coalesce(1)))
+    val one = fin.execute().map(r => (r.getInt(0), r.getLong(1))).collect().toSet
+    val want = (1 to 40).map(i => (i % 4, i.toLong)).groupBy(_._1)
+      .values.flatMap(_.toSeq.sortBy(_._2).take(2)).toSet
+    assert(one === want)
+  }
 }

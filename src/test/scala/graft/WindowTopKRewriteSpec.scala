@@ -88,6 +88,54 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.count() === 3)
   }
 
+  test("conjunctive filter `rn <= k AND other` rewrites, other predicate preserved") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4 && col("event_id") % 2 === 0)
+      .select("event_type", "event_id", "value")
+    assert(allNodes(finalPlan(df)).exists(_.isInstanceOf[TopKPerGroupExec]),
+      "conjunctive rn filter should still rewrite")
+    // semantics: rn computed over all rows, THEN both predicates — i.e.
+    // even-id rows among each group's top-4, not top-4 of the even rows
+    val expect = windowTopK(4).where(col("event_id") % 2 === 0).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
+  test("pagination `rn <= k AND rn >= j` does NOT rewrite (wrong semantics for a heap)") {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4 && col("rn") >= 2)
+      .select("event_type", "event_id")
+    assert(!allNodes(finalPlan(df)).exists(_.isInstanceOf[TopKPerGroupExec]))
+    assert(df.count() === windowTopK(4).count() -
+      Tables.events(spark, sf).select("event_type").distinct().count())
+  }
+
+  test("huge k stays on the window path and still answers") {
+    // regression: k = Int.MaxValue used to eagerly allocate a k+1 array
+    // per group (negative capacity → IllegalArgumentException)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val df = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= Int.MaxValue)
+      .select("event_id")
+    assert(!allNodes(finalPlan(df)).exists(_.isInstanceOf[TopKPerGroupExec]),
+      "k above MaxRewriteK must not rewrite")
+    assert(df.count() === Tables.events(spark, sf).count())
+    // and the direct operator API with a huge k must not crash either
+    val ev = Tables.events(spark, sf).limit(50)
+    val direct = graft.plans.TopKPerGroupOps.topKPerGroup(spark, ev,
+      Seq(ev("event_type")), Seq(ev("value").desc), Int.MaxValue)
+    assert(direct.count() === 50)
+  }
+
   test("rn = 1 (argmax per group) also rewrites") {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("event_id"))
