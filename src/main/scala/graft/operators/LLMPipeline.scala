@@ -516,6 +516,57 @@ object LLMPipeline {
           sum(col("re")).as("n_re_tokens"),
           sum(col("sw")).as("n_subwords"))
         .orderBy("source")
+    },
+
+    /** Positional token explode (`posexplode` — the generator that
+      * carries the ordinal, needed whenever downstream features are
+      * position-aware): leading trigram of each short document. Oracle
+      * uses DuckDB's 1-based list ordinality.
+      */
+    QueryDef(
+      "q129_posexplode_positions",
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS token
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+        |                          (x, ix) -> {'w': x, 'i': ix}),
+        |           recursive := true)
+        |  FROM documents WHERE doc_id % 37 = 0) t
+        |WHERE i <= 3 ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), posexplode(wordsCol(col("text"))).as(Seq("pos", "token")))
+        .where(col("pos") < 3)
+        .orderBy("doc_id", "pos")
+    },
+
+    /** Bigram frequency profile (group 10 text analysis — the n-gram
+      * statistics pass of a corpus study): adjacent word pairs via an
+      * index-sequence transform over the token array (stays inside
+      * whole-stage codegen; no self-join, no window), global top-20
+      * with a deterministic tie-break.
+      */
+    QueryDef(
+      "q130_bigram_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM toks WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS n FROM grams
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      val ws = wordsCol(col("text"))
+      Tables.documents(s, d)
+        .select(ws.as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1)))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
     }
   )
 }

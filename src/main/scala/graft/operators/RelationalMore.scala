@@ -351,6 +351,41 @@ object RelationalMore {
       * no per-row string re-parse per field). Oracle reads the same
       * field through DuckDB's JSON extraction.
       */
+    /** Stratified (per-stratum Bernoulli) sampling — `df.stat.sampleBy`
+      * with a fraction per event_type, the curriculum/class-balance
+      * sampler of a training-data pipeline (scales as a pure map-side
+      * filter: no shuffle, no state). Seeded RNG ⇒ rows-only check;
+      * deterministic for a fixed seed + file split layout.
+      */
+    QueryDef.noOracle("q127_sample_stratified") { (s, d) =>
+      val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
+        "error" -> 0.05, "signup" -> 0.1)
+      Tables.events(s, d)
+        .stat.sampleBy("event_type", fractions, 42L)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    },
+
+    /** Fixed-width histogram via `width_bucket` (group 4): the exact,
+      * mergeable form of a value-distribution profile (each row maps to
+      * a bucket independently ⇒ partial aggregation does all the work
+      * map-side; contrast q38's sketch path). Oracle computes the same
+      * buckets arithmetically.
+      */
+    QueryDef(
+      "q128_value_histogram",
+      """SELECT CAST(floor(value/50) AS BIGINT) + 1 AS bucket, count(*) AS n,
+        |  round(min(value),2) AS lo, round(max(value),2) AS hi
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(expr("width_bucket(value, 0.0D, 500.0D, 10)").as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy("bucket")
+    },
+
     QueryDef(
       "q107_variant_json",
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,

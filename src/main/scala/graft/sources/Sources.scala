@@ -202,6 +202,54 @@ object Sources {
       }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_series_stream").orderBy("day")
+    },
+
+    /** ORC sink + scan (group 1, third columnar format after parquet
+      * and CSV): write a pruned projection as ORC, read it back and
+      * aggregate. Same pushdown contract as parquet — the ORC reader
+      * gets the predicate and the 3-column ReadSchema.
+      */
+    QueryDef(
+      "q125_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice),2) AS total
+        |FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val path = scratch(d, "lineitem_orc")
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit(java.sql.Date.valueOf("1995-06-01")))
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("total"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    /** XML parse (group 1/7, Spark 4's native XML support): serialize
+      * each order as an XML fragment, parse it back with `from_xml` +
+      * an explicit schema, and aggregate the typed fields. The oracle
+      * states the same result straight off the columns — the XML
+      * encode/decode round trip is semantically the identity.
+      */
+    QueryDef(
+      "q126_xml_parse",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS total, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val xml = Tables.orders(s, d).select(
+        concat(lit("<o><k>"), col("o_orderkey"), lit("</k><st>"),
+          col("o_orderstatus"), lit("</st><p>"), col("o_totalprice"),
+          lit("</p></o>")).as("doc"))
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("st", StringType),
+        StructField("p", DoubleType)))
+      xml.select(from_xml(col("doc"), schema).as("o"))
+        .groupBy(col("o.st").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o.p"))).as("total"),
+          max(col("o.k")).as("max_key"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -47,7 +47,7 @@ object Streaming {
   }
 
   /** File-stream of events with proper event-time column. */
-  private def eventStream(s: SparkSession, d: String): DataFrame =
+  private[graft] def eventStream(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(rawSchema).parquet(stageDir(d))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
@@ -323,6 +323,63 @@ object Streaming {
             .as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    /** Stream-stream inner join (group 8, the classic funnel query):
+      * click stream ⋈ purchase stream on user with a 10-minute
+      * event-time range bound. Both sides watermarked, so join state is
+      * evicted once the watermark passes the range — the bounded-state
+      * contract that makes the join runnable forever at 100 TB. On the
+      * finite source the appended matches equal the batch theta join,
+      * which the oracle states (µs-truncated on both engines: the
+      * parquet carries nanos, Spark event time is micros).
+      */
+    QueryDef(
+      "q123_stream_stream_join",
+      """SELECT c.user_id, count(*) AS n_pairs, round(sum(p.value),2) AS total
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) - epoch_us(c.ts) < 600000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin) { (s, d) =>
+      val clicks = eventStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      // append the raw matches, then aggregate the sink table in batch
+      // (a second stateful agg above the join would gate on watermark)
+      drain(s, joined, "graft_ss_join", "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), round(sum(col("value")), 2).as("total"))
+        .orderBy("user_id")
+    },
+
+    /** Stream-static join (group 8): the event stream enriched against
+      * the static customer dimension — planned as a broadcast hash join
+      * inside every micro-batch (no state, no shuffle of the stream) —
+      * then a complete-mode rollup per market segment.
+      */
+    QueryDef(
+      "q124_stream_static_join",
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val dim = graft.Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      drain(s, agg, "graft_stream_static", "complete")
+        .orderBy("c_mktsegment")
     },
 
     /** Streaming session windows (watermark + append): the same

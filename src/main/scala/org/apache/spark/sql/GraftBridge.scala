@@ -21,6 +21,15 @@ object GraftBridge {
   def expr(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Test-only: the physical plan of a streaming query's most recent
+    * micro-batch, for asserting plan shape (e.g. the stream-static
+    * join stays broadcast) — the streaming analogue of `.explain`.
+    */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+
   /** Test-only: a physical scan over raw (possibly non-Unsafe)
     * InternalRows, for driving custom execs the way an arbitrary child
     * SparkPlan would — SparkPlan.execute() guarantees only InternalRow.

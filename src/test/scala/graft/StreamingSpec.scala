@@ -83,6 +83,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream join equals the batch theta join on a finite source") {
+    import org.apache.spark.sql.functions._
+    val joined = SparkEntry.queries("q123_stream_stream_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("value")), 2).as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(joined === batch)
+  }
+
+  test("stream-static join plans as a broadcast join inside the micro-batch") {
+    import org.apache.spark.sql.functions._
+    val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val agg = graft.streaming.Streaming.eventStream(spark, sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val q = graft.streaming.Streaming.withStreamConf(spark) {
+      agg.writeStream.format("memory").queryName("graft_bcast_probe")
+        .outputMode("complete").start()
+    }
+    try {
+      q.processAllAvailable()
+      val plan = org.apache.spark.sql.GraftBridge.lastMicroBatchPlan(q)
+      val nodes = PlanTestUtils.allNodes(plan)
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        s"expected BroadcastHashJoin in the micro-batch plan:\n$plan")
+    } finally q.stop()
+    assert(spark.table("graft_bcast_probe").count() > 0)
+  }
+
   test("streaming session windows are a prefix-subset of batch session windows") {
     val batch = SparkEntry.queries("q82_session_window")(spark, sf)
       .collect().map(_.toString).toSet
