@@ -540,6 +540,33 @@ object LLMPipeline {
         .orderBy("doc_id", "pos")
     },
 
+    /** Text normalization / cleaning (group 10 — the C4-style cleanup
+      * pass before dedup and tokenization): lowercase, strip everything
+      * outside [a-z0-9 ], squeeze whitespace, trim. The md5 of the
+      * normalized text makes the oracle compare the cleaning semantics
+      * byte-for-byte, not just summary stats.
+      */
+    QueryDef(
+      "q133_text_normalize",
+      """SELECT doc_id,
+        |  length(norm) AS norm_len,
+        |  md5(norm) AS norm_md5
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                        ' +', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 41 = 0) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") % 41 === 0)
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("norm_len"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+
     /** Bigram frequency profile (group 10 text analysis — the n-gram
       * statistics pass of a corpus study): adjacent word pairs via an
       * index-sequence transform over the token array (stays inside

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -351,6 +351,54 @@ object RelationalMore {
       * no per-row string re-parse per field). Oracle reads the same
       * field through DuckDB's JSON extraction.
       */
+    /** Multiset set operations (group 6 completes: q11-q13 cover the
+      * DISTINCT forms; these are the bag forms — INTERSECT ALL keeps
+      * min(m₁,m₂) copies, EXCEPT ALL subtracts multiplicities, both
+      * plan as a single count-compare aggregation, no join blowup).
+      */
+    QueryDef(
+      "q131_set_ops_all",
+      """WITH a AS (SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'),
+        |     ia AS (SELECT ck FROM a INTERSECT ALL SELECT ck FROM b),
+        |     ea AS (SELECT ck FROM a EXCEPT ALL SELECT ck FROM b)
+        |SELECT 'except_all' AS op, count(*) AS n,
+        |  CAST(COALESCE(sum(ck), 0) AS BIGINT) AS ck_sum FROM ea
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS n,
+        |  CAST(COALESCE(sum(ck), 0) AS BIGINT) AS ck_sum FROM ia
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val a = orders.where(col("o_orderstatus") === "F").select(col("o_custkey").as("ck"))
+      val b = orders.where(col("o_orderstatus") === "O").select(col("o_custkey").as("ck"))
+      def agg(df: DataFrame, op: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("ck")), lit(0)).cast("long").as("ck_sum"))
+          .select(lit(op).as("op"), col("n"), col("ck_sum"))
+      agg(a.exceptAll(b), "except_all")
+        .unionAll(agg(a.intersectAll(b), "intersect_all"))
+        .orderBy("op")
+    },
+
+    /** Deterministic k-fold assignment (the reference's train/eval
+      * split R4, industrialized): fold = portable-hash(key) % 5, so the
+      * split is stable across engines, runs, and partitionings — no RNG
+      * — and the oracle can verify it bit-for-bit. The 60-bit md5 slice
+      * is the cross-engine hash contract both sides share.
+      */
+    QueryDef(
+      "q132_cv_folds",
+      """SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY fold ORDER BY fold""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select((conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 5).cast("int").as("fold"), col("o_totalprice"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("fold")
+    },
+
     /** Stratified (per-stratum Bernoulli) sampling — `df.stat.sampleBy`
       * with a fraction per event_type, the curriculum/class-balance
       * sampler of a training-data pipeline (scales as a pure map-side

@@ -212,4 +212,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"),
       "banded MinHash must stay in native expressions")
   }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the flip side of the skew-split test: tiny shuffle output at a
+    // high configured partition count must come back coalesced, so
+    // 100 TB settings don't strand small stages in thousands of
+    // no-op tasks
+    val df = Tables.nation(spark, sf)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    val reads = allNodes(finalPlan(df)).collect {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(reads.nonEmpty, "expected an AQE shuffle read")
+    assert(reads.head.partitionSpecs.size < spark.conf
+      .get("spark.sql.shuffle.partitions").toInt,
+      s"expected coalesced partitions, got ${reads.head.partitionSpecs.size}")
+  }
+
+  test("REBALANCE hint plans a rebalance shuffle (skew-safe output sizing)") {
+    // the write-path partner of AQE coalesce: REBALANCE lets AQE both
+    // merge small and split large output partitions before a sink
+    val df = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").hint("rebalance")
+    val ex = allNodes(finalPlan(df)).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.exists(_.shuffleOrigin.toString.startsWith("REBALANCE")),
+      s"expected a REBALANCE-origin exchange, got ${ex.map(_.shuffleOrigin)}")
+  }
 }
