@@ -22,7 +22,8 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q71_minhash_lsh); driver leaves it
     // unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // Run in name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -418,11 +418,14 @@ object RelationalMore {
       * mergeable form of a value-distribution profile (each row maps to
       * a bucket independently ⇒ partial aggregation does all the work
       * map-side; contrast q38's sketch path). Oracle computes the same
-      * buckets arithmetically.
+      * buckets arithmetically, INCLUDING width_bucket's overflow
+      * bucket n+1: events.value exceeds 500 at sf0.1 (max 560.21), so
+      * an unclamped oracle would diverge above sf0.01.
       */
     QueryDef(
       "q128_value_histogram",
-      """SELECT CAST(floor(value/50) AS BIGINT) + 1 AS bucket, count(*) AS n,
+      """SELECT LEAST(CAST(floor(value/50) AS BIGINT) + 1, CAST(11 AS BIGINT)) AS bucket,
+        |  count(*) AS n,
         |  round(min(value),2) AS lo, round(max(value),2) AS hi
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       Tables.events(s, d)
