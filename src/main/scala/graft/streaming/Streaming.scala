@@ -382,6 +382,31 @@ object Streaming {
         .orderBy("c_mktsegment")
     },
 
+    /** Sliding (overlapping) event-time windows — 2-day width, 1-day
+      * slide, so every event contributes to exactly two windows (the
+      * smoothing form of the tumbling grid q80 pins). Oracle explodes
+      * the two candidate window starts per row; both engines align
+      * window origins to the epoch midnight.
+      */
+    QueryDef(
+      "q134_sliding_window",
+      """SELECT strftime(ws, '%Y-%m-%d') AS w_start, count(*) AS n,
+        |  round(sum(value),2) AS total
+        |FROM (
+        |  SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+        |                 date_trunc('day', ts)]) AS ws, value
+        |  FROM events) t
+        |GROUP BY ws ORDER BY w_start""".stripMargin) { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      drain(s, agg, "graft_stream_sliding", "complete")
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("w_start"),
+          col("n"), col("total"))
+        .orderBy("w_start")
+    },
+
     /** Streaming session windows (watermark + append): the same
       * session_window over the file stream. Append mode only emits
       * sessions closed before the final watermark, so the tail session

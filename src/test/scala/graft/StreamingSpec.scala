@@ -122,6 +122,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft_bcast_probe").count() > 0)
   }
 
+  test("foreachBatch sink writes exactly the stream contents") {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    import org.apache.spark.sql.functions._
+    val base = "target/graft-io/foreach_batch_test"
+    val p = Paths.get(base)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val q = graft.streaming.Streaming.withStreamConf(spark) {
+      graft.streaming.Streaming.eventStream(spark, sf)
+        .select("event_id", "event_type", "value")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/chk")
+        .outputMode("append").start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() === Tables.events(spark, sf).count())
+    assert(got.agg(sum(col("event_id"))).collect()(0).getLong(0) ===
+      Tables.events(spark, sf).agg(sum(col("event_id"))).collect()(0).getLong(0))
+  }
+
+  test("observe() metrics surface row counts and sums without a second pass") {
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("graft_metrics")
+    val df = Tables.events(spark, sf)
+      .observe(obs, count(lit(1)).as("rows"), sum(col("value")).as("value_sum"))
+      .where(col("event_type") === "click")
+    val clicks = df.count()
+    val m = obs.get
+    // metrics are collected at the observe() point — BEFORE the filter —
+    // as a free side-channel of the single pass (the R29 console/metrics
+    // sink, without a second scan)
+    assert(m("rows").asInstanceOf[Long] === Tables.events(spark, sf).count())
+    assert(clicks < m("rows").asInstanceOf[Long])
+    val expect = Tables.events(spark, sf).agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(m("value_sum").asInstanceOf[Double] - expect) < 1e-6)
+  }
+
   test("streaming session windows are a prefix-subset of batch session windows") {
     val batch = SparkEntry.queries("q82_session_window")(spark, sf)
       .collect().map(_.toString).toSet
