@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -538,6 +538,121 @@ object LLMPipeline {
         .select(col("doc_id"), posexplode(wordsCol(col("text"))).as(Seq("pos", "token")))
         .where(col("pos") < 3)
         .orderBy("doc_id", "pos")
+    },
+
+    /** Cluster-level dedup: LSH band buckets → star edges → CONNECTED
+      * COMPONENTS via iterative min-label propagation (the step after
+      * q71's pairwise candidates — production dedup keeps one doc per
+      * component, not per pair). Edges are linear in corpus size (one
+      * star edge per bucket member, never the quadratic within-bucket
+      * clique), and each propagation round is one join + one min-agg —
+      * the alternating-star formulation this converges to at 100 TB.
+      * The portable 60-bit md5 minhash keeps the edge set engine-stable
+      * so the oracle can rebuild it and close it with a recursive CTE.
+      */
+    QueryDef(
+      "q135_dedup_components",
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, md5(unnest(list_transform(generate_series(1, len(ws)-4),
+        |         i -> array_to_string(ws[i:i+4], ' ')))) AS h
+        |  FROM toks WHERE len(ws) >= 5),
+        |mh AS (
+        |  SELECT doc_id, b.b AS band,
+        |    min(CASE b.b WHEN 1 THEN ('0x' || substr(h, 1, 15))::BIGINT
+        |                 ELSE ('0x' || substr(h, 16, 15))::BIGINT END) AS sig
+        |  FROM sh, (SELECT unnest([1, 2]) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |buckets AS (
+        |  SELECT band, sig, min(doc_id) AS root FROM mh GROUP BY band, sig),
+        |edges AS (
+        |  SELECT DISTINCT bk.root AS src, m.doc_id AS dst
+        |  FROM mh m JOIN buckets bk ON m.band = bk.band AND m.sig = bk.sig
+        |  WHERE m.doc_id != bk.root),
+        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN und e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, LEAST(src, min(dst)) AS rep FROM reach GROUP BY src)
+        |SELECT rep, count(*) AS csize FROM labels
+        |GROUP BY rep ORDER BY rep""".stripMargin) { (s, d) =>
+      val ws = wordsCol(col("text"))
+      // one md5 per 5-gram; the two bands read disjoint 60-bit slices
+      // of the same digest (half the hashing of two salted rounds).
+      // The hash runs AFTER the positional explode, not inside a
+      // transform() lambda — higher-order-function bodies evaluate
+      // interpreted, everything below stays in whole-stage codegen.
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - 4)).as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("ws"), col("i"), lit(5)))).as("h"))
+      // two rows per doc — materialized once; both the bucket roots and
+      // the join probe side read it, and without the checkpoint the
+      // whole shingle+hash pipeline would run twice
+      val mh = hashed
+        .groupBy("doc_id")
+        .agg(min(conv(substring(col("h"), 1, 15), 16, 10).cast("long")).as("sig1"),
+          min(conv(substring(col("h"), 16, 15), 16, 10).cast("long")).as("sig2"))
+        .select(col("doc_id"), expr("stack(2, 1, sig1, 2, sig2) AS (band, sig)"))
+        .localCheckpoint(true)
+      val buckets = mh.groupBy("band", "sig").agg(min(col("doc_id")).as("root"))
+      // materialized ONCE at full parallelism — the union below reads it
+      // twice, and everything downstream is tiny relative to the corpus
+      val edges = mh.join(buckets, Seq("band", "sig"))
+        .where(col("doc_id") =!= col("root"))
+        .select(col("root").as("src"), col("doc_id").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      // the label-propagation frames are one row per bucket member: run
+      // the rounds at low parallelism so per-round task-scheduling
+      // overhead doesn't dominate
+      val und = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .coalesce(8).localCheckpoint(true)
+      // min-label propagation to fixpoint, with POINTER JUMPING: each
+      // round takes the min over neighbors' labels, then shortcuts
+      // lbl ← lbl(lbl) so chains collapse in O(log diameter) rounds —
+      // the number of driver-synchronized rounds, not per-round data
+      // volume, is what hurts at scale. Labels only ever DECREASE, so
+      // convergence = the global label sum stops falling (one scalar
+      // agg per round instead of an old-vs-new join).
+      // every round TRUNCATES lineage with an eager localCheckpoint:
+      // the next round starts from materialized blocks, so the
+      // self-join can never cascade into recomputing earlier rounds
+      // (cache substitution is best-effort; checkpoint is a guarantee)
+      var labels = und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      var prevSum = Long.MaxValue
+      var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      while (curSum < prevSum) {
+        val prop = und.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        // checkpointed: the pointer-jump self-join reads it twice
+        val next = labels.select(col("id"), col("lbl")).unionAll(prop)
+          .groupBy("id").agg(min(col("lbl")).as("lbl"))
+          .coalesce(8).localCheckpoint(true)
+        // pointer jump: follow the label one hop (labels are node ids)
+        val jumped = next
+          .join(next.select(col("id").as("jid"), col("lbl").as("jlbl")),
+            col("lbl") === col("jid"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+          .coalesce(8).localCheckpoint(true)
+        prevSum = curSum
+        curSum = jumped.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        labels = jumped
+      }
+      val out = labels.groupBy(col("lbl").as("rep"))
+        .agg(count(lit(1)).as("csize"))
+        .orderBy("rep")
+      out
     },
 
     /** Text normalization / cleaning (group 10 — the C4-style cleanup
