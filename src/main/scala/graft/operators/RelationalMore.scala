@@ -351,6 +351,37 @@ object RelationalMore {
       * no per-row string re-parse per field). Oracle reads the same
       * field through DuckDB's JSON extraction.
       */
+    /** Recursive CTE (Spark 4's `WITH RECURSIVE`, the last SQL-surface
+      * operator group): a recursive calendar spine densifies the event
+      * stream — days past the data's end stay as explicit zero rows.
+      * Bounded, acyclic recursion (Spark supports UNION ALL recursion
+      * only; cyclic closure stays on the q135 iterative path). Both
+      * engines run structurally identical recursive SQL.
+      */
+    QueryDef(
+      "q136_recursive_cte",
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '2024-01-01'
+        |  UNION ALL
+        |  SELECT d + 1 FROM days WHERE d < DATE '2024-02-05')
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  count(e.user_id) AS n,
+        |  round(coalesce(sum(e.value), 0), 2) AS total
+        |FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+        |GROUP BY d ORDER BY day""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("graft_events_r")
+      s.sql(
+        """WITH RECURSIVE days(d) AS (
+          |  SELECT DATE '2024-01-01'
+          |  UNION ALL
+          |  SELECT date_add(d, 1) FROM days WHERE d < DATE '2024-02-05')
+          |SELECT date_format(d, 'yyyy-MM-dd') AS day,
+          |  count(e.user_id) AS n,
+          |  round(coalesce(sum(e.value), 0), 2) AS total
+          |FROM days LEFT JOIN graft_events_r e ON CAST(e.ts AS DATE) = d
+          |GROUP BY d ORDER BY day""".stripMargin)
+    },
+
     /** Multiset set operations (group 6 completes: q11-q13 cover the
       * DISTINCT forms; these are the bag forms — INTERSECT ALL keeps
       * min(m₁,m₂) copies, EXCEPT ALL subtracts multiplicities, both
