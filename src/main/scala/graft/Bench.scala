@@ -21,9 +21,7 @@ object Bench {
     // Optional comma-separated name filter for focused local iteration
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q71_minhash_lsh); driver leaves it
     // unset and benches everything.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
+    val only = SparkEntry.nameFilter("SPARK_GRAFT_BENCH_ONLY")
     // Run in name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -39,4 +39,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Shared parser for the Bench/Verify comma-separated name-filter env
+    * vars. Empty or unset ⇒ empty set ⇒ "run everything" (a bare
+    * `VAR= sbt ...` must not silently filter out every query).
+    */
+  def nameFilter(envVar: String): Set[String] =
+    sys.env.get(envVar)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
 }

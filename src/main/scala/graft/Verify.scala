@@ -9,9 +9,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated name filter for focused local iteration
     // (like Bench's SPARK_GRAFT_BENCH_ONLY); the driver leaves it unset.
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
+    val only = SparkEntry.nameFilter("SPARK_GRAFT_VERIFY_ONLY")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

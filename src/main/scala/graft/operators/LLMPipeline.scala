@@ -630,7 +630,10 @@ object LLMPipeline {
       var labels = und.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
       var prevSum = Long.MaxValue
-      var curSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      // coalesce: SUM over an empty label set is NULL (no candidate
+      // pairs at all must yield the oracle's empty result, not an NPE)
+      var curSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .collect()(0).getLong(0)
       while (curSum < prevSum) {
         val prop = und.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("lbl"))
@@ -646,7 +649,8 @@ object LLMPipeline {
             least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
           .coalesce(8).localCheckpoint(true)
         prevSum = curSum
-        curSum = jumped.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        curSum = jumped.agg(coalesce(sum(col("lbl")), lit(0L)))
+          .collect()(0).getLong(0)
         labels = jumped
       }
       val out = labels.groupBy(col("lbl").as("rep"))
