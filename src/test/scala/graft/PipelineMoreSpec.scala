@@ -77,6 +77,40 @@ class PipelineMoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // the production incremental-sink contract: re-running one
+    // partition's batch must not wipe sibling partitions (static mode
+    // would truncate the whole table)
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val base = "target/graft-io/dpo_test"
+    val p = Paths.get(base)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val ev = Tables.events(spark, sf).select("event_id", "event_type", "user_id")
+      ev.write.partitionBy("event_type").mode("overwrite").parquet(base)
+      val before = spark.read.parquet(base).count()
+      assert(before === ev.count())
+      // rewrite ONLY the click partition with half its rows
+      val clicksHalf = ev.where(col("event_type") === "click" && col("event_id") % 2 === 0)
+      clicksHalf.write.partitionBy("event_type").mode("overwrite").parquet(base)
+      val after = spark.read.parquet(base)
+      val nonClickBefore = ev.where(col("event_type") =!= "click").count()
+      assert(after.where(col("event_type") =!= "click").count() === nonClickBefore,
+        "sibling partitions must survive a dynamic overwrite")
+      assert(after.where(col("event_type") === "click").count() === clicksHalf.count(),
+        "the rewritten partition must contain exactly the new batch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("driver entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
