@@ -166,6 +166,11 @@ object Extensions {
       * `saveAsTable`), then join — the physical plan has NO Exchange on
       * either side, the join reads co-located buckets directly. The
       * oracle states the same join over the raw tables.
+      *
+      * The bucketed layout is staged ONCE per source dir (external
+      * tables under target/graft-io) and re-registered from DDL on
+      * later runs — exactly how production amortizes a bucketed
+      * table: pay the layout shuffle at ingest, never per query.
       */
     QueryDef(
       "q92_bucketed_join",
@@ -174,26 +179,37 @@ object Extensions {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import java.nio.file.{Files, Paths}
       val wh = s"graft_b_${math.abs(d.hashCode)}"
-      // the in-memory catalog is fresh per JVM but the warehouse dir
-      // persists — clear the previous run's table locations first
-      locally {
-        import java.nio.file.{Files, Paths}
-        import java.util.Comparator
-        val whRoot = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-          .stripPrefix("file:")
-        val dbDir = Paths.get(whRoot, s"$wh.db")
-        if (Files.exists(dbDir))
-          Files.walk(dbDir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.delete(f))
-      }
+      val root = Paths.get(
+        s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/bucketed")
+        .toAbsolutePath
+      val marker = root.resolve("_STAGED")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $wh")
-      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"$wh.lineitem_b")
-      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"$wh.orders_b")
+      if (!Files.exists(marker)) {
+        Files.createDirectories(root)
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", root.resolve("lineitem_b").toString)
+          .saveAsTable(s"$wh.lineitem_b")
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", root.resolve("orders_b").toString)
+          .saveAsTable(s"$wh.orders_b")
+        Files.createFile(marker)
+      } else {
+        // fresh in-memory catalog, existing files: re-register the same
+        // bucket spec over the staged location (metadata-only)
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $wh.lineitem_b
+          | (l_orderkey BIGINT, l_extendedprice DOUBLE) USING PARQUET
+          | CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
+          | LOCATION '${root.resolve("lineitem_b")}'""".stripMargin)
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $wh.orders_b
+          | (o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING)
+          | USING PARQUET
+          | CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+          | LOCATION '${root.resolve("orders_b")}'""".stripMargin)
+      }
       // hint("merge"): force SMJ so the bucketed no-Exchange path is the
       // one exercised (at tiny SF AQE would otherwise broadcast and hide
       // it; at 100 TB SMJ-over-buckets IS the plan)
