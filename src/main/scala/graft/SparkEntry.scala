@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Windows.defs ++
       operators.TimeSeries.defs ++
       operators.LLMPipeline.defs ++
+      operators.CorpusOps.defs ++
       operators.Tensor.defs ++
       operators.Multimodal.defs ++
       operators.Extensions.defs ++

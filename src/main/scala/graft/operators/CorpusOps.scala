@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators (round 5): the quality/mixture layer of an
+  * LLM training-data pipeline on top of the dedup/similarity ops in
+  * [[LLMPipeline]] — repetition quality signals (the Gopher-rule
+  * family), train/test decontamination by shingle overlap, Zipf token
+  * statistics, deterministic quality-weighted sampling, domain mixture
+  * weights, and URL parsing for web-crawl metadata.
+  *
+  * Scale design: everything is hash-shuffle-or-narrower. The
+  * decontamination join is a hash semi-join on a 64-bit shingle hash
+  * (the only key that needs to move), repetition/quality metrics are
+  * per-doc map work + one aggregation, and the mixture/Zipf outputs
+  * aggregate to O(|sources|)/O(|vocab|) rows before any window runs.
+  * Sampling is a pure map-side filter on a portable content hash — no
+  * RNG, no state, reproducible on any cluster layout (the same 60-bit
+  * md5 contract as q132's CV folds).
+  *
+  * Reference anchor: the reference filters/splits its cohort
+  * deterministically before training (`run.py:47-52` data_loader); these
+  * ops are that stage generalized to corpus curation at 100 TB.
+  */
+object CorpusOps {
+  private def r6(c: Column) = round(c, 6)
+
+  private def wordsCol(text: Column): Column = graft.functions.Text.wordsCol(text)
+
+  /** Portable 60-bit md5 hash of a long key — identical in DuckDB as
+    * `('0x' || substr(md5(k::VARCHAR),1,15))::BIGINT` (q132's contract).
+    */
+  private def pHash(k: Column): Column =
+    conv(substring(md5(k.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, source, ws) token-array base used by several queries. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), wordsCol(col("text")).as("ws"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Gopher-style repetition signals per source: duplicate-word
+      * fraction (1 − distinct/total) and top-bigram share per document,
+      * plus the count of documents a repetition filter would drop
+      * (dup_frac > 0.6 OR top bigram > 10% of all bigrams). The per-doc
+      * metrics are map work + one (doc_id, bigram) count; only
+      * O(|sources|) rows survive to the end.
+      */
+    QueryDef(
+      "q137_repetition_metrics",
+      """WITH words AS (
+        |  SELECT doc_id, source, list_filter(string_split(text,' '), w -> w != '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq FROM words),
+        |big AS (
+        |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+        |  FROM (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS ord FROM words)),
+        |bgc AS (
+        |  SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top_share
+        |  FROM (SELECT doc_id, bg, count(*) AS cnt FROM big WHERE bg IS NOT NULL
+        |        GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT t.source, count(*) AS n_docs,
+        |  round(avg(1 - t.n_uniq::DOUBLE / t.n_tok), 6) AS avg_dup_frac,
+        |  round(avg(b.top_share), 6) AS avg_top_bigram,
+        |  CAST(count_if(1 - t.n_uniq::DOUBLE / t.n_tok > 0.6 OR b.top_share > 0.1) AS BIGINT) AS n_flagged
+        |FROM tok t JOIN bgc b ON t.doc_id = b.doc_id
+        |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      val words = docWords(s, d)
+      val tok = words.select(col("doc_id"), col("source"),
+        size(col("ws")).as("n_tok"), size(array_distinct(col("ws"))).as("n_uniq"))
+      // adjacent pairs stay inside codegen (q130's index-transform idiom)
+      val topShare = words
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_share"))
+      val dupFrac = lit(1.0) - col("n_uniq").cast("double") / col("n_tok")
+      tok.join(topShare, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          r6(avg(dupFrac)).as("avg_dup_frac"),
+          r6(avg(col("top_share"))).as("avg_top_bigram"),
+          count_if(dupFrac > 0.6 || col("top_share") > 0.1).as("n_flagged"))
+        .orderBy("source")
+    },
+
+    /** Train/test decontamination (the eval-leakage scan every LLM
+      * pipeline runs): deterministic hash split (80/20 on the q132
+      * portable hash), 5-gram shingles, and a hash semi-join marking
+      * test documents that share any shingle with the train split. At
+      * 100 TB only 64-bit shingle hashes shuffle; the join is the plain
+      * hash-partitioned semi-join that AQE sizes at runtime.
+      */
+    QueryDef(
+      "q138_decontamination",
+      """WITH words AS (
+        |  SELECT doc_id, source, list_filter(string_split(text,' '), w -> w != '') AS ws,
+        |    ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10 AS bucket
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, bucket,
+        |    w || ' ' || lead(w,1) OVER dw || ' ' || lead(w,2) OVER dw || ' ' ||
+        |    lead(w,3) OVER dw || ' ' || lead(w,4) OVER dw AS shingle
+        |  FROM (SELECT doc_id, source, bucket, unnest(ws) AS w,
+        |          generate_subscripts(ws,1) AS ord FROM words)
+        |  WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+        |train AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 8 AND shingle IS NOT NULL),
+        |test AS (
+        |  SELECT doc_id, source, bool_or(shingle IN (SELECT shingle FROM train)) AS contam
+        |  FROM sh WHERE bucket >= 8 AND shingle IS NOT NULL
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_test,
+        |  CAST(count_if(contam) AS BIGINT) AS n_contaminated,
+        |  round(count_if(contam)::DOUBLE / count(*), 6) AS contam_frac
+        |FROM test GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val words = docWords(s, d)
+        .withColumn("bucket", pHash(col("doc_id")) % 10)
+        .where(size(col("ws")) >= 5)
+      // 5-gram shingles, hashed to 64 bits so only fixed-width keys
+      // shuffle (collision-free at corpus scale; q62's precedent)
+      val sh = words.select(col("doc_id"), col("source"), col("bucket"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => array_join(slice(col("ws"), i, lit(5)), " "))).as("shingle"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          xxhash64(col("shingle")).as("shv"))
+      val trainSh = sh.where(col("bucket") < 8).select(col("shv")).distinct()
+      val perDoc = sh.where(col("bucket") >= 8)
+        .join(trainSh.withColumn("hit", lit(1)), Seq("shv"), "left")
+        .groupBy("doc_id", "source")
+        .agg(max(coalesce(col("hit"), lit(0))).as("contam"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_test"),
+          count_if(col("contam") === 1).as("n_contaminated"),
+          r6(count_if(col("contam") === 1).cast("double") / count(lit(1))).as("contam_frac"))
+        .orderBy("source")
+    },
+
+    /** Zipf token statistics: global word frequencies with rank and
+      * cumulative share — the vocabulary profile (coverage curves, OOV
+      * budgeting) of a corpus study. The windows run over the
+      * aggregated vocabulary (O(|vocab|) rows), never the token stream,
+      * so the single-partition rank window is safe at any corpus size.
+      */
+    QueryDef(
+      "q139_zipf_stats",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text,' '), w -> w != '')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
+        |SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rnk,
+        |  round(sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING)::DOUBLE /
+        |        sum(n) OVER (), 6) AS cum_share
+        |FROM cnt ORDER BY rnk""".stripMargin) { (s, d) =>
+      val cnt = docWords(s, d)
+        .select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val byFreq = Window.orderBy(col("n").desc, col("w"))
+      val all = Window.partitionBy()
+      cnt.select(col("w"), col("n"),
+          row_number().over(byFreq).cast("long").as("rnk"),
+          r6(sum(col("n")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / sum(col("n")).over(all)).as("cum_share"))
+        .orderBy("rnk")
+    },
+
+    /** Deterministic quality-weighted sampling: accept a document with
+      * probability equal to its lexical-diversity score by comparing the
+      * portable content hash against the score — a pure map-side filter,
+      * no RNG state, identical sample on any engine/partitioning (the
+      * industrial replacement for rand() < q sampling, which no oracle
+      * could check and no re-run could reproduce).
+      */
+    QueryDef(
+      "q140_quality_sample",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    len(list_distinct(list_filter(string_split(text,' '), w -> w != '')))::DOUBLE /
+        |    len(list_filter(string_split(text,' '), w -> w != '')) AS qd,
+        |    ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000 AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count_if(h < qd * 1000000) AS BIGINT) AS n_sampled,
+        |  round(avg(qd) FILTER (WHERE h < qd * 1000000), 6) AS avg_q_sampled
+        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val sampled = col("h") < col("qd") * 1000000
+      docWords(s, d)
+        .select(col("source"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("qd"),
+          (pHash(col("doc_id")) % 1000000).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(sampled).as("n_sampled"),
+          r6(avg(when(sampled, col("qd")))).as("avg_q_sampled"))
+        .orderBy("source")
+    },
+
+    /** Domain mixture weights (the DoReMi-style sampling-rate table):
+      * per-source token mass, its share of the corpus, and the epoch
+      * multiplier that would equalize domains — the numbers a data
+      * scheduler consumes. One aggregation to O(|sources|) rows; the
+      * share windows run on that tiny frame.
+      */
+    QueryDef(
+      "q141_domain_mixture",
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text,' '), w -> w != ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share,
+        |  round((1.0 / count(*) OVER ()) / (n_tokens::DOUBLE / sum(n_tokens) OVER ()), 6) AS epochs_uniform
+        |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+      val t = docWords(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("ws"))).as("n_tokens"))
+      val all = Window.partitionBy()
+      val share = col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)
+      t.select(col("source"), col("n_docs"), col("n_tokens"),
+          r6(share).as("token_share"),
+          r6((lit(1.0) / count(lit(1)).over(all)) / share).as("epochs_uniform"))
+        .orderBy("source")
+    },
+
+    /** URL parsing for web-crawl metadata (`parse_url`, codegen'd):
+      * host and query-parameter extraction grouped by host — the
+      * domain-level triage pass of a crawl pipeline. The URLs are
+      * synthesized from document metadata (the corpus carries none), so
+      * the oracle can state the same extraction with regexes.
+      */
+    QueryDef(
+      "q142_url_parse",
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    'https://' || source || '.example.com/d/' || doc_id || '?lang=' || lang AS url
+        |  FROM documents)
+        |SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, count(*) AS n_docs,
+        |  CAST(count_if(regexp_extract(url, 'lang=(\w+)', 1) = 'en') AS BIGINT) AS n_en
+        |FROM u GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.com/d/"),
+        col("doc_id"), lit("?lang="), col("lang"))
+      Tables.documents(s, d)
+        .select(parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("QUERY"), lit("lang")).as("l"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), count_if(col("l") === "en").as("n_en"))
+        .orderBy("host")
+    }
+  )
+}
