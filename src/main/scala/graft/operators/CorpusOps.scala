@@ -252,6 +252,54 @@ object CorpusOps {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), count_if(col("l") === "en").as("n_en"))
         .orderBy("host")
+    },
+
+    /** Typed Dataset[T] pipeline (the type-safe API surface of SURVEY
+      * §0/§1.3): case-class filter → groupByKey → a custom typed
+      * Aggregator — one partial-aggregating pass despite the lambda
+      * boundary. The final presentation rounding happens relationally
+      * so the floating output matches the oracle digit-for-digit.
+      * Deliberate tradeoff on display here: typed lambdas deserialize
+      * per row and block predicate pushdown, which is why the REST of
+      * the engine stays in Column-land — this query pins that the
+      * typed escape hatch exists and agrees with SQL.
+      */
+    QueryDef(
+      "q143_typed_pipeline",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events WHERE value > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val stats = Tables.events(s, d)
+        .select(col("event_type"), col("value")).as[(String, Double)]
+        .filter(_._2 > 50.0)
+        .groupByKey(_._1)
+        .agg(TypedStats.toColumn.name("st"))
+      stats.toDF("event_type", "st")
+        .select(col("event_type"), col("st._1").as("n"),
+          round(col("st._2"), 2).as("total"),
+          round(col("st._3"), 2).as("lo"), round(col("st._4"), 2).as("hi"))
+        .orderBy("event_type")
     }
   )
+
+  /** Typed count/sum/min/max aggregator for q143 — merges like any
+    * algebraic aggregate, so Spark runs it partial+final across the
+    * shuffle exactly like a built-in.
+    */
+  private object TypedStats extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Double), (Long, Double, Double, Double), (Long, Double, Double, Double)] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero = (0L, 0.0, Double.MaxValue, Double.MinValue)
+    def reduce(b: (Long, Double, Double, Double), a: (String, Double)) =
+      (b._1 + 1, b._2 + a._2, math.min(b._3, a._2), math.max(b._4, a._2))
+    def merge(x: (Long, Double, Double, Double), y: (Long, Double, Double, Double)) =
+      (x._1 + y._1, x._2 + y._2, math.min(x._3, y._3), math.max(x._4, y._4))
+    def finish(r: (Long, Double, Double, Double)) = r
+    def bufferEncoder: Encoder[(Long, Double, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[(Long, Double, Double, Double)] = bufferEncoder
+  }
 }
