@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.Extensions.defs ++
       operators.RetainOps.defs ++
+      operators.FeatureOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 
