@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Extensions.defs ++
       operators.RetainOps.defs ++
       operators.FeatureOps.defs ++
+      operators.AnalyticsOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 
