@@ -33,5 +33,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g proved too small once the suite passed ~150 queries at sf0.1:
+  // session-lifetime caches (RETAIN featurized RDD, bucketed staging,
+  // streaming memory sinks) evict under pressure and MEMORY_ONLY
+  // training RDDs silently recompute per iteration (q94: 4.8s -> 90s).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

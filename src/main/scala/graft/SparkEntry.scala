@@ -24,6 +24,7 @@ object SparkEntry {
       operators.RetainOps.defs ++
       operators.FeatureOps.defs ++
       operators.AnalyticsOps.defs ++
+      operators.StatsOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

@@ -80,8 +80,9 @@ object AnalyticsOps {
     },
 
     /** Weighted PageRank (3 iterations, damping 0.85) over the q142
-      * host graph: host(doc) links to host `src<doc_id % 20>` — a
-      * deterministic synthetic web graph. Each iteration is ONE shuffle:
+      * host graph: host(doc) links to host `src<(doc_id/7) % 20>` — a
+      * deterministic synthetic web graph (doc_id%20 would self-loop:
+      * the generator sets source = src<doc_id%20>). Each iteration is ONE shuffle:
       * join rank onto the (tiny, pre-aggregated) edge list and re-group
       * by destination. The edge aggregate and node count are computed
       * once; at 100 TB the edge list is the only big table and the rank
@@ -101,7 +102,7 @@ object AnalyticsOps {
            |  GROUP BY n.host)"""
         s"""WITH links AS (
            |  SELECT source || '.example.com' AS src,
-           |    'src' || (doc_id % 20) || '.example.com' AS dst
+           |    'src' || ((doc_id // 7) % 20) || '.example.com' AS dst
            |  FROM documents),
            |edges AS (
            |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM links GROUP BY src, dst),
@@ -116,7 +117,7 @@ object AnalyticsOps {
       }) { (s, d) =>
       val links = Tables.documents(s, d)
         .select(concat(col("source"), lit(".example.com")).as("src"),
-          concat(lit("src"), col("doc_id") % 20, lit(".example.com")).as("dst"))
+          concat(lit("src"), expr("doc_id DIV 7") % 20, lit(".example.com")).as("dst"))
       val edges = links.groupBy("src", "dst")
         .agg(count(lit(1)).cast("double").as("w"))
         .cache() // tiny (hosts²); reused by all three iterations

@@ -42,10 +42,6 @@ object LLMPipeline {
   private val planes: Array[Array[Double]] =
     Array.tabulate(8, 64)((p, i) => (((p * 64 + i) * 31) % 17 - 8) / 8.0)
 
-  /** 60-bit portable word hash (Spark side). */
-  private def wordHash(w: Column): Column =
-    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
-
   private val simBits = 16
 
   val defs: Seq[QueryDef] = Seq(
@@ -180,17 +176,14 @@ object LLMPipeline {
            |FROM sh GROUP BY simhash HAVING count(*) > 1
            |ORDER BY simhash""".stripMargin
       }) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(wordsCol(col("text"))).as("w"))
-        .withColumn("h", wordHash(col("w")))
-      val bitAggs = (0 until simBits).map(jj =>
-        sum((shiftright(col("h"), jj).bitwiseAND(1)) * 2 - 1).as(s"s$jj"))
-      val simhash = (0 until simBits)
-        .map(jj => when(col(s"s$jj") > 0, lit(1L << jj)).otherwise(0L))
-        .reduce(_ + _)
-      tok.groupBy("doc_id")
-        .agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+      // Native one-pass fingerprint (SimHash64 scaladoc): the explode +
+      // 16-sum-aggregate form spent its time materializing a row per
+      // token; this plan is map-side until the final fingerprint groupBy.
+      graft.functions.SimHash64.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"simhash64(filter(split(text, ' '), w -> w != ''), $simBits)")
+            .as("simhash"))
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
         .where(col("n_docs") > 1)

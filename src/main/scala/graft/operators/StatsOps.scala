@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 statistics and maintenance operators: event-sequence Markov
+  * transitions, table profiling (the ANALYZE pass that feeds a
+  * cost-based optimizer), skyline/Pareto filtering, incremental
+  * aggregate maintenance (partial-agg merge — how a 100 TB rollup
+  * absorbs a daily delta without a full recompute), and triangle
+  * counting on the q142/q151 host graph.
+  */
+object StatsOps {
+  private def r6(c: Column) = round(c, 6)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** First-order Markov transition matrix over each user's event
+      * sequence: P(next event_type | current). One user_id shuffle for
+      * the lead() pass, then a 5×5-cell aggregate; the normalizing
+      * per-row window runs over ≤25 rows. The sequence-model features
+      * (R7's time-ordered grid) restated as a transition profile.
+      */
+    QueryDef(
+      "q155_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+        |      GROUP BY cur, nxt)
+        |SELECT cur, nxt, n, round(n / sum(n) OVER (PARTITION BY cur), 6) AS p
+        |FROM c ORDER BY cur, nxt""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .where(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      counts.select(col("cur"), col("nxt"), col("n"),
+          r6(col("n") / sum(col("n")).over(Window.partitionBy(col("cur")))).as("p"))
+        .orderBy("cur", "nxt")
+    },
+
+    /** Table profile — the ANALYZE/stats-collection pass: per column
+      * null count, NDV, min, max (stringified into one uniform schema).
+      * ONE scan computes every column's stats in a single aggregate
+      * (count distinct co-plans via expand), then the wide row unpivots
+      * to the per-column profile — no per-column rescans, which is the
+      * difference between O(cols) and O(1) passes over 100 TB.
+      */
+    QueryDef(
+      "q156_table_profile",
+      """SELECT 'event_type' AS col, CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_type) AS VARCHAR) AS min_v, CAST(max(event_type) AS VARCHAR) AS max_v
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+        |  CAST(count(DISTINCT value) AS BIGINT),
+        |  CAST(round(min(value), 4) AS VARCHAR), CAST(round(max(value), 4) AS VARCHAR)
+        |FROM events
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val wide = e.agg(
+        count(lit(1)).as("n"),
+        count(col("event_type")).as("nn_et"), countDistinct(col("event_type")).as("nd_et"),
+        min(col("event_type")).as("min_et"), max(col("event_type")).as("max_et"),
+        count(col("user_id")).as("nn_uid"), countDistinct(col("user_id")).as("nd_uid"),
+        min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+        count(col("value")).as("nn_v"), countDistinct(col("value")).as("nd_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      def rowOf(name: String, nn: String, nd: String, mn: Column, mx: Column) =
+        struct(lit(name).as("col"), (col("n") - col(nn)).as("n_null"),
+          col(nd).as("n_distinct"), mn.cast("string").as("min_v"),
+          mx.cast("string").as("max_v"))
+      wide.select(explode(array(
+          rowOf("event_type", "nn_et", "nd_et", col("min_et"), col("max_et")),
+          rowOf("user_id", "nn_uid", "nd_uid", col("min_uid"), col("max_uid")),
+          rowOf("value", "nn_v", "nd_v", round(col("min_v"), 4), round(col("max_v"), 4))
+        )).as("p"))
+        .select(col("p.col").as("col"), col("p.n_null"), col("p.n_distinct"),
+          col("p.min_v"), col("p.max_v"))
+        .orderBy("col")
+    },
+
+    /** Skyline (Pareto front) of parts under (minimize retail price,
+      * maximize size): a row survives iff nothing dominates it. The
+      * naive form is a quadratic self-anti-join (the oracle keeps it —
+      * DuckDB doesn't need to scale); the Spark plan reduces dominance
+      * to two aggregates: per-size min price (|sizes| rows), a running
+      * min over that TINY frame in size-descending order, then one
+      * broadcast join back. A row survives iff it matches its size's
+      * min price AND every strictly-larger size's best price is worse.
+      * Total cost: one scan + one broadcast — no self-join, no O(n²).
+      */
+    QueryDef(
+      "q157_skyline_pareto",
+      """SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val p = Tables.load(s, d, "part")
+      val perSize = p.groupBy("p_size").agg(min(col("p_retailprice")).as("mp"))
+      val wLarger = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = perSize.withColumn("mp_larger", min(col("mp")).over(wLarger))
+      p.join(broadcast(front), Seq("p_size"))
+        .where(col("p_retailprice") === col("mp") &&
+          (col("mp_larger").isNull || col("mp_larger") > col("p_retailprice")))
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_partkey")
+    },
+
+    /** Incremental aggregate maintenance: the per-user rollup is kept as
+      * BASE (events before the split date) partial aggregates; the DELTA
+      * (after) partial-aggregates independently; merging is a re-agg of
+      * the two partial sets — count and sum are commutative monoids, so
+      * merge(base, delta) == full recompute, which is the oracle. At
+      * 100 TB this is the nightly pipeline: the base never rescans.
+      */
+    QueryDef(
+      "q158_incremental_agg",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(CAST(value AS DECIMAL(18,3))), 3) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val split = lit("2024-02-01").cast("timestamp")
+      def partial(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,3)")).as("total"))
+      val base = partial(e.where(col("ts") < split))
+      val delta = partial(e.where(col("ts") >= split))
+      base.union(delta)
+        .groupBy("user_id")
+        .agg(sum(col("n")).as("n"), round(sum(col("total")), 3).as("total"))
+        .orderBy("user_id")
+    },
+
+    /** Triangle count on the undirected q151 host graph — the standard
+      * graph-metric companion to PageRank/components. Edges dedup to
+      * (lo, hi) ordered pairs; triangles join e1⋈e2⋈e3 with a<b<c so
+      * each triangle counts once. The graph is O(hosts²) AFTER the
+      * per-doc dedup, so the joins are broadcast-tiny; the only big
+      * pass is the one dedup scan of documents.
+      */
+    QueryDef(
+      "q159_triangle_count",
+      """WITH links AS (
+        |  SELECT DISTINCT least(source || '.example.com',
+        |                        'src' || ((doc_id // 7) % 20) || '.example.com') AS a,
+        |    greatest(source || '.example.com',
+        |             'src' || ((doc_id // 7) % 20) || '.example.com') AS b
+        |  FROM documents
+        |  WHERE source || '.example.com' <> 'src' || ((doc_id // 7) % 20) || '.example.com'),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM links e1 JOIN links e2 ON e2.a = e1.b
+        |  JOIN links e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+        |  CAST((SELECT count(*) FROM links) AS BIGINT) AS n_edges
+        |FROM tri""".stripMargin) { (s, d) =>
+      val doc = Tables.documents(s, d)
+      val src = concat(col("source"), lit(".example.com"))
+      val dst = concat(lit("src"), expr("doc_id DIV 7") % 20, lit(".example.com"))
+      val links = doc.where(src =!= dst)
+        .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+        .distinct().cache()
+      val e1 = links
+      val e2 = links.select(col("a").as("b2a"), col("b").as("c"))
+      val e3 = links.select(col("a").as("a3"), col("b").as("c3"))
+      val tri = e1.join(broadcast(e2), col("b") === col("b2a"))
+        .join(broadcast(e3), col("a") === col("a3") && col("c") === col("c3"))
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(links.agg(count(lit(1)).as("n_edges")))
+        .select(col("n_triangles"), col("n_edges"))
+    }
+  )
+}
