@@ -34,9 +34,19 @@ object GraftSession {
 
   /** Build the engine's local session (Verify/Bench/tests). */
   def build(appName: String): SparkSession = {
+    // Shuffle/spill files go to tmpfs: this box's block device is
+    // burst-throttled (sustained suite runs exhaust IO credits and
+    // random queries crawl 50-200x), while RAM is abundant. On a real
+    // cluster the equivalent is local NVMe for spark.local.dir.
+    val localDir = {
+      val shm = new java.io.File("/dev/shm/graft-local")
+      if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    }
     val s = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,6 +25,7 @@ object SparkEntry {
       operators.FeatureOps.defs ++
       operators.AnalyticsOps.defs ++
       operators.StatsOps.defs ++
+      operators.TemporalOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

@@ -104,7 +104,7 @@ object Extensions {
       // same staged dir as the other stream sources
       val stage = {
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+        val dir = Paths.get(s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
         val dst = dir.resolve("events.parquet")
         if (!Files.exists(dst)) {
           Files.createDirectories(dir)
@@ -182,7 +182,7 @@ object Extensions {
       import java.nio.file.{Files, Paths}
       val wh = s"graft_b_${math.abs(d.hashCode)}"
       val root = Paths.get(
-        s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/bucketed")
+        s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/bucketed")
         .toAbsolutePath
       val marker = root.resolve("_STAGED")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $wh")

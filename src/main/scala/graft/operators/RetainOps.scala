@@ -409,7 +409,7 @@ object RetainOps {
         StructField("value", DoubleType), StructField("props", StringType)))
       val stage = {
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+        val dir = Paths.get(s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
         val dst = dir.resolve("events.parquet")
         if (!Files.exists(dst)) {
           Files.createDirectories(dir)

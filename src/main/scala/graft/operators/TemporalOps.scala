@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 temporal/operational analytics: interval sweep-line peak
+  * concurrency (with a DISTRIBUTED two-phase prefix sum — the one
+  * operator in this family where the naive form is a single-partition
+  * global window), CUSUM changepoint ranking, last-touch attribution,
+  * deterministic A/B assignment + two-proportion z-test, point-in-time
+  * (as-of) snapshot reads over the q150 SCD2 stream, and a referential
+  * integrity audit.
+  */
+object TemporalOps {
+  private def r6(c: Column) = round(c, 6)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Peak concurrency by sweep-line: every click opens a 30-minute
+      * presence interval; +1/-1 boundary points, running sum, global
+      * max. The textbook form sorts ALL boundary points into ONE window
+      * partition — a driver-killer at 100 TB. This plan does the
+      * scalable two-phase prefix sum instead: range-partition boundary
+      * points by (t, d), cumulative-sum WITHIN each partition (window
+      * partitioned by partition id — parallel), take the 32 per-
+      * partition totals to the driver, and broadcast the exclusive
+      * prefix offsets back. Identical result, no global sort on one
+      * node. Ties ((t, d) runs straddling a range boundary) cannot
+      * change the max or its first timestamp: any interleaving of equal
+      * keys yields the same value multiset.
+      */
+    QueryDef(
+      "q160_peak_concurrency",
+      """WITH iv AS (
+        |  SELECT ts AS st, ts + INTERVAL 30 MINUTE AS en
+        |  FROM events WHERE event_type = 'click'),
+        |pts AS (
+        |  SELECT st AS t, 1 AS d FROM iv UNION ALL SELECT en, -1 FROM iv),
+        |sweep AS (
+        |  SELECT t, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts)
+        |SELECT CAST(max(conc) AS BIGINT) AS peak,
+        |  strftime(min(t), '%Y-%m-%d %H:%M:%S') AS first_peak_at
+        |FROM sweep WHERE conc = (SELECT max(conc) FROM sweep)""".stripMargin) { (s, d) =>
+      val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      val pts = clicks.select(col("ts").as("t"), lit(1).as("d"))
+        .unionAll(clicks.select((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1).as("d")))
+      val parts = pts.repartitionByRange(32, col("t"), col("d"))
+        .withColumn("pid", spark_partition_id())
+      // phase 1: parallel within-partition running sums + per-partition totals
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val local = parts.withColumn("cs", sum(col("d")).over(wIn)).cache()
+      val totals = local.groupBy("pid").agg(sum(col("d")).as("tot"))
+        .orderBy("pid").collect()
+      // phase 2: exclusive prefix offsets (O(partitions) on the driver)
+      val prevOff = udfFreeOffsets(totals.map(r => (r.getInt(0), r.getLong(1))))
+      val sweep = local.withColumn("conc", col("cs") + prevOff)
+      val peak = sweep.agg(max(col("conc")).as("m"))
+      sweep.join(broadcast(peak), col("conc") === col("m"))
+        .agg(max(col("conc")).cast("long").as("peak"),
+          date_format(min(col("t")), "yyyy-MM-dd HH:mm:ss").as("first_peak_at"))
+    },
+
+    /** CUSUM changepoint ranking over the daily mean series: cumulative
+      * sum of deviations from the global mean; the top-|CUSUM| days are
+      * the level-shift candidates. Aggregate-first discipline: the
+      * window runs over ~O(days) rows, never over raw events, so the
+      * "global" ordered window is fine at any scale. Exact-decimal
+      * means keep both engines bit-identical (q145's trick).
+      */
+    QueryDef(
+      "q161_cusum_changepoint",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mu FROM daily),
+        |c AS (
+        |  SELECT day, v,
+        |    sum(v - (SELECT mu FROM g)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, round(v, 6) AS v,
+        |  round(abs(cusum), 6) AS abs_cusum
+        |FROM c ORDER BY abs(cusum) DESC, day LIMIT 5""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(18,3)")).cast("double") /
+          count(lit(1))).as("v"))
+      val mu = daily.agg((sum(col("v").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("mu"))
+      val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      daily.crossJoin(broadcast(mu))
+        .withColumn("cusum", sum(col("v") - col("mu")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          r6(col("v")).as("v"), r6(abs(col("cusum"))).as("abs_cusum"))
+        .orderBy(abs(col("cusum")).desc, col("day")).limit(5)
+    },
+
+    /** Last-touch attribution: each purchase credits the user's most
+      * recent click/view before it (else 'organic'). One user_id
+      * shuffle; the carry is an IGNORE NULLS last_value over the
+      * preceding frame — no per-purchase lookback join.
+      */
+    QueryDef(
+      "q162_attribution",
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'organic') AS touch,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(CAST(value AS DECIMAL(18,3))), 3) AS revenue
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("organic")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,3)")), 3).as("revenue"))
+        .orderBy("touch")
+    },
+
+    /** Deterministic A/B experiment readout: variant = parity of the
+      * portable 60-bit hash of user_id + salt (RNG-free, so the split
+      * itself hash-verifies), conversion = any purchase over 250, and
+      * the pooled two-proportion z-score — the whole analysis in two
+      * aggregates. The salt-hash assignment is exactly how a 100 TB
+      * experiment pipeline buckets users (stable under reruns/backfill).
+      */
+    QueryDef(
+      "q163_ab_test",
+      """WITH assign AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 15))::BIGINT % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS variant
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |conv AS (
+        |  SELECT a.variant, e.user_id,
+        |    max(CASE WHEN e.event_type = 'purchase' AND e.value > 250 THEN 1 ELSE 0 END) AS converted
+        |  FROM events e JOIN assign a ON e.user_id = a.user_id GROUP BY 1, 2),
+        |w AS (
+        |  SELECT CAST(count_if(variant = 'A') AS BIGINT) AS na,
+        |    CAST(count_if(variant = 'B') AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS cb
+        |  FROM conv)
+        |SELECT na, nb, ca, cb,
+        |  round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+        |  round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+        |  round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+        |    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |         * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) AS z
+        |FROM w""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val assign = e.select(col("user_id")).distinct()
+        .withColumn("variant",
+          when(conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))),
+            1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      val convd = e.join(assign, Seq("user_id"))
+        .groupBy("variant", "user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 250, 1)
+          .otherwise(0)).as("converted"))
+      val wide = convd.agg(
+        count_if(col("variant") === "A").as("na"),
+        count_if(col("variant") === "B").as("nb"),
+        sum(when(col("variant") === "A", col("converted")).otherwise(0)).as("ca"),
+        sum(when(col("variant") === "B", col("converted")).otherwise(0)).as("cb"))
+      val rateA = col("ca").cast("double") / col("na")
+      val rateB = col("cb").cast("double") / col("nb")
+      val pool = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+      wide.select(col("na"), col("nb"), col("ca"), col("cb"),
+        r6(rateA).as("rate_a"), r6(rateB).as("rate_b"),
+        r6((rateA - rateB) / sqrt(pool * (lit(1) - pool) *
+          (lit(1).cast("double") / col("na") + lit(1).cast("double") / col("nb"))))
+          .as("z"))
+    },
+
+    /** Point-in-time (as-of / time-travel) snapshot over the q150 SCD2
+      * stream: each user's purchase state as of 2024-02-15. The
+      * row_number-DESC top-1 per user is exactly the WindowTopKRewrite
+      * idiom, so under GraftExtensions this plans as the bounded-heap
+      * TopKPerGroup — an as-of read costs one k=1 heap pass, not a full
+      * per-user sort.
+      */
+    QueryDef(
+      "q164_asof_snapshot",
+      """WITH snap AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value / 20) AS BIGINT) AS state
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-02-15 00:00:00'),
+        |r AS (
+        |  SELECT user_id, state, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM snap)
+        |SELECT user_id, state, strftime(ts, '%Y-%m-%d %H:%M:%S') AS since
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase" &&
+          col("ts") <= lit("2024-02-15 00:00:00").cast("timestamp"))
+        .select(col("user_id"), floor(col("value") / 20).cast("long").as("state"),
+          col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("since"))
+        .orderBy("user_id")
+    },
+
+    /** Referential-integrity / data-quality audit: orphan foreign keys
+      * (anti-joins) and domain rules, one row per check. Anti-joins
+      * broadcast the key side where small; each check partial-
+      * aggregates to a single count, so the audit costs one pass per
+      * table regardless of scale. Zero AND nonzero checks both prove
+      * the machinery (all-zero output can't distinguish "clean" from
+      * "broken audit").
+      */
+    QueryDef(
+      "q165_integrity_audit",
+      """SELECT 'docs_under_100_chars' AS check_name, CAST(count(*) AS BIGINT) AS n_bad
+        |  FROM documents WHERE n_chars < 100
+        |UNION ALL
+        |SELECT 'lineitem_without_order', CAST(count(*) AS BIGINT) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_before_1996', CAST(count(*) AS BIGINT) FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 'orders_without_customer', CAST(count(*) AS BIGINT) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val cust = Tables.load(s, d, "customer")
+      def check(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_bad"))
+          .select(lit(name).as("check_name"), col("n_bad"))
+      check("docs_under_100_chars", docs.where(col("n_chars") < 100))
+        .unionAll(check("lineitem_without_order",
+          li.join(broadcast(orders.select("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionAll(check("orders_before_1996",
+          orders.where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))))
+        .unionAll(check("orders_without_customer",
+          orders.join(broadcast(cust.select("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .orderBy("check_name")
+    }
+  )
+
+  /** Exclusive prefix offset of this row's range partition, as a
+    * CASE chain over the (tiny, driver-collected) per-partition totals
+    * — the broadcast half of the two-phase prefix sum. */
+  private def udfFreeOffsets(totals: Seq[(Int, Long)]): Column = {
+    val prefix = totals.sortBy(_._1)
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
+    // prefix(i) pairs pid -> inclusive sum through pid; exclusive = previous entry
+    val exclusive = prefix.sliding(2).collect {
+      case Seq((_, prevSum), (pid, _)) => (pid, prevSum)
+    }.toSeq
+    exclusive.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+  }
+}

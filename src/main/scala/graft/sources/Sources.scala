@@ -21,7 +21,7 @@ object Sources {
 
   /** Stable scratch dir per (sf, tag) so concurrent sf runs don't clash. */
   private def scratch(d: String, tag: String): String =
-    s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
+    s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
 
   val defs: Seq[QueryDef] = Seq(
 

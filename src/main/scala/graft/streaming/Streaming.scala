@@ -32,12 +32,21 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Scratch root for staged stream sources, checkpoints, and sinks:
+    * tmpfs when available (the box's block device is burst-throttled —
+    * see GraftSession.build), else the sbt target dir.
+    */
+  private[graft] lazy val ioBase: String = {
+    val shm = new java.io.File("/dev/shm/graft-io")
+    if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath else "target/graft-io"
+  }
+
   /** The file source requires a directory; stage the single events
     * parquet into a per-sf scratch dir once (idempotent).
     */
   private def stageDir(d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+    val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
     val dst = dir.resolve("events.parquet")
     if (!Files.exists(dst)) {
       Files.createDirectories(dir)
@@ -86,7 +95,7 @@ object Streaming {
     */
   def warm(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/warm_stream")
+    val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/warm_stream")
     val dst = dir.resolve("region.parquet")
     if (!Files.exists(dst)) {
       Files.createDirectories(dir)
@@ -270,7 +279,7 @@ object Streaming {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       import java.nio.file.{Files, Paths}
       import java.util.Comparator
-      val base = s"target/graft-io/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_sink"
+      val base = s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_sink"
       // clean slate: the checkpoint binds to one logical plan instance
       val p = Paths.get(base)
       if (Files.exists(p))
