@@ -26,6 +26,7 @@ object SparkEntry {
       operators.AnalyticsOps.defs ++
       operators.StatsOps.defs ++
       operators.TemporalOps.defs ++
+      operators.RobustOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 
