@@ -258,6 +258,70 @@ object TemporalOps {
           orders.join(broadcast(cust.select("c_custkey")),
             col("o_custkey") === col("c_custkey"), "left_anti")))
         .orderBy("check_name")
+    },
+
+    /** MERGE / CDC-apply semantics (the warehouse upsert the reference's
+      * nightly retrain would feed from): base = per-user rollup of the
+      * first 19 days; delta = purchase activity after, carrying an op
+      * column (DELETE for heavy purchasers, else UPSERT). One full-outer
+      * join on the entity key resolves kept / updated / inserted /
+      * deleted exactly like MERGE INTO ... WHEN [NOT] MATCHED — and at
+      * 100 TB it's the same single co-partitioned shuffle (or a
+      * broadcast when the delta is a day's worth of keys).
+      */
+    QueryDef(
+      "q170_merge_upsert",
+      """WITH base AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(CAST(value AS DECIMAL(18,3))), 3) AS total
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY user_id),
+        |delta AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS d_n,
+        |    round(sum(CAST(value AS DECIMAL(18,3))), 3) AS d_total,
+        |    CASE WHEN count(*) > 8 THEN 'D' ELSE 'U' END AS op
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND event_type = 'purchase'
+        |  GROUP BY user_id),
+        |merged AS (
+        |  SELECT coalesce(b.user_id, d.user_id) AS user_id,
+        |    CASE WHEN d.user_id IS NULL THEN 'kept'
+        |         WHEN d.op = 'D' THEN 'deleted'
+        |         WHEN b.user_id IS NULL THEN 'inserted'
+        |         ELSE 'updated' END AS action,
+        |    CASE WHEN d.user_id IS NULL THEN b.n
+        |         WHEN b.user_id IS NULL THEN d.d_n
+        |         ELSE b.n + d.d_n END AS n,
+        |    CASE WHEN d.user_id IS NULL THEN b.total
+        |         WHEN b.user_id IS NULL THEN d.d_total
+        |         ELSE b.total + d.d_total END AS total
+        |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
+        |SELECT user_id, action, n, total FROM merged
+        |WHERE action <> 'deleted' ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      val base = e.where(col("ts") < split)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,3)")), 3).as("total"))
+      val delta = e.where(col("ts") >= split && col("event_type") === "purchase")
+        .groupBy(col("user_id").as("d_user"))
+        .agg(count(lit(1)).as("d_n"),
+          round(sum(col("value").cast("decimal(18,3)")), 3).as("d_total"))
+        .withColumn("op", when(col("d_n") > 8, "D").otherwise("U"))
+      base.join(delta, col("user_id") === col("d_user"), "full_outer")
+        .select(coalesce(col("user_id"), col("d_user")).as("user_id"),
+          when(col("d_user").isNull, "kept")
+            .when(col("op") === "D", "deleted")
+            .when(col("user_id").isNull, "inserted")
+            .otherwise("updated").as("action"),
+          when(col("d_user").isNull, col("n"))
+            .when(col("user_id").isNull, col("d_n"))
+            .otherwise(col("n") + col("d_n")).as("n"),
+          when(col("d_user").isNull, col("total"))
+            .when(col("user_id").isNull, col("d_total"))
+            .otherwise(col("total") + col("d_total")).as("total"))
+        .where(col("action") =!= "deleted")
+        .orderBy("user_id")
     }
   )
 

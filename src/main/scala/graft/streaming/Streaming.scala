@@ -399,6 +399,67 @@ object Streaming {
         .orderBy("user_id")
     },
 
+    /** LEFT OUTER stream-stream join — q123's interval join plus the
+      * outer half: clicks with no purchase inside [c_ts, c_ts+10min)
+      * emit null-extended ONCE their match window is fully below the
+      * final watermark (state eviction). The oracle states that
+      * emission rule relationally, like q83's session rule: global
+      * watermark = min over both streams of (max event time − 1h);
+      * an unmatched click emits iff c_ts + 10min < watermark. Matched
+      * pairs emit unconditionally, so only the unmatched tail is
+      * watermark-gated.
+      */
+    QueryDef(
+      "q171_stream_left_join",
+      """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT c.user_id, p.value
+        |  FROM c JOIN p ON p.p_user = c.user_id
+        |   AND epoch_us(p.p_ts) >= epoch_us(c.c_ts)
+        |   AND epoch_us(p.p_ts) - epoch_us(c.c_ts) < 600000000),
+        |expired_unmatched AS (
+        |  SELECT c.user_id FROM c, wm
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.p_user = c.user_id
+        |        AND epoch_us(p.p_ts) >= epoch_us(c.c_ts)
+        |        AND epoch_us(p.p_ts) - epoch_us(c.c_ts) < 600000000)
+        |    AND epoch_us(c.c_ts) + 600000000 < epoch_us(wm.w)),
+        |m AS (SELECT user_id, count(*) AS n_pairs, round(sum(value), 2) AS total
+        |      FROM matched GROUP BY user_id),
+        |u AS (SELECT user_id, count(*) AS n_unmatched FROM expired_unmatched GROUP BY user_id)
+        |SELECT coalesce(m.user_id, u.user_id) AS user_id,
+        |  CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  coalesce(m.total, 0.0) AS total,
+        |  CAST(coalesce(u.n_unmatched, 0) AS BIGINT) AS n_unmatched
+        |FROM m FULL OUTER JOIN u ON m.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val clicks = eventStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      drain(s, joined, "graft_ss_left_join", "append")
+        .groupBy("user_id")
+        .agg(count(col("p_user")).as("n_pairs"),
+          round(coalesce(sum(col("value")), lit(0.0)), 2).as("total"),
+          count_if(col("p_user").isNull).as("n_unmatched"))
+        .where(col("n_pairs") > 0 || col("n_unmatched") > 0)
+        .orderBy("user_id")
+    },
+
     /** Stream-static join (group 8): the event stream enriched against
       * the static customer dimension — planned as a broadcast hash join
       * inside every micro-batch (no state, no shuffle of the stream) —
