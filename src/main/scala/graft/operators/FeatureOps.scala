@@ -30,6 +30,27 @@ object FeatureOps {
       |  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q173: NULL / three-valued-logic parity — ONE SQL text, two engines
+    * (q144's pattern), pinning the semantics engines most often get
+    * wrong: COUNT(col) vs COUNT(*), predicates over NULL, NOT IN
+    * against a set CONTAINING NULL (UNKNOWN for every row ⇒ count 0),
+    * IS DISTINCT FROM, and coalesce defaults. */
+  private val nullParitySql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+      |         CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS u
+      |  FROM events),
+      |s AS (SELECT DISTINCT CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id % 5 END AS k FROM events)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(v) AS BIGINT) AS n_v,
+      |  CAST(count_if(v IS NULL) AS BIGINT) AS n_v_null,
+      |  CAST(count_if(u % 5 IN (1, 2)) AS BIGINT) AS n_in,
+      |  CAST(count_if(u % 5 NOT IN (SELECT k FROM s)) AS BIGINT) AS n_not_in_nullset,
+      |  CAST(count_if(v IS DISTINCT FROM NULL) AS BIGINT) AS n_distinct_from_null,
+      |  CAST(count_if(coalesce(v, -1.0) < 0) AS BIGINT) AS n_coalesced
+      |FROM t""".stripMargin
+
   private def r2(c: Column) = round(c, 2)
   private def r4(c: Column) = round(c, 4)
   private def r6(c: Column) = round(c, 6)
@@ -275,6 +296,13 @@ object FeatureOps {
           min(dayofmonth(col("ts"))).cast("long").as("d_lo"),
           max(dayofmonth(col("ts"))).cast("long").as("d_hi"))
         .orderBy("zbucket")
+    },
+
+    /** See [[nullParitySql]] — the dialect-parity companion to q144,
+      * over the NULL semantics corner cases. */
+    QueryDef("q173_null_semantics", FeatureOps.nullParitySql) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(FeatureOps.nullParitySql)
     }
   )
 }

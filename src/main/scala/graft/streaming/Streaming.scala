@@ -236,6 +236,28 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    /** Watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`,
+      * the state-BOUNDED variant of q81's dropDuplicates: dedup state
+      * for a key is dropped once the watermark passes its event time +
+      * delay, so state is O(keys per window), not O(keys ever seen) —
+      * the only dedup that survives an unbounded stream. Delay (40
+      * days) exceeds the dataset span here, so the finite-stream result
+      * equals a global batch distinct, which is the oracle.
+      */
+    QueryDef(
+      "q172_stream_dedup_watermark",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val deduped = eventStream(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_type", "user_id")
+      drain(s, deduped, "graft_stream_dedup_wm", "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
     /** Gap-based session windows via the native `session_window`
       * operator (batch mode — same operator the streaming engine uses,
       * here hash-verified against the relational lag/cumsum
