@@ -120,8 +120,9 @@ object AnalyticsOps {
           concat(lit("src"), expr("doc_id DIV 7") % 20, lit(".example.com")).as("dst"))
       val edges = links.groupBy("src", "dst")
         .agg(count(lit(1)).cast("double").as("w"))
+        .cache() // tiny (hosts**2); reused by all three iterations
       val nodes = links.select(col("src").as("host"))
-        .union(links.select(col("dst"))).distinct()
+        .union(links.select(col("dst"))).distinct().cache()
       val n = nodes.count().toDouble
       val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outw"))
       var pr = nodes.select(col("host"), (lit(1.0) / n).as("rank"))
@@ -152,6 +153,7 @@ object AnalyticsOps {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id") +: (0 until Dims).map(i =>
           element_at(col("embedding"), i + 1).cast("double").as(s"d$i")): _*)
+        .cache() // Dims doubles per row; read once per Lloyd iteration
       // seed: the first K vectors by id
       var cents: Array[(Int, Array[Double])] = e.where(col("vec_id") < K)
         .orderBy("vec_id").collect()
