@@ -27,6 +27,7 @@ object SparkEntry {
       operators.StatsOps.defs ++
       operators.TemporalOps.defs ++
       operators.RobustOps.defs ++
+      operators.TextIndexOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

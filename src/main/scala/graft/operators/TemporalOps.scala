@@ -322,6 +322,37 @@ object TemporalOps {
             .otherwise(col("total") + col("d_total")).as("total"))
         .where(col("action") =!= "deleted")
         .orderBy("user_id")
+    },
+
+    /** Islands-and-gaps over the purchase event_id sequence — the
+      * missing-data / continuity audit (did ingestion drop a range?).
+      * The classic id − row_number() grouping key: consecutive ids
+      * share a key, so islands fall out of one grouped aggregate. The
+      * global row_number runs over the FILTERED subset (aggregate-first
+      * discipline); at 100 TB the same trick runs per partition-range
+      * with q160's two-phase offset merge.
+      */
+    QueryDef(
+      "q174_id_islands",
+      """WITH ids AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
+        |grp AS (
+        |  SELECT event_id, event_id - row_number() OVER (ORDER BY event_id) AS g
+        |  FROM ids)
+        |SELECT CAST(min(event_id) AS BIGINT) AS island_start,
+        |  CAST(max(event_id) AS BIGINT) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS island_len
+        |FROM grp GROUP BY g ORDER BY island_start LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("event_id"))
+      Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"))
+        .withColumn("g", col("event_id") - row_number().over(w))
+        .groupBy("g")
+        .agg(min(col("event_id")).as("island_start"),
+          max(col("event_id")).as("island_end"),
+          count(lit(1)).as("island_len"))
+        .drop("g")
+        .orderBy("island_start").limit(20)
     }
   )
 

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 text-index artifacts: the inverted index (token → sorted
+  * posting list) a search engine materializes over the corpus, and
+  * bigram PMI (pointwise mutual information) — the collocation
+  * statistic used to mine multi-word expressions for tokenizer and
+  * phrase-table construction.
+  */
+object TextIndexOps {
+  private def words(c: Column): Column = graft.functions.Text.wordsCol(c)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Inverted-index build: posexplode to (token, doc, position),
+      * min-position per (token, doc), then one grouped aggregate per
+      * token emitting document frequency + the first 5 postings of the
+      * doc-sorted list. Two shuffles (token,doc then token); postings
+      * truncate AFTER sort so the artifact is deterministic. At 100 TB
+      * the posting lists write out bucketed by token — the same two
+      * shuffles, no driver involvement.
+      */
+    QueryDef(
+      "q175_inverted_index",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS pos
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+        |first_pos AS (SELECT w, doc_id, min(pos) AS fp FROM pos GROUP BY w, doc_id),
+        |df AS (SELECT w, count(*) AS df FROM first_pos GROUP BY w)
+        |SELECT f.w AS token, CAST(min(d.df) AS BIGINT) AS df,
+        |  list_sort(list(f.doc_id))[1:5] AS postings
+        |FROM first_pos f JOIN df d ON f.w = d.w
+        |WHERE d.df BETWEEN 380 AND 430
+        |GROUP BY f.w ORDER BY f.w""".stripMargin) { (s, d) =>
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("p0", "w")))
+        .select(col("doc_id"), col("w"), (col("p0") + 1).cast("long").as("pos"))
+      val firstPos = pos.groupBy("w", "doc_id").agg(min(col("pos")).as("fp"))
+      firstPos.groupBy(col("w").as("token"))
+        .agg(count(lit(1)).as("df"),
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5).as("postings"))
+        .where(col("df").between(380, 430))
+        .orderBy("token")
+    },
+
+    /** Bigram PMI: ln( p(w1,w2) / (p(w1)·p(w2)) ) over adjacent token
+      * pairs. Unigram and bigram tables are two grouped counts; the
+      * scalar totals broadcast; the PMI formula is pure map work on the
+      * (vocab²-bounded) bigram table. The standard collocation miner,
+      * shaped so nothing but token tables ever shuffles.
+      */
+    QueryDef(
+      "q176_bigram_pmi",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS n FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM uni),
+        |big AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS n
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)
+        |  GROUP BY 1, 2),
+        |btot AS (SELECT CAST(sum(n) AS DOUBLE) AS bt FROM big)
+        |SELECT w1, w2, CAST(b.n AS BIGINT) AS n,
+        |  round(ln((b.n / (SELECT bt FROM btot)) /
+        |    ((u1.n / (SELECT nt FROM tot)) * (u2.n / (SELECT nt FROM tot)))), 6) AS pmi
+        |FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+        |WHERE b.n >= 30
+        |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val uni = tok.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val nt = uni.agg(sum(col("n")).cast("double").as("nt"))
+      val big = tok.where(size(col("ws")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+        .select(col("b.0").as("w1"), col("b.1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val bt = big.agg(sum(col("n")).cast("double").as("bt"))
+      big.join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), Seq("w2"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(bt))
+        .where(col("n") >= 30)
+        .select(col("w1"), col("w2"), col("n"),
+          round(log((col("n") / col("bt")) /
+            ((col("n1") / col("nt")) * (col("n2") / col("nt")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(15)
+    }
+  )
+}
