@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TemporalOps.defs ++
       operators.RobustOps.defs ++
       operators.TextIndexOps.defs ++
+      operators.SearchOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

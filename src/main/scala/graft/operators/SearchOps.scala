@@ -1,0 +1,362 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 2: search ranking, corpus curation, and warehouse-audit
+  * operators (SURVEY.md §2.B groups 3/4/10).
+  *
+  *  - q177: correlated scalar subquery (Catalyst decorrelation surface)
+  *  - q178: BM25 relevance ranking over the corpus
+  *  - q179: percentile winsorization (robust preprocessing)
+  *  - q180: C4-style chunk-level exact dedup across documents
+  *  - q181: snapshot reconciliation diff (table-diff audit)
+  *  - q182: next-action sequence training-example construction
+  */
+object SearchOps {
+  private def words(c: org.apache.spark.sql.Column) =
+    graft.functions.Text.wordsCol(c)
+
+  /** ONE SQL text run verbatim by both engines (like q144): the
+    * correlated-scalar-subquery idiom. Spark decorrelates the per-row
+    * aggregate lookup into a grouped aggregate + join — the rewrite this
+    * query pins.
+    */
+  private val correlatedSql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o_totalprice > 2.0 * (SELECT avg(o2.o_totalprice)
+      |                            FROM orders o2
+      |                            WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Correlated scalar subquery with an aggregate: orders priced above
+      * 2× their own customer's average. Naively O(n) subqueries; Catalyst
+      * decorrelates to one grouped aggregate joined back on the
+      * correlation key — one shuffle on o_custkey, the only plan that
+      * survives 100 TB.
+      */
+    QueryDef("q177_correlated_scalar", correlatedSql) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(correlatedSql)
+    },
+
+    /** BM25 ranking (k1=1.2, b=0.75) of the corpus for a fixed 3-term
+      * query. Shaped for scale: per-doc term frequencies come from
+      * map-side array filters (no token explode, no shuffle); the only
+      * wide op is ONE global aggregate producing the O(terms) df/avgdl
+      * statistics, which broadcast back. The per-term score sum is
+      * written in fixed term order so both engines add the same doubles
+      * in the same order.
+      */
+    QueryDef(
+      "q178_bm25_rank",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(ws, x -> x = 'join')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(ws, x -> x = 'fast')) AS DOUBLE) AS tf3
+        |  FROM tok),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM tf)
+        |SELECT doc_id, round(
+        |    ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) *
+        |      (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) +
+        |    ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) *
+        |      (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) +
+        |    ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5)) *
+        |      (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 6) AS bm25
+        |FROM tf, st
+        |WHERE tf1 + tf2 + tf3 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      def cnt(w: String) =
+        size(filter(col("ws"), x => x === w)).cast("double")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+          cnt("spark").as("tf1"), cnt("join").as("tf2"), cnt("fast").as("tf3"))
+      val st = tf.agg(
+        count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).cast("double").as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).cast("double").as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).cast("double").as("df3"))
+      def term(tfc: String, dfc: String) =
+        log(lit(1) + (col("n") - col(dfc) + 0.5) / (col(dfc) + 0.5)) *
+          (col(tfc) * 2.2) /
+          (col(tfc) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.crossJoin(broadcast(st))
+        .where(col("tf1") + col("tf2") + col("tf3") > 0)
+        .select(col("doc_id"),
+          round(term("tf1", "df1") + term("tf2", "df2") + term("tf3", "df3"), 6)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+
+    /** Winsorization: clip values to the per-group exact [p05, p95]
+      * band, report the distribution before/after. Percentiles are
+      * order statistics (one shuffle on the small group key); the clip
+      * itself is map-side under a broadcast of the O(groups) band table.
+      * Decimal-cast sums keep the before/after moments bit-identical
+      * across engines (house rule, cf. q145/q152); the band compare is
+      * ULP-safe because an interpolated bound never collides with an
+      * observation.
+      */
+    QueryDef(
+      "q179_winsorize_stats",
+      """WITH pct AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type),
+        |c AS (
+        |  SELECT e.event_type, e.value,
+        |    greatest(p.p05, least(p.p95, e.value)) AS clipped, p.p05, p.p95
+        |  FROM events e JOIN pct p ON e.event_type = p.event_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS raw_mean,
+        |  round(CAST(sum(CAST(clipped AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS clip_mean,
+        |  round(CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS raw_m2,
+        |  round(CAST(sum(CAST(clipped * clipped AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS clip_m2,
+        |  round(min(p05), 6) AS p05, round(min(p95), 6) AS p95
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val pct = Tables.events(s, d).groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      def dm(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(28,8)")).cast("double") / count(lit(1))
+      Tables.events(s, d).join(broadcast(pct), Seq("event_type"))
+        .withColumn("clipped", greatest(col("p05"), least(col("p95"), col("value"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(dm(col("value")), 4).as("raw_mean"),
+          round(dm(col("clipped")), 4).as("clip_mean"),
+          round(dm(col("value") * col("value")), 4).as("raw_m2"),
+          round(dm(col("clipped") * col("clipped")), 4).as("clip_m2"),
+          round(min(col("p05")), 6).as("p05"), round(min(col("p95")), 6).as("p95"))
+        .orderBy("event_type")
+    },
+
+    /** C4-style chunk-level exact dedup: documents split into
+      * non-overlapping 10-token chunks; a chunk survives only at its
+      * FIRST corpus occurrence (doc_id, position order). One shuffle on
+      * the chunk text (at 100 TB: on a 128-bit chunk fingerprint —
+      * same plan, narrower key), one bounded window per chunk group.
+      * Reports the per-source survival ratio — the number a curation
+      * pipeline watches to catch template spam.
+      */
+    QueryDef(
+      "q180_chunk_dedup",
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, source, i AS idx,
+        |    array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(0, (len(ws)-1)//10)) AS i)
+        |  WHERE len(ws) > 0),
+        |flagged AS (
+        |  SELECT source, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM chunks)
+        |SELECT source, count(*) AS chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_ratio
+        |FROM flagged GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+        .where(size(col("ws")) > 0)
+      val chunks = tok.select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(col("ws")) - 1) / lit(10))),
+          i => concat_ws(" ", slice(col("ws"), (i * 10 + 1).cast("int"), lit(10)))))
+          .as(Seq("idx", "chunk")))
+      val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("chunks"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("kept"),
+          round(sum(when(col("rn") === 1, 1).otherwise(0)).cast("double") /
+            count(lit(1)), 6).as("keep_ratio"))
+        .orderBy("source")
+    },
+
+    /** Snapshot reconciliation: classify every key of two table versions
+      * as insert / delete / update / same and total the value drift.
+      * ONE co-partitioned full outer join on the key — the reconciler
+      * that audits a CDC pipeline end-to-end. Deterministic synthetic
+      * versions: base drops keys ≡0 (mod 97), current drops ≡0 (mod
+      * 101) and reprices ≡0 (mod 89).
+      */
+    QueryDef(
+      "q181_snapshot_diff",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |curr AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.01
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |diff AS (
+        |  SELECT CASE
+        |      WHEN b.o_orderkey IS NULL THEN 'insert'
+        |      WHEN c.o_orderkey IS NULL THEN 'delete'
+        |      WHEN b.o_totalprice <> c.o_totalprice
+        |        OR b.o_orderstatus <> c.o_orderstatus THEN 'update'
+        |      ELSE 'same' END AS class,
+        |    abs(coalesce(c.o_totalprice, 0.0) - coalesce(b.o_totalprice, 0.0)) AS drift
+        |  FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey)
+        |SELECT class, count(*) AS n,
+        |  round(CAST(sum(CAST(drift AS DECIMAL(28,8))) AS DOUBLE), 2) AS drift
+        |FROM diff GROUP BY class ORDER BY class""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val base = o.where(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val curr = o.where(col("o_orderkey") % 101 =!= 0)
+        .select(col("o_orderkey").as("c_orderkey"),
+          col("o_orderstatus").as("c_orderstatus"),
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") * 1.01)
+            .otherwise(col("o_totalprice")).as("c_totalprice"))
+      base.join(curr, col("o_orderkey") === col("c_orderkey"), "full_outer")
+        .select(
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("c_orderkey").isNull, "delete")
+            .when(col("o_totalprice") =!= col("c_totalprice") ||
+              col("o_orderstatus") =!= col("c_orderstatus"), "update")
+            .otherwise("same").as("class"),
+          abs(coalesce(col("c_totalprice"), lit(0.0)) -
+            coalesce(col("o_totalprice"), lit(0.0))).as("drift"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("drift").cast("decimal(28,8)")).cast("double"), 2).as("drift"))
+        .orderBy("class")
+    },
+
+    /** Sequence training-example construction: per user, (previous 3
+      * event types → next event type) pairs — the windowed
+      * next-token-style dataset build a behavioral model trains on.
+      * One shuffle (user_id), three lag() reads sharing one window
+      * sort; the context/target distribution is the emitted artifact.
+      */
+    QueryDef(
+      "q182_sequence_examples",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 3) OVER w AS c1,
+        |    lag(event_type, 2) OVER w AS c2,
+        |    lag(event_type, 1) OVER w AS c3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT c1 || '>' || c2 || '>' || c3 AS context, event_type AS target,
+        |  count(*) AS n
+        |FROM seq WHERE c1 IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, context, target LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          lag(col("event_type"), 3).over(w).as("c1"),
+          lag(col("event_type"), 2).over(w).as("c2"),
+          lag(col("event_type"), 1).over(w).as("c3"))
+        .where(col("c1").isNotNull)
+        .select(concat_ws(">", col("c1"), col("c2"), col("c3")).as("context"),
+          col("event_type").as("target"))
+        .groupBy("context", "target").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("context"), col("target")).limit(20)
+    },
+
+    /** Boolean / bitwise aggregate family (G4): bool_and, bool_or,
+      * bit_and, bit_or, bit_xor, count_if per group. All associative +
+      * commutative, so they partial-aggregate map-side like sum — the
+      * property this query pins across both engines. Booleans emit as
+      * INT so the hash compare is type-stable.
+      */
+    QueryDef(
+      "q184_bool_bit_aggs",
+      """SELECT event_type,
+        |  CAST(bool_and(value > 1.0) AS INT) AS all_gt1,
+        |  CAST(bool_or(value > 500.0) AS INT) AS any_gt500,
+        |  bit_and(user_id % 256) AS band,
+        |  bit_or(user_id % 256) AS bor,
+        |  bit_xor(event_id) AS bxor,
+        |  CAST(count_if(value > 50.0) AS BIGINT) AS n_gt50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(bool_and(col("value") > 1.0).cast("int").as("all_gt1"),
+          bool_or(col("value") > 500.0).cast("int").as("any_gt500"),
+          bit_and(col("user_id") % 256).as("band"),
+          bit_or(col("user_id") % 256).as("bor"),
+          bit_xor(col("event_id")).as("bxor"),
+          count_if(col("value") > 50.0).as("n_gt50"))
+        .orderBy("event_type")
+    },
+
+    /** Product-quantization encoding (G10, the IVF-PQ compression step
+      * downstream of q152's coarse quantizer): dims 1-8 split into two
+      * 4-dim subspaces, each quantized against a 4-centroid codebook
+      * (vectors 0-3). Codebooks are O(K·dims) driver literals, so
+      * encoding is pure map work — argmin per subspace via a (distance,
+      * code) struct min with the code as tie-break, distances written in
+      * fixed left-associative dim order so both engines add identical
+      * doubles. Per-cell counts + decimal-exact mean reconstruction
+      * error are the emitted codebook-quality profile.
+      */
+    QueryDef(
+      "q185_pq_encode", {
+        def dist(sub: Int): String = {
+          val lo = sub * 4 + 1
+          (lo until lo + 4).map(i => s"(v.x$i-c.x$i)*(v.x$i-c.x$i)").mkString(" + ")
+        }
+        s"""WITH v AS (
+           |  SELECT vec_id, ${(1 to 8).map(i => s"CAST(embedding[$i] AS DOUBLE) AS x$i").mkString(", ")}
+           |  FROM embeddings),
+           |cent AS (SELECT * FROM v WHERE vec_id < 4),
+           |d AS (
+           |  SELECT v.vec_id, c.vec_id AS c,
+           |    ${dist(0)} AS d1,
+           |    ${dist(1)} AS d2
+           |  FROM v CROSS JOIN cent c),
+           |a AS (
+           |  SELECT vec_id, c, d1, d2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d1, c) AS r1,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS r2
+           |  FROM d),
+           |enc AS (
+           |  SELECT vec_id,
+           |    max(CASE WHEN r1 = 1 THEN c END) AS code1,
+           |    max(CASE WHEN r2 = 1 THEN c END) AS code2,
+           |    max(CASE WHEN r1 = 1 THEN d1 END) + max(CASE WHEN r2 = 1 THEN d2 END) AS recon
+           |  FROM a GROUP BY vec_id)
+           |SELECT code1, code2, count(*) AS n,
+           |  round(CAST(sum(CAST(recon AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mse
+           |FROM enc GROUP BY code1, code2 ORDER BY code1, code2""".stripMargin
+      }) { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id") +:
+        (1 to 8).map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      // codebook: 4 centroids × 8 dims — tiny, collected once
+      val cents = v.where(col("vec_id") < 4).orderBy("vec_id").collect()
+      def dist(r: org.apache.spark.sql.Row, lo: Int) =
+        (lo until lo + 4).map(i =>
+          (col(s"x$i") - r.getDouble(i)) * (col(s"x$i") - r.getDouble(i)))
+          .reduce(_ + _)
+      def code(lo: Int) = least(cents.map(r =>
+        struct(dist(r, lo).as("d"), lit(r.getLong(0)).as("c"))): _*)
+      v.select(col("vec_id"), code(1).as("a1"), code(5).as("a2"))
+        .select(col("vec_id"), col("a1.c").as("code1"), col("a2.c").as("code2"),
+          (col("a1.d") + col("a2.d")).as("recon"))
+        .groupBy("code1", "code2")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("recon").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("mse"))
+        .orderBy("code1", "code2")
+    }
+  )
+}

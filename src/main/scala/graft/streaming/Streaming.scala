@@ -3,7 +3,7 @@ package graft.streaming
 import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.B group 8). The unified
@@ -155,6 +155,37 @@ object Streaming {
     }
   }
 
+  /** Per-user top-3 values through a named ListState plus a ValueState
+    * counter (q183): the bounded-collection state shape — a leaderboard,
+    * a last-N buffer — that ValueState can't express without packing.
+    * Top-3-by-value is a semigroup, so arrival order across micro-batches
+    * cannot change the result; the emitted sum goes through
+    * decimal(28,8) so it is bit-identical to the oracle's DECIMAL sum.
+    */
+  private class TopKListProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var top: ListState[Double] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[Double]("top3", Encoders.scalaDouble, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Double)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      top.get().foreach(buf += _)
+      var n = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { case (_, v) => buf += v; n += 1 }
+      val best = buf.sorted(Ordering[Double].reverse).take(3).toArray
+      top.put(best)
+      cnt.update(n)
+      val sum = best.map(v => new java.math.BigDecimal(v)
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      Iterator.single((key, n, sum.doubleValue()))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Arbitrary stateful processing through the transformWithState API
@@ -196,6 +227,54 @@ object Streaming {
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"),
           round(max_by(col("total_raw"), col("n_events")), 2).as("total"))
+        .orderBy("user_id")
+    },
+
+    /** ListState through transformWithState (q183): per-user top-3
+      * leaderboard maintained as a named RocksDB list plus a ValueState
+      * event counter. Update-mode emission; the counter is strictly
+      * increasing so max_by picks the final state, which on the finite
+      * source equals the batch window-rank oracle.
+      */
+    QueryDef(
+      "q183_stream_list_state",
+      """WITH cnt AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |ranked AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events),
+        |t3 AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS s
+        |  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+        |SELECT c.user_id, c.n_events, round(t.s, 2) AS top3
+        |FROM cnt c JOIN t3 t ON c.user_id = t.user_id
+        |ORDER BY c.user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val updated = eventStream(s, d)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new TopKListProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "top3_raw")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val q = withStreamConf(s) {
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          updated.writeStream.format("memory").queryName("graft_tws_list")
+            .outputMode("update").start()
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_tws_list")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(max_by(col("top3_raw"), col("n_events")), 2).as("top3"))
         .orderBy("user_id")
     },
 
