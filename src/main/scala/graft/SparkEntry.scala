@@ -29,6 +29,7 @@ object SparkEntry {
       operators.RobustOps.defs ++
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
+      operators.DialectOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 3: SQL-dialect surface widening (SURVEY.md §2.B groups
+  * 5/6/7) — period-over-period growth, top-k WITH TIES, running
+  * distinct-count windows, and array quantifier HOFs.
+  */
+object DialectOps {
+  private def words(c: org.apache.spark.sql.Column) =
+    graft.functions.Text.wordsCol(c)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Period-over-period growth (the WoW/YoY BI staple): weekly
+      * revenue per event type, each week compared to the previous one
+      * with lag() over the AGGREGATED series. The base aggregate is the
+      * only big shuffle; the growth window runs over O(weeks × types)
+      * rows. Decimal sums keep the weekly revenue bit-identical, so the
+      * growth ratio (double division of two identical doubles) matches
+      * too.
+      */
+    QueryDef(
+      "q186_period_growth",
+      """WITH wk AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(week AS VARCHAR) AS week, round(rev, 2) AS rev,
+        |  round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS wow
+        |FROM wk
+        |WINDOW w AS (PARTITION BY event_type ORDER BY week)
+        |ORDER BY event_type, week""".stripMargin) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(sum(col("value").cast("decimal(28,8)")).cast("double").as("rev"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      wk.select(col("event_type"), col("week").cast("string").as("week"),
+          round(col("rev"), 2).as("rev"),
+          round((col("rev") - lag(col("rev"), 1).over(w)) /
+            lag(col("rev"), 1).over(w), 6).as("wow"))
+        .orderBy("event_type", "week")
+    },
+
+    /** Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES semantics, G6):
+      * rank() — not row_number() — keeps every row tied with the k-th,
+      * so the result is a deterministic SET with no tie-break dice roll.
+      * Same bounded-window shape as q40; the tie rows are exactly what
+      * the bounded-heap operator must NOT drop.
+      */
+    QueryDef(
+      "q187_topk_with_ties",
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rnk
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rnk"))
+        .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey"))
+    },
+
+    /** Running DISTINCT count per user (G5): how many distinct event
+      * types each user has touched as of each event. Spark has no
+      * COUNT(DISTINCT) OVER; the engine form is size(collect_set() OVER)
+      * — same one-shuffle window, state bounded by the type cardinality,
+      * which is what makes it viable at 100 TB (the set never exceeds
+      * |event_type|).
+      */
+    QueryDef(
+      "q188_distinct_window",
+      """SELECT user_id, event_id,
+        |  count(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+        .orderBy("user_id", "event_id")
+    },
+
+    /** Array quantifier HOFs (G7): exists / forall / array_distinct /
+      * arrays_overlap over the token arrays — the predicate vocabulary
+      * corpus filters are written in. Pure map work; booleans emit as
+      * INT for a type-stable hash.
+      */
+    QueryDef(
+      "q189_array_quantifiers",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ws, x -> x = 'spark')) > 0 AS INT) AS has_spark,
+        |  CAST(list_has_any(ws, ['spark', 'fast']) AS INT) AS has_any,
+        |  CAST(len(list_filter(ws, x -> len(x) <= 2)) = 0 AS INT) AS all_gt2,
+        |  CAST(len(list_distinct(ws)) AS INT) AS n_distinct
+        |FROM tok ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).where(col("doc_id") < 30)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          exists(col("ws"), x => x === "spark").cast("int").as("has_spark"),
+          arrays_overlap(col("ws"), array(lit("spark"), lit("fast")))
+            .cast("int").as("has_any"),
+          forall(col("ws"), x => length(x) > 2).cast("int").as("all_gt2"),
+          size(array_distinct(col("ws"))).as("n_distinct"))
+        .orderBy("doc_id")
+    }
+  )
+}
