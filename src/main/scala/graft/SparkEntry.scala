@@ -30,6 +30,7 @@ object SparkEntry {
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
       operators.DialectOps.defs ++
+      operators.MLOps.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

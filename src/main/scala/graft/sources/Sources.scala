@@ -250,6 +250,41 @@ object Sources {
         .agg(count(lit(1)).as("n"), r2(sum(col("o.p"))).as("total"),
           max(col("o.k")).as("max_key"))
         .orderBy("o_orderstatus")
+    },
+
+    /** binaryFile source (group 1, the multimodal ingestion path):
+      * opaque blobs scanned as (path, length, content) rows — how
+      * image/audio corpora enter the pipeline before q84/q85's typed
+      * metadata and stub decoding. Fixtures are staged deterministically
+      * (idempotent), so the oracle is the literal manifest: name, byte
+      * length, and sha256 — Spark's `sha2(content, 256)` must reproduce
+      * the staged bytes' digest exactly. At 100 TB this scan is the same
+      * operator over an object-store listing; `pathGlobFilter` and
+      * recursive lookup keep partition planning on the driver cheap.
+      */
+    QueryDef(
+      "q192_binaryfile_scan",
+      """SELECT * FROM (VALUES
+        |  ('file0.bin', CAST(230 AS BIGINT),
+        |   'efe5fdf4f9e75474c6da12a4a263382d4677b9646bbf618ace53a0c540c54cf9'),
+        |  ('file1.bin', CAST(460 AS BIGINT),
+        |   '64a0abce4ec0a9e30efb872308151adc3b365f9ea28e316a0c694e5d4eee543e'),
+        |  ('file2.bin', CAST(690 AS BIGINT),
+        |   'f98019a951ae83118d91ab8d320f04870305f05433ed55895256df745d900243')
+        |) t(name, length, sha256) ORDER BY name""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Paths.get(scratch(d, "binary_fixture"))
+      java.nio.file.Files.createDirectories(dir)
+      for (i <- 0 to 2) {
+        val dst = dir.resolve(s"file$i.bin")
+        if (!java.nio.file.Files.exists(dst))
+          java.nio.file.Files.write(dst,
+            (s"graft binary fixture $i\n" * ((i + 1) * 10)).getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir.toString)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+          col("length"), sha2(col("content"), 256).as("sha256"))
+        .orderBy("name")
     }
   )
 }

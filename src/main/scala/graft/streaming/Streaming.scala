@@ -3,7 +3,7 @@ package graft.streaming
 import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.B group 8). The unified
@@ -186,6 +186,34 @@ object Streaming {
     }
   }
 
+  /** Per-(user, event_type) running (count, decimal sum) through a named
+    * MapState (q190) — the keyed-sub-aggregate state shape (a counter
+    * map, a per-category accumulator) that completes the
+    * transformWithState state-type triad next to q109's ValueState and
+    * q183's ListState. The full map re-emits each batch (bounded by the
+    * type cardinality); per-entry counts are monotone, so max_by picks
+    * the final state downstream. Sums accumulate as scale-8 BigDecimals
+    * — the exact arithmetic of the oracle's DECIMAL(28,8) cast — so
+    * arrival order cannot perturb the emitted double.
+    */
+  private class PerTypeMapProcessor
+      extends StatefulProcessor[Long, (Long, String, Double), (Long, String, Long, Double)] {
+    @transient private var m: MapState[String, (Long, BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, (Long, BigDecimal)]("perType",
+        Encoders.STRING, Encoders.product[(Long, BigDecimal)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Double)],
+        timers: TimerValues): Iterator[(Long, String, Long, Double)] = {
+      rows.foreach { case (_, t, v) =>
+        val (n, sm) = if (m.containsKey(t)) m.getValue(t) else (0L, BigDecimal(0))
+        m.updateValue(t, (n + 1,
+          sm + BigDecimal(v).setScale(8, scala.math.BigDecimal.RoundingMode.HALF_UP)))
+      }
+      m.iterator().map { case (t, (n, sm)) => (key, t, n, sm.doubleValue) }
+        .toArray.iterator
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Arbitrary stateful processing through the transformWithState API
@@ -228,6 +256,47 @@ object Streaming {
         .agg(max(col("n_events")).as("n_events"),
           round(max_by(col("total_raw"), col("n_events")), 2).as("total"))
         .orderBy("user_id")
+    },
+
+    /** MapState through transformWithState (q190): per-user per-type
+      * running aggregates in a named RocksDB map — update mode, full-map
+      * emission per batch, monotone per-entry counts so max_by selects
+      * the final state; on the finite source that equals the batch
+      * (user, type) group-by, which is the oracle.
+      */
+    QueryDef(
+      "q190_stream_map_state",
+      """SELECT user_id, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val updated = eventStream(s, d)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new PerTypeMapProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n_raw", "total_raw")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val q = withStreamConf(s) {
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          updated.writeStream.format("memory").queryName("graft_tws_map")
+            .outputMode("update").start()
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_tws_map")
+        .groupBy("user_id", "event_type")
+        .agg(max(col("n_raw")).as("n"),
+          round(max_by(col("total_raw"), col("n_raw")), 2).as("total"))
+        .orderBy("user_id", "event_type")
     },
 
     /** ListState through transformWithState (q183): per-user top-3
