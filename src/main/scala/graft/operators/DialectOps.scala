@@ -117,6 +117,80 @@ object DialectOps {
           forall(col("ws"), x => length(x) > 2).cast("int").as("all_gt2"),
           size(array_distinct(col("ws"))).as("n_distinct"))
         .orderBy("doc_id")
+    },
+
+    /** Nested-struct editing (G7, the lakehouse schema-evolution
+      * surface): `Column.withField` adds a computed member and
+      * `dropFields` removes one without rebuilding the struct — the
+      * in-place nested rewrite `UpdateFields` plans as pure projection,
+      * no shuffle. The oracle states the flattened result directly.
+      */
+    QueryDef(
+      "q193_struct_edit",
+      """SELECT o_orderkey, o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |  round(o_totalprice * 1.1, 2) AS p2
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            col("o_orderstatus").as("st")).as("o"))
+        .select(col("o_orderkey"),
+          col("o").withField("p2", round(col("o.p") * 1.1, 2))
+            .dropFields("st").as("o2"))
+        .select(col("o_orderkey"), col("o2.k").as("k"),
+          round(col("o2.p"), 2).as("p"), col("o2.p2").as("p2"))
+        .orderBy("o_orderkey")
+    },
+
+    /** Point-in-time join via the UNION trick (G3/G5, the shape that
+      * replaces a range join at scale): purchase "state" snapshots and
+      * click facts union into ONE per-user ordered stream; a single
+      * window pass carries the last non-null state onto each fact —
+      * kind sorts states before same-instant facts, so a click at the
+      * exact snapshot timestamp sees the new state (as-of ≤ semantics).
+      * One shuffle on user_id, zero join nodes; the naive interval-join
+      * formulation is O(facts × states) per user and melts at 100 TB.
+      */
+    QueryDef(
+      "q194_pit_union_join",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value / 20) AS BIGINT) AS state,
+        |    0 AS kind, CAST(NULL AS DOUBLE) AS fact_val
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, 1, value
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, kind, fact_val,
+        |    last_value(state IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+        |  FROM u)
+        |SELECT state, count(*) AS n_clicks, count(DISTINCT user_id) AS users,
+        |  round(CAST(sum(CAST(fact_val AS DECIMAL(28,8))) AS DOUBLE) / count(*), 4) AS avg_val
+        |FROM c WHERE kind = 1 AND state IS NOT NULL
+        |GROUP BY state ORDER BY state""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val states = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20).cast("long").as("state"),
+          lit(0).as("kind"), lit(null).cast("double").as("fact_val"))
+      val facts = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("state"),
+          lit(1).as("kind"), col("value").as("fact_val"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      states.unionByName(facts)
+        .withColumn("state", last(col("state"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1 && col("state").isNotNull)
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_clicks"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("fact_val").cast("decimal(28,8)")).cast("double") /
+            count(lit(1)), 4).as("avg_val"))
+        .orderBy("state")
     }
   )
 }

@@ -240,4 +240,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.exists(_.shuffleOrigin.toString.startsWith("REBALANCE")),
       s"expected a REBALANCE-origin exchange, got ${ex.map(_.shuffleOrigin)}")
   }
+
+  test("q178 BM25 term frequencies stay map-side (no Generate, one shuffle)") {
+    // the whole point of the array-filter tf form: no token explode
+    // reaches the plan, and the only shuffle is the global stats
+    // aggregate (top-10 plans as TakeOrderedAndProject, not a sort
+    // exchange)
+    val plan = finalPlan(SparkEntry.queries("q178_bm25_rank")(spark, sf))
+    val nodes = allNodes(plan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec]),
+      "BM25 must not explode tokens")
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"expected <=1 shuffle, got ${shuffles.size}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-10 should plan as TakeOrderedAndProject")
+  }
+
+  test("q185 PQ encode is join-free (codebooks are literals)") {
+    val plan = finalPlan(SparkEntry.queries("q185_pq_encode")(spark, sf))
+    val nodes = allNodes(plan)
+    val joins = nodes.filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins.isEmpty, s"expected no joins, got ${joins.map(_.nodeName)}")
+  }
+
+  test("q194 point-in-time union join plans zero join nodes") {
+    // the union+window form replaces the interval join: a single
+    // user_id window shuffle, no BNLJ/cartesian anywhere
+    val plan = finalPlan(SparkEntry.queries("q194_pit_union_join")(spark, sf))
+    val nodes = allNodes(plan)
+    val joins = nodes.filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    assert(joins.isEmpty, s"expected no joins, got ${joins.map(_.nodeName)}")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "expected the carry window")
+  }
 }
