@@ -93,6 +93,79 @@ object TextIndexOps {
           round(log((col("n") / col("bt")) /
             ((col("n1") / col("nt")) * (col("n2") / col("nt")))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(15)
+    },
+
+    /** BPE-style pair-merge training, 3 iterations (the tokenizer-
+      * construction loop, word-level): each round counts adjacent token
+      * pairs (one shuffle), the driver picks the top pair (count DESC,
+      * then lexicographic — an O(1) collect, like q152's centroids),
+      * and the merge applies map-side via literal string replace on a
+      * double-space-joined form — the two-space separator leaves a
+      * boundary space on each side of a match, so adjacent merge sites
+      * all fire in one left-to-right pass, identically in both engines
+      * (verified for chained/overlapping sites). Emits per-iteration
+      * merged pair + corpus stats. At 100 TB: same loop, pair counts
+      * partial-aggregate, the merge stays narrow.
+      */
+    QueryDef(
+      "q195_bpe_train", {
+        def lvl(i: Int): String = {
+          val prev = s"t${i - 1}"
+          s"""p$i AS (
+             |  SELECT ws[j] AS w1, ws[j+1] AS w2, count(*) AS n
+             |  FROM $prev, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS j)
+             |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+             |m$i AS (SELECT w1, w2, n FROM p$i ORDER BY n DESC, w1, w2 LIMIT 1),
+             |t$i AS (
+             |  SELECT doc_id, list_filter(string_split(
+             |    replace('  ' || array_to_string(ws, '  ') || '  ',
+             |      ' ' || (SELECT w1 FROM m$i) || '  ' || (SELECT w2 FROM m$i) || ' ',
+             |      ' ' || (SELECT w1 FROM m$i) || '_' || (SELECT w2 FROM m$i) || ' '),
+             |    ' '), x -> x != '') AS ws
+             |  FROM $prev),
+             |s$i AS (
+             |  SELECT $i AS iter, (SELECT w1 FROM m$i) AS w1, (SELECT w2 FROM m$i) AS w2,
+             |    CAST((SELECT n FROM m$i) AS BIGINT) AS n,
+             |    CAST((SELECT count(DISTINCT w) FROM (SELECT unnest(ws) AS w FROM t$i)) AS BIGINT) AS vocab_after,
+             |    CAST((SELECT sum(len(ws)) FROM t$i) AS BIGINT) AS tokens_after)"""
+        }
+        s"""WITH t0 AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+           |  FROM documents),
+           |${(1 to 3).map(lvl).mkString(",\n")}
+           |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |  UNION ALL SELECT * FROM s3) ORDER BY iter""".stripMargin
+      }) { (s, d) =>
+      var docs = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws")).cache()
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        (Int, String, String, Long, Long, Long)]
+      for (it <- 1 to 3) {
+        val top = docs.where(size(col("ws")) >= 2)
+          .select(explode(arrays_zip(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+          .select(col("b.0").as("w1"), col("b.1").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+          .collect()(0)
+        val (w1, w2, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        val prev = docs
+        docs = docs
+          .withColumn("ws", filter(split(replace(
+            concat(lit("  "), array_join(col("ws"), "  "), lit("  ")),
+            lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")), " "), w => w =!= ""))
+          .cache()
+        val stats = docs.agg(sum(size(col("ws"))).as("toks")).collect()(0)
+        val vocab = docs.select(explode(col("ws")).as("w"))
+          .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+        prev.unpersist(blocking = false)
+        out += ((it, w1, w2, n, vocab, stats.getLong(0)))
+      }
+      docs.unpersist(blocking = false)
+      import s.implicits._
+      out.toSeq.toDF("iter", "w1", "w2", "n", "vocab_after", "tokens_after")
+        .orderBy("iter")
     }
   )
 }
