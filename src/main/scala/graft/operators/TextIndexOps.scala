@@ -166,6 +166,60 @@ object TextIndexOps {
       import s.implicits._
       out.toSeq.toDF("iter", "w1", "w2", "n", "vocab_after", "tokens_after")
         .orderBy("iter")
+    },
+
+    /** Exact heavy hitters by two-phase candidate generation (the
+      * at-scale form of "frequency > θ"): phase 1 runs a Misra-Gries
+      * summary of size k per partition (mapPartitions, no shuffle) —
+      * any token with global count > N/k provably survives in at least
+      * one partition summary (pigeonhole), so with k > 1/θ the candidate
+      * union is a superset of the true θ-heavy hitters. Phase 2 exact-
+      * counts ONLY the candidates (broadcast semi-join before the
+      * shuffle) and applies the θ filter, so the result is exact and
+      * partitioning-independent while the shuffle carries O(k·parts)
+      * keys instead of the whole vocabulary. Oracle: the naive full
+      * group-by — the two must agree exactly.
+      */
+    QueryDef(
+      "q196_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        |c AS (SELECT w, count(*) AS n FROM tok GROUP BY w)
+        |SELECT w, CAST(c.n AS BIGINT) AS n,
+        |  round(c.n / (SELECT n FROM tot), 6) AS share
+        |FROM c WHERE c.n >= 0.03 * (SELECT n FROM tot)
+        |ORDER BY n DESC, w""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val theta = 0.03
+      val k = 64 // > 1/θ ⇒ the MG superset guarantee holds
+      val toks = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("w")).as[String]
+      val cands = toks.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { w =>
+          if (m.contains(w)) m(w) += 1L
+          else if (m.size < k) m(w) = 1L
+          else {
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.keysIterator.foreach { kw =>
+              val c = m(kw) - 1L
+              if (c == 0L) dead += kw else m(kw) = c
+            }
+            dead.foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }.toDF("w").distinct()
+      val total = toks.count()
+      toks.toDF("w")
+        .join(broadcast(cands), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .where(col("n") >= lit(theta) * lit(total.toDouble))
+        .select(col("w"), col("n"),
+          round(col("n") / lit(total.toDouble), 6).as("share"))
+        .orderBy(col("n").desc, col("w"))
     }
   )
 }

@@ -214,6 +214,74 @@ object Streaming {
     }
   }
 
+  /** Event-time TIMER-driven gap sessionizer (q197) — the remaining
+    * transformWithState surface after the three state types: sessions
+    * close only when a registered event-time timer expires under the
+    * watermark, never inline. The open session and the closed-but-
+    * unemitted backlog live in named state; every session registers a
+    * timer at lastEvent+gap (ms-truncated, Spark's timer clock), and
+    * handleExpiredTimer emits exactly the sessions whose expiry the
+    * watermark has passed — so the emission rule is the same
+    * `lastEvent+gap <= finalWatermark` contract q83's oracle states.
+    * Rows inside a micro-batch arrive unordered; the handler sorts the
+    * per-user batch before merging (bounded by per-user batch volume).
+    */
+  private class TimerSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    @transient private var closed: ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      closed = getHandle.getListState[(Long, Long, Long)]("closed",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      val evs = rows.map(_._2).toArray.sorted
+      var cur = if (open.exists()) Some(open.get()) else None
+      evs.foreach { ts =>
+        cur match {
+          case Some((st, last, n)) if ts - last < gapUs =>
+            cur = Some((st, math.max(last, ts), n + 1))
+          case Some(sess) =>
+            closed.appendValue(sess)
+            getHandle.registerTimer((sess._2 + gapUs) / 1000L)
+            cur = Some((ts, ts, 1L))
+          case None =>
+            cur = Some((ts, ts, 1L))
+        }
+      }
+      cur.foreach { sess =>
+        open.update(sess)
+        getHandle.registerTimer((sess._2 + gapUs) / 1000L)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val cutoff = expired.getExpiryTimeInMs
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      closed.get().foreach { s =>
+        if ((s._2 + gapUs) / 1000L <= cutoff) out += ((key, s._1, s._3))
+        else keep += s
+      }
+      if (out.nonEmpty || keep.nonEmpty) {
+        closed.clear()
+        if (keep.nonEmpty) closed.put(keep.toArray)
+      }
+      if (open.exists()) {
+        val s = open.get()
+        if ((s._2 + gapUs) / 1000L <= cutoff) {
+          out += ((key, s._1, s._3))
+          open.clear()
+        }
+      }
+      out.iterator
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Arbitrary stateful processing through the transformWithState API
@@ -256,6 +324,65 @@ object Streaming {
         .agg(max(col("n_events")).as("n_events"),
           round(max_by(col("total_raw"), col("n_events")), 2).as("total"))
         .orderBy("user_id")
+    },
+
+    /** Event-time timers through transformWithState (q197): the same
+      * 30-minute gap sessions as q83, emitted ONLY by timer expiry
+      * under the advancing watermark — on the finite source a session
+      * appears iff lastEvent+gap (ms-truncated, the timer clock) ≤ the
+      * final watermark, which the oracle states in exact microsecond
+      * arithmetic on top of the batch session SQL.
+      */
+    QueryDef(
+      "q197_stream_timer_sessions",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS start_ts, max(epoch_us(ts)) AS end_us,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start, n_events
+        |FROM agg
+        |WHERE (end_us + 1800000000) // 1000
+        |        <= (SELECT max(epoch_us(ts)) // 1000 - 10000 FROM events)
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val gapUs = 1800000000L // 30 minutes
+      val sessions = eventStream(s, d)
+        .withWatermark("ts", "10 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TimerSessionProcessor(gapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "start_us", "n_events")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val q = withStreamConf(s) {
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          sessions.writeStream.format("memory").queryName("graft_tws_timers")
+            .outputMode("append").start()
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_tws_timers")
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     },
 
     /** MapState through transformWithState (q190): per-user per-type

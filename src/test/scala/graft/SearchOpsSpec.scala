@@ -102,6 +102,19 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prof.agg(sum(col("n"))).collect()(0).getLong(0) == v.count())
   }
 
+  test("q196 two-phase heavy hitters equal the naive full group-by") {
+    val fast = SparkEntry.queries("q196_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
+    val total = toks.count().toDouble
+    val naive = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .where(col("n") >= lit(0.03) * lit(total))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
+    assert(naive.nonEmpty)
+  }
+
   test("q182 sequence examples only emit full 3-contexts") {
     val rows = SparkEntry.queries("q182_sequence_examples")(spark, sf).collect()
     assert(rows.nonEmpty)
