@@ -191,6 +191,54 @@ object DialectOps {
           round(sum(col("fact_val").cast("decimal(28,8)")).cast("double") /
             count(lit(1)), 4).as("avg_val"))
         .orderBy("state")
+    },
+
+    /** UDF/UDAF registration + parameterized SQL (G9, the registration
+      * surface §2.A lists as absent from the reference): a scalar
+      * logistic UDF and a typed-Aggregator RMS UDAF registered into the
+      * session function registry, then invoked from ONE parameterized
+      * SQL text (named `:param` markers — bound as literals before
+      * optimization, so the filter still pushes down). The UDAF buffers
+      * a scale-8 BigDecimal sum of squares — the exact arithmetic of
+      * the oracle's DECIMAL(28,8) cast — so partial-aggregation order
+      * cannot perturb the result.
+      */
+    QueryDef(
+      "q198_udaf_register",
+      """SELECT event_type,
+        |  round(sqrt(CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+        |    / count(*)), 4) AS rms,
+        |  round(CAST(sum(CAST(1.0 / (1.0 + exp(-(value / 100.0))) AS DECIMAL(28,12)))
+        |    AS DOUBLE) / count(*), 6) AS mean_sig
+        |FROM events WHERE value > 0.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Aggregator
+      import org.apache.spark.sql.{Encoder, Encoders}
+      val rms = new Aggregator[Double, (BigDecimal, Long), Double] {
+        override def zero: (BigDecimal, Long) = (BigDecimal(0), 0L)
+        override def reduce(b: (BigDecimal, Long), v: Double): (BigDecimal, Long) =
+          (b._1 + BigDecimal(v * v).setScale(8, BigDecimal.RoundingMode.HALF_UP),
+            b._2 + 1)
+        override def merge(a: (BigDecimal, Long), b: (BigDecimal, Long)): (BigDecimal, Long) =
+          (a._1 + b._1, a._2 + b._2)
+        override def finish(b: (BigDecimal, Long)): Double =
+          if (b._2 == 0) 0.0 else math.sqrt(b._1.toDouble / b._2)
+        override def bufferEncoder: Encoder[(BigDecimal, Long)] =
+          Encoders.product[(BigDecimal, Long)]
+        override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }
+      s.udf.register("graft_rms", udaf(rms))
+      s.udf.register("graft_sig",
+        (x: Double) => 1.0 / (1.0 + math.exp(-x)))
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_type,
+          |  round(graft_rms(value), 4) AS rms,
+          |  round(CAST(sum(CAST(graft_sig(value / :scale) AS DECIMAL(28,12)))
+          |    AS DOUBLE) / count(*), 6) AS mean_sig
+          |FROM events WHERE value > :minv
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("scale" -> 100.0, "minv" -> 0.0))
     }
   )
 }
