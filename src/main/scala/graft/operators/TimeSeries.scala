@@ -204,6 +204,69 @@ object TimeSeries {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_shipped_30d"), r2(sum(col("l_extendedprice"))).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    /** Holt linear-trend (double exponential) smoothing per event-type
+      * daily series — the irreducibly SEQUENTIAL per-series recurrence
+      * (the relational-facing cousin of the RETAIN RNN scan, R10): the
+      * engine form is typed groupByKey + mapGroups, sorting each group
+      * and folding the recurrence — data-parallel ACROSS series, exactly
+      * §7.5.1's scaling argument. Daily means are decimal-exact and the
+      * α=0.5 / β=0.25 coefficients are binary fractions written in the
+      * same expression shape both engines evaluate, so even this
+      * recurrence hash-verifies against a recursive-CTE oracle.
+      */
+    QueryDef(
+      "q199_holt_trend",
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) / count(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT i1.event_type, 2 AS rn, i1.n, i2.y AS l, i2.y - i1.y AS b
+        |  FROM idx i1 JOIN idx i2 ON i2.event_type = i1.event_type AND i2.rn = 2
+        |  WHERE i1.rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1, r.n,
+        |    0.5 * d.y + 0.5 * (r.l + r.b),
+        |    0.25 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+        |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + b, 6) AS forecast
+        |FROM rec WHERE rn = n
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(18,3)")).cast("double") /
+          count(col("value"))).as("y"))
+        .select(col("event_type"), col("day"), col("y"))
+        .as[(String, java.sql.Date, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (et, it) =>
+          val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+          var l = ys(1)
+          var b = ys(1) - ys(0)
+          var t = 2
+          while (t < ys.length) {
+            val lNew = 0.5 * ys(t) + 0.5 * (l + b)
+            b = 0.25 * ((0.5 * ys(t) + 0.5 * (l + b)) - l) + 0.75 * b
+            l = lNew
+            t += 1
+          }
+          (et, ys.length.toLong, l, b)
+        }
+        .toDF("event_type", "n_days", "l", "b")
+        .select(col("event_type"), col("n_days"),
+          round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+          round(col("l") + col("b"), 6).as("forecast"))
+        .orderBy("event_type")
     }
   )
 }
