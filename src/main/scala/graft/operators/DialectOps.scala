@@ -239,6 +239,41 @@ object DialectOps {
           |FROM events WHERE value > :minv
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
         Map("scale" -> 100.0, "minv" -> 0.0))
+    },
+
+    /** Nested array-of-struct processing (G7/G9, the denormalized
+      * "order with its items inline" document shape): lineitems collect
+      * into a per-order struct array, sort DESC by full struct
+      * comparison (price, then linenumber — deterministic because
+      * linenumbers are unique), and the top-2 slice is read with field
+      * accessors. One shuffle (the collect), everything after is
+      * map-side HOF work on the nested value — how a document store /
+      * feature-struct column is processed without re-exploding.
+      */
+    QueryDef(
+      "q200_nested_items",
+      """WITH li AS (
+        |  SELECT l_orderkey, {'p': l_extendedprice, 'ln': l_linenumber} AS s
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |agg AS (
+        |  SELECT l_orderkey, list_sort(list(s), 'DESC') AS items
+        |  FROM li GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(len(items) AS INT) AS n_items,
+        |  items[1].ln AS top1_ln, items[2].ln AS top2_ln,
+        |  round(items[1].p + coalesce(items[2].p, 0.0), 2) AS top2_sum
+        |FROM agg ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).where(col("l_orderkey") < 500)
+        .select(col("l_orderkey"),
+          struct(col("l_extendedprice").as("p"), col("l_linenumber").as("ln")).as("s"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("s")), asc = false).as("items"))
+        .select(col("l_orderkey"), size(col("items")).as("n_items"),
+          col("items").getItem(0).getField("ln").as("top1_ln"),
+          try_element_at(col("items"), lit(2)).getField("ln").as("top2_ln"),
+          round(col("items").getItem(0).getField("p") +
+            coalesce(try_element_at(col("items"), lit(2)).getField("p"), lit(0.0)), 2)
+            .as("top2_sum"))
+        .orderBy("l_orderkey")
     }
   )
 }

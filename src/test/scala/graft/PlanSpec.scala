@@ -241,6 +241,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a REBALANCE-origin exchange, got ${ex.map(_.shuffleOrigin)}")
   }
 
+  test("window then aggregate on the same key reuse one exchange") {
+    // the partitioning-reuse property every per-entity pipeline leans
+    // on at 100 TB: a window over user_id followed by a groupBy on
+    // user_id must NOT shuffle twice — the window's hash partitioning
+    // already satisfies the aggregate's required distribution
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val df = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id").agg(max(col("rn")).as("n"), sum(col("value")).as("v"))
+    val shuffles = allNodes(finalPlan(df)).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"expected one exchange reused by window+agg, got ${shuffles.size}")
+  }
+
   test("q178 BM25 term frequencies stay map-side (no Generate, one shuffle)") {
     // the whole point of the array-filter tf form: no token explode
     // reaches the plan, and the only shuffle is the global stats
