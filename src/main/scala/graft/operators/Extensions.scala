@@ -253,6 +253,53 @@ object Extensions {
         .orderBy("event_type")
     },
 
+    /** Salted two-phase AGGREGATION (the skew partner of q93's salted
+      * join): a hot group key first aggregates under (key, salt) — the
+      * hot key's rows spread over 16 reducers — then the 16 partial
+      * rows re-merge in a second, trivially small shuffle. Works
+      * because (count, decimal sum) is a monoid; the oracle is the
+      * plain one-phase group-by, which must agree exactly. This is how
+      * a 100 TB groupBy survives a key holding half the table.
+      */
+    QueryDef(
+      "q201_salted_agg",
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val salts = 16
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(28,8)")).as("ps"))
+      partial.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          round(sum(col("ps")).cast("double"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
+    /** GLOBAL top-k through the custom TopKPerGroup operator (empty
+      * group keys — the AllTuples branch): each partition keeps a
+      * bounded 10-heap, only k rows per partition reach the single
+      * final partition. The window/limit form would sort-shuffle the
+      * whole fact table to one reducer; this ships 10·partitions rows.
+      */
+    QueryDef(
+      "q202_global_topk",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.plans.TopKPerGroupOps
+        .topKPerGroup(s, li, Seq.empty,
+          Seq(li("l_extendedprice").desc, li("l_orderkey").asc,
+            li("l_linenumber").asc), 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+    },
+
     /** Embedding-cosine near-duplicate detection: LSH-bucket the
       * vectors (q66's O(n) pass), then exact cosine only on
       * within-bucket pairs (threshold 0.4; the synthetic corpus has no >0.51 pairs) — the vector-space dedup op of an LLM data
