@@ -196,22 +196,9 @@ object TextIndexOps {
       val k = 64 // > 1/θ ⇒ the MG superset guarantee holds
       val toks = Tables.documents(s, d)
         .select(explode(words(col("text"))).as("w")).as[String]
-      val cands = toks.mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { w =>
-          if (m.contains(w)) m(w) += 1L
-          else if (m.size < k) m(w) = 1L
-          else {
-            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-            m.keysIterator.foreach { kw =>
-              val c = m(kw) - 1L
-              if (c == 0L) dead += kw else m(kw) = c
-            }
-            dead.foreach(m.remove)
-          }
-        }
-        m.keysIterator
-      }.toDF("w").distinct()
+      val cands = toks
+        .mapPartitions(it => graft.functions.MisraGries.candidates(it, k))
+        .toDF("w").distinct()
       val total = toks.count()
       toks.toDF("w")
         .join(broadcast(cands), Seq("w"), "left_semi")

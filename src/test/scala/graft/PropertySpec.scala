@@ -95,4 +95,29 @@ class PropertySpec extends AnyFunSuite {
       math.max(z, 0) - z * y + math.log1p(math.exp(-math.abs(z))) >= 0.0
     })
   }
+
+  test("Misra-Gries partition candidates are a superset of global heavy hitters") {
+    // the property q196's two-phase exactness rests on: for ANY data and
+    // ANY partition split, every item with global count > n/k survives
+    // in at least one partition's k-counter summary
+    val itemsGen = Gen.nonEmptyListOf(Gen.oneOf((1 to 12).map(i => s"w$i")))
+    val kGen = Gen.choose(2, 8)
+    val partsGen = Gen.choose(1, 6)
+    check(Prop.forAll(itemsGen, kGen, partsGen, Gen.choose(0L, Long.MaxValue)) {
+      (items, k, parts, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val shuffled = rnd.shuffle(items)
+        val partitions = Array.fill(parts)(
+          scala.collection.mutable.ArrayBuffer.empty[String])
+        shuffled.foreach(w => partitions(rnd.nextInt(parts)) += w)
+        val cands = partitions.toSeq
+          .flatMap(p => graft.functions.MisraGries.candidates(p.iterator, k))
+          .toSet
+        val n = items.size.toDouble
+        val heavy = items.groupBy(identity).collect {
+          case (w, occ) if occ.size > n / k => w
+        }.toSet
+        heavy.subsetOf(cands)
+    })
+  }
 }
