@@ -123,18 +123,27 @@ object LLMPipeline {
         .select(col("doc_id"), col("source"),
           array_sort(array_distinct(transform(wordsCol(col("text")), w => xxhash64(w))))
             .as("w"))
-      val a = ws.select(col("doc_id").as("a_id"), col("source"), col("w").as("aw"))
-      val b = ws.select(col("doc_id").as("b_id"), col("source").as("b_src"), col("w").as("bw"))
       // size-ratio prefilter: J >= 0.5 requires |a| <= 2|b| and vice
       // versa, so the cheap length predicate prunes pairs before the
       // array_intersect ever runs; the intersect itself is projected
       // ONCE per pair (not re-evaluated in filter + each aggregate).
-      // broadcast the b side and spread the a side wide: the equi-key
-      // (source) has only ~20 values, so a shuffled hash join would cap
-      // parallelism at 20 skewed tasks; broadcasting keeps the pair
-      // evaluation spread over all a-side partitions.
-      a.repartition(col("a_id"))
-        .join(broadcast(b), col("source") === col("b_src") && col("a_id") < col("b_id")
+      // SALTED shuffle join (q93's pattern): the equi-key (source) has
+      // only ~20 values, so a plain shuffle join caps parallelism at 20
+      // skewed tasks — and broadcasting a corpus side is a driver OOM at
+      // 100 TB. Instead each b row lands in ONE of 8 salt shards and the
+      // a side replicates 8×, so the join key (source, salt) spreads the
+      // pair work over 160 reducers with nothing corpus-sized broadcast;
+      // every a_id<b_id pair still meets exactly once (in b's shard).
+      val salts = 8
+      val a = ws.select(col("doc_id").as("a_id"), col("source"), col("w").as("aw"))
+        .crossJoin(broadcast(
+          s.range(salts).select(col("id").cast("int").as("salt"))))
+      val b = ws.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+          col("w").as("bw"))
+        .withColumn("b_salt", pmod(col("b_id"), lit(salts)).cast("int"))
+      a.hint("shuffle_hash")
+        .join(b, col("source") === col("b_src") && col("salt") === col("b_salt")
+          && col("a_id") < col("b_id")
           && size(col("aw")) <= size(col("bw")) * 2
           && size(col("bw")) <= size(col("aw")) * 2)
         .select(col("source"),
@@ -245,12 +254,26 @@ object LLMPipeline {
         .groupBy("clabel")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
           s => s.getField("cx")).as("cvec"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(Kernels.cosine(col("emb"), col("cvec")).desc, col("clabel"))
-      e.crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .groupBy(col("label"), col("clabel").as("pred_label"))
+      // ONE broadcast row holding all centroids, clabel-ascending, so the
+      // assignment is a map-side fold — strictly-greater keeps the FIRST
+      // (smallest-clabel) argmax, the `ORDER BY cos DESC, clabel` tie rule.
+      // No row ever shuffles for assignment (the old plan exchanged 10×
+      // the corpus for a per-vec_id window); the only shuffles left are
+      // the centroid build and the final confusion-count aggregate.
+      val cents = cent
+        .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
+          .as("cents"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("best",
+          aggregate(col("cents"),
+            struct(lit(-2.0).as("cos"), lit(null).cast("int").as("clabel")),
+            (acc, c) => {
+              val cos = Kernels.cosine(col("emb"), c.getField("cvec"))
+              when(cos > acc.getField("cos"),
+                struct(cos.as("cos"), c.getField("clabel").as("clabel")))
+                .otherwise(acc)
+            }))
+        .groupBy(col("label"), col("best.clabel").as("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred_label")
     },

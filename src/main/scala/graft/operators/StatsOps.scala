@@ -132,7 +132,7 @@ object StatsOps {
     QueryDef(
       "q158_incremental_agg",
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(CAST(value AS DECIMAL(18,3))), 3) AS total
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,3))), 3) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
       val split = lit("2024-02-01").cast("timestamp")
@@ -142,7 +142,8 @@ object StatsOps {
       val delta = partial(e.where(col("ts") >= split))
       base.union(delta)
         .groupBy("user_id")
-        .agg(sum(col("n")).as("n"), round(sum(col("total")), 3).as("total"))
+        .agg(sum(col("n")).as("n"),
+          round(sum(col("total")), 3).cast("double").as("total"))
         .orderBy("user_id")
     },
 

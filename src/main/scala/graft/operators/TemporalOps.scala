@@ -115,7 +115,7 @@ object TemporalOps {
         |  FROM events)
         |SELECT coalesce(touch, 'organic') AS touch,
         |  CAST(count(*) AS BIGINT) AS n_purchases,
-        |  round(sum(CAST(value AS DECIMAL(18,3))), 3) AS revenue
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,3))), 3) AS DOUBLE) AS revenue
         |FROM tagged WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -127,7 +127,8 @@ object TemporalOps {
         .where(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch"), lit("organic")).as("touch"))
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum(col("value").cast("decimal(18,3)")), 3).as("revenue"))
+          round(sum(col("value").cast("decimal(18,3)")), 3)
+            .cast("double").as("revenue"))
         .orderBy("touch")
     },
 
@@ -295,7 +296,7 @@ object TemporalOps {
         |         WHEN b.user_id IS NULL THEN d.d_total
         |         ELSE b.total + d.d_total END AS total
         |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
-        |SELECT user_id, action, n, total FROM merged
+        |SELECT user_id, action, n, CAST(total AS DOUBLE) AS total FROM merged
         |WHERE action <> 'deleted' ORDER BY user_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
       val split = lit("2024-01-20 00:00:00").cast("timestamp")
@@ -319,7 +320,8 @@ object TemporalOps {
             .otherwise(col("n") + col("d_n")).as("n"),
           when(col("d_user").isNull, col("total"))
             .when(col("user_id").isNull, col("d_total"))
-            .otherwise(col("total") + col("d_total")).as("total"))
+            .otherwise(col("total") + col("d_total"))
+            .cast("double").as("total"))
         .where(col("action") =!= "deleted")
         .orderBy("user_id")
     },

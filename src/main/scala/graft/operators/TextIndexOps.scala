@@ -34,7 +34,7 @@ object TextIndexOps {
         |first_pos AS (SELECT w, doc_id, min(pos) AS fp FROM pos GROUP BY w, doc_id),
         |df AS (SELECT w, count(*) AS df FROM first_pos GROUP BY w)
         |SELECT f.w AS token, CAST(min(d.df) AS BIGINT) AS df,
-        |  list_sort(list(f.doc_id))[1:5] AS postings
+        |  array_to_string(list_sort(list(f.doc_id))[1:5], ',') AS postings
         |FROM first_pos f JOIN df d ON f.w = d.w
         |WHERE d.df BETWEEN 380 AND 430
         |GROUP BY f.w ORDER BY f.w""".stripMargin) { (s, d) =>
@@ -44,7 +44,8 @@ object TextIndexOps {
       val firstPos = pos.groupBy("w", "doc_id").agg(min(col("pos")).as("fp"))
       firstPos.groupBy(col("w").as("token"))
         .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 5).as("postings"))
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 5), ",")
+            .as("postings"))
         .where(col("df").between(380, 430))
         .orderBy("token")
     },

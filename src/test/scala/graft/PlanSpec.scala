@@ -296,4 +296,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.execution.window.WindowExec]),
       "expected the carry window")
   }
+
+  test("q65 centroid assignment is map-side (no window, no vec_id shuffle)") {
+    // the argmax folds over ONE broadcast centroid row — the old
+    // crossJoin+row_number form exchanged 10× the corpus on vec_id
+    val plan = finalPlan(SparkEntry.queries("q65_centroid_knn")(spark, sf))
+    val nodes = allNodes(plan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "assignment must not use a window")
+    val vecIdShuffles = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("vec_id") => e }
+    assert(vecIdShuffles.isEmpty,
+      s"corpus must not shuffle on vec_id: $vecIdShuffles")
+  }
+
+  test("q62 pair join never broadcasts a documents-derived side") {
+    // the salted (source, salt) shuffle join replaces the corpus
+    // broadcast — only the 8-row salt range may broadcast
+    val plan = finalPlan(SparkEntry.queries("q62_near_dup_jaccard")(spark, sf))
+    val broadcastedScans = allNodes(plan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        allNodes(b).collect { case s: FileSourceScanExec => s }
+    }.flatten
+    val docSides = broadcastedScans.filter(
+      _.metadata.getOrElse("Location", "").contains("documents"))
+    assert(docSides.isEmpty,
+      s"documents relation reached a BroadcastExchange: $docSides")
+    assert(allNodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "expected the salted shuffled hash join")
+  }
 }
