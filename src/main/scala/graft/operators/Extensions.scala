@@ -295,9 +295,12 @@ object Extensions {
         .topKPerGroup(s, li, Seq.empty,
           Seq(li("l_extendedprice").desc, li("l_orderkey").asc,
             li("l_linenumber").asc), 10)
+        // order on the EXACT price (the oracle's sort key) — sorting the
+        // rounded projection could diverge on sub-cent ties
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("price"))
-        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
     },
 
     /** Embedding-cosine near-duplicate detection: LSH-bucket the

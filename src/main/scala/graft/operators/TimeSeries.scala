@@ -249,18 +249,24 @@ object TimeSeries {
         .select(col("event_type"), col("day"), col("y"))
         .as[(String, java.sql.Date, Double)]
         .groupByKey(_._1)
-        .mapGroups { (et, it) =>
+        .flatMapGroups { (et, it) =>
           val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
-          var l = ys(1)
-          var b = ys(1) - ys(0)
-          var t = 2
-          while (t < ys.length) {
-            val lNew = 0.5 * ys(t) + 0.5 * (l + b)
-            b = 0.25 * ((0.5 * ys(t) + 0.5 * (l + b)) - l) + 0.75 * b
-            l = lNew
-            t += 1
+          // a 1-day series has no trend anchor: the recursive-CTE oracle
+          // anchors at rn=2 and so emits no row for it — mirror that
+          // instead of reading ys(1) and crashing
+          if (ys.length < 2) Iterator.empty
+          else {
+            var l = ys(1)
+            var b = ys(1) - ys(0)
+            var t = 2
+            while (t < ys.length) {
+              val lNew = 0.5 * ys(t) + 0.5 * (l + b)
+              b = 0.25 * ((0.5 * ys(t) + 0.5 * (l + b)) - l) + 0.75 * b
+              l = lNew
+              t += 1
+            }
+            Iterator.single((et, ys.length.toLong, l, b))
           }
-          (et, ys.length.toLong, l, b)
         }
         .toDF("event_type", "n_days", "l", "b")
         .select(col("event_type"), col("n_days"),

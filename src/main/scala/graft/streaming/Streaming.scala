@@ -230,31 +230,49 @@ object Streaming {
       extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
     @transient private var open: ValueState[(Long, Long, Long)] = _
     @transient private var closed: ListState[(Long, Long, Long)] = _
+    // expiry of the timer currently registered for the OPEN session, so a
+    // batch that extends the session can deleteTimer the superseded one
+    // instead of accumulating stale timers (each a no-op expiry scan)
+    @transient private var openTimer: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getValueState[(Long, Long, Long)]("open",
         Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
       closed = getHandle.getListState[(Long, Long, Long)]("closed",
         Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      openTimer = getHandle.getValueState[Long]("openTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timers: TimerValues): Iterator[(Long, Long, Long)] = {
       val evs = rows.map(_._2).toArray.sorted
       var cur = if (open.exists()) Some(open.get()) else None
+      val closedNow = scala.collection.mutable.Set.empty[Long]
       evs.foreach { ts =>
         cur match {
           case Some((st, last, n)) if ts - last < gapUs =>
             cur = Some((st, math.max(last, ts), n + 1))
           case Some(sess) =>
             closed.appendValue(sess)
-            getHandle.registerTimer((sess._2 + gapUs) / 1000L)
+            val t = (sess._2 + gapUs) / 1000L
+            getHandle.registerTimer(t)
+            closedNow += t
             cur = Some((ts, ts, 1L))
           case None =>
             cur = Some((ts, ts, 1L))
         }
       }
       cur.foreach { sess =>
+        val t = (sess._2 + gapUs) / 1000L
+        if (openTimer.exists()) {
+          val prev = openTimer.get()
+          // superseded unless that session just closed — then the same
+          // expiry now guards the closed backlog and must survive
+          if (prev != t && !closedNow.contains(prev))
+            getHandle.deleteTimer(prev)
+        }
         open.update(sess)
-        getHandle.registerTimer((sess._2 + gapUs) / 1000L)
+        getHandle.registerTimer(t)
+        openTimer.update(t)
       }
       Iterator.empty
     }
@@ -276,6 +294,7 @@ object Streaming {
         if ((s._2 + gapUs) / 1000L <= cutoff) {
           out += ((key, s._1, s._3))
           open.clear()
+          openTimer.clear() // its timer is the one that just fired
         }
       }
       out.iterator
