@@ -26,17 +26,27 @@ object Retain {
   val H = 8   // hidden units
   val numTasks = 3
 
-  /** All shared parameters + per-task heads, as flat immutable arrays. */
+  /** All shared parameters + per-task heads, as flat immutable arrays.
+    * The α/β recurrences take either cell kind (reference
+    * `model.py:109-115`: `use_lstm` picks LSTMCell vs the GRUCell
+    * fallback); training (RetainGrad) supports the LSTM default.
+    */
   final case class RetainWeights(
       v: Array[Array[Double]],        // [F][H]
-      alphaCell: LstmCell,
-      betaCell: LstmCell,
+      alphaCell: RnnCell,
+      betaCell: RnnCell,
       wAlpha: Array[Double],          // [H] -> scalar score
       bAlpha: Double,
       wBeta: Array[Array[Double]],    // [H][H]
       bBeta: Array[Double],           // [H]
       heads: Array[Array[Double]],    // [numTasks][H]
       headB: Array[Double])           // [numTasks]
+
+  /** A recurrent cell the α/β RNNs can run over a (reversed) embedded
+    * sequence; returns the hidden state per step. */
+  sealed trait RnnCell {
+    def runSeq(xs: Array[Array[Double]]): Array[Array[Double]]
+  }
 
   /** Single-layer LSTM cell, `tf.nn.rnn_cell.LSTMCell(H)` semantics
     * (no peepholes, forget-bias 1.0 like TF's default).
@@ -45,7 +55,8 @@ object Retain {
   final case class LstmCell(
       wx: Array[Array[Double]],  // [H][4H] input→gates
       wh: Array[Array[Double]],  // [H][4H] hidden→gates
-      b: Array[Double]) {        // [4H]
+      b: Array[Double])          // [4H]
+      extends RnnCell {
 
     /** One step; returns new (c, h). */
     def step(x: Array[Double], c: Array[Double], h: Array[Double]): (Array[Double], Array[Double]) = {
@@ -74,6 +85,78 @@ object Retain {
         k += 1
       }
       (nc, nh)
+    }
+
+    def runSeq(xs: Array[Array[Double]]): Array[Array[Double]] = {
+      var c = new Array[Double](H)
+      var h = new Array[Double](H)
+      Array.tabulate(xs.length) { t =>
+        val (nc, nh) = step(xs(t), c, h)
+        c = nc; h = nh
+        nh
+      }
+    }
+  }
+
+  /** Single-layer GRU cell, `tf.contrib.rnn.GRUCell(H)` semantics — the
+    * reference's `use_lstm=False` fallback (`model.py:110-111`):
+    *   [r, u] = σ([x, h]·W_g + b_g)      (gate layout [r, u], TF order)
+    *   c      = tanh([x, r⊙h]·W_c + b_c)
+    *   h'     = u⊙h + (1−u)⊙c
+    * No runtime bias constant (TF's 1.0 is an initializer, not an add).
+    */
+  final case class GruCell(
+      wxG: Array[Array[Double]],  // [H][2H] input→(r,u)
+      whG: Array[Array[Double]],  // [H][2H] hidden→(r,u)
+      bG: Array[Double],          // [2H]
+      wxC: Array[Array[Double]],  // [H][H] input→candidate
+      whC: Array[Array[Double]],  // [H][H] (r⊙h)→candidate
+      bC: Array[Double])          // [H]
+      extends RnnCell {
+
+    /** One step; returns the new hidden state. */
+    def step(x: Array[Double], h: Array[Double]): Array[Double] = {
+      val g = new Array[Double](2 * H)
+      System.arraycopy(bG, 0, g, 0, 2 * H)
+      var i = 0
+      while (i < H) {
+        val xi = x(i); val hi = h(i)
+        if (xi != 0.0 || hi != 0.0) {
+          val wxr = wxG(i); val whr = whG(i)
+          var j = 0
+          while (j < 2 * H) { g(j) += xi * wxr(j) + hi * whr(j); j += 1 }
+        }
+        i += 1
+      }
+      val cand = new Array[Double](H)
+      System.arraycopy(bC, 0, cand, 0, H)
+      i = 0
+      while (i < H) {
+        val xi = x(i)
+        val rhi = sigmoid(g(i)) * h(i) // reset gate applies to h elementwise
+        if (xi != 0.0 || rhi != 0.0) {
+          val wxr = wxC(i); val whr = whC(i)
+          var j = 0
+          while (j < H) { cand(j) += xi * wxr(j) + rhi * whr(j); j += 1 }
+        }
+        i += 1
+      }
+      val nh = new Array[Double](H)
+      var k = 0
+      while (k < H) {
+        val u = sigmoid(g(H + k))
+        nh(k) = u * h(k) + (1.0 - u) * math.tanh(cand(k))
+        k += 1
+      }
+      nh
+    }
+
+    def runSeq(xs: Array[Array[Double]]): Array[Array[Double]] = {
+      var h = new Array[Double](H)
+      Array.tabulate(xs.length) { t =>
+        h = step(xs(t), h)
+        h
+      }
     }
   }
 
@@ -109,6 +192,26 @@ object Retain {
       headB = p.vec(numTasks))
   }
 
+  /** GRU-cell variant of the eval-time weights (`use_lstm=False`
+    * fallback, `model.py:110-111`) — its own deterministic seed lineage
+    * so GRU scoring is reproducible and distinct from the LSTM default.
+    */
+  def defaultGruWeights: RetainWeights = {
+    val p = new Prng(43L)
+    def gru() = GruCell(p.mat(H, 2 * H), p.mat(H, 2 * H), p.vec(2 * H),
+      p.mat(H, H), p.mat(H, H), p.vec(H))
+    RetainWeights(
+      v = p.mat(F, H),
+      alphaCell = gru(),
+      betaCell = gru(),
+      wAlpha = p.vec(H),
+      bAlpha = p.next(),
+      wBeta = p.mat(H, H),
+      bBeta = p.vec(H),
+      heads = p.mat(numTasks, H),
+      headB = p.vec(numTasks))
+  }
+
   /** Forward pass for one entity. Input: dense [T][F] series.
     * Returns (probs[numTasks], alpha[T], context[H]).
     */
@@ -130,18 +233,9 @@ object Retain {
     }
     // R9: reverse time
     val rev = Array.tabulate(T)(t => e(T - 1 - t))
-    // R10 α/β recurrences over reversed sequence
-    def runLstm(cell: LstmCell): Array[Array[Double]] = {
-      var c = new Array[Double](H)
-      var h = new Array[Double](H)
-      Array.tabulate(T) { t =>
-        val (nc, nh) = cell.step(rev(t), c, h)
-        c = nc; h = nh
-        nh
-      }
-    }
-    val hA = runLstm(w.alphaCell)
-    val hB = runLstm(w.betaCell)
+    // R10 α/β recurrences over reversed sequence (LSTM or GRU cell)
+    val hA = w.alphaCell.runSeq(rev)
+    val hB = w.betaCell.runSeq(rev)
     // R12+R13: attention scores → stable softmax (still in reversed order)
     val scores = Array.tabulate(T) { t =>
       var sc = w.bAlpha

@@ -31,6 +31,15 @@ object RetainGrad {
   val OffHeadB: Int = OffHeads + K * H
   val Dim: Int = OffHeadB + K
 
+  /** Training is LSTM-only, matching the reference's default config
+    * (`use_lstm=True`, `model.py:112-115`); the GRU fallback cell is an
+    * eval/scoring path (see Retain.defaultGruWeights). */
+  private def lstm(c: RnnCell): LstmCell = c match {
+    case l: LstmCell => l
+    case other => throw new IllegalArgumentException(
+      s"RetainGrad supports the LSTM cell only, got ${other.getClass.getSimpleName}")
+  }
+
   /** Pack weights into the flat layout (for Adam on the driver). */
   def pack(w: RetainWeights): Array[Double] = {
     val out = new Array[Double](Dim)
@@ -42,8 +51,8 @@ object RetainGrad {
       for (i <- 0 until H; j <- 0 until 4 * H) { out(p) = c.wh(i)(j); p += 1 }
       for (j <- 0 until 4 * H) { out(p) = c.b(j); p += 1 }
     }
-    packCell(w.alphaCell, OffACell)
-    packCell(w.betaCell, OffBCell)
+    packCell(lstm(w.alphaCell), OffACell)
+    packCell(lstm(w.betaCell), OffBCell)
     for (j <- 0 until H) out(OffWAlpha + j) = w.wAlpha(j)
     out(OffBAlpha) = w.bAlpha
     for (i <- 0 until H; j <- 0 until H) out(OffWBeta + i * H + j) = w.wBeta(i)(j)
@@ -148,8 +157,8 @@ object RetainGrad {
       }
       LstmTrace(ig, jg, fg, og, cs, hs)
     }
-    val trA = runLstm(w.alphaCell)
-    val trB = runLstm(w.betaCell)
+    val trA = runLstm(lstm(w.alphaCell))
+    val trB = runLstm(lstm(w.betaCell))
 
     // dropped-output views consumed by the attention projections (R11)
     @inline def hA(t: Int, j: Int): Double =
@@ -333,8 +342,8 @@ object RetainGrad {
       }
       dX
     }
-    val dXA = bptt(w.alphaCell, trA, dHA, OffACell)
-    val dXB = bptt(w.betaCell, trB, dHB, OffBCell)
+    val dXA = bptt(lstm(w.alphaCell), trA, dHA, OffACell)
+    val dXB = bptt(lstm(w.betaCell), trB, dHB, OffBCell)
 
     // fold RNN input grads (reversed) back into dE (un-reversed)
     locally {

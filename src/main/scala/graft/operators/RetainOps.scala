@@ -357,6 +357,21 @@ object RetainOps {
         .orderBy("user_id")
     },
 
+    /** q76 under the GRU fallback cell (reference `use_lstm=False`,
+      * `model.py:110-111`): same eval-mode forward, α/β recurrences run
+      * the GRU under its own deterministic weight lineage. Rows-only
+      * (RNG-free but no SQL form); RetainSpec pins the cell semantics
+      * against a hand-rolled recurrence.
+      */
+    QueryDef.noOracle("q203_retain_score_gru") { (s, d) =>
+      scored(s, d, Retain.defaultGruWeights)
+        .select(col("user_id"),
+          round(col("p0"), 6).as("p0"),
+          round(col("p1"), 6).as("p1"),
+          round(col("p2"), 6).as("p2"))
+        .orderBy("user_id")
+    },
+
     /** RETAIN attention explanation (R13's α, the reference's
       * interpretability output): top-weight step per user + entropy.
       */

@@ -86,4 +86,66 @@ class RetainSpec extends AnyFunSuite {
     assert(p1 == p2)
     assert(p1 > -0.5 && p1 < 0.5)
   }
+
+  test("GRU step: zero weights leave the hidden state unchanged at u=0.5") {
+    // all-zero weights: r=u=σ(0)=0.5, candidate=tanh(0)=0 → h' = 0.5·h
+    val zc = GruCell(Array.fill(H, 2 * H)(0.0), Array.fill(H, 2 * H)(0.0),
+      Array.fill(2 * H)(0.0), Array.fill(H, H)(0.0), Array.fill(H, H)(0.0),
+      Array.fill(H)(0.0))
+    val h0 = Array.fill(H)(1.0)
+    val h1 = zc.step(Array.fill(H)(0.0), h0)
+    assert(h1.forall(x => math.abs(x - 0.5) < 1e-15))
+  }
+
+  test("GRU runSeq matches a hand-rolled 3-step recurrence") {
+    // independent formula implementation (tf.contrib.rnn.GRUCell):
+    //   r,u = σ(x·WxG + h·WhG + bG); c = tanh(x·WxC + (r⊙h)·WhC + bC)
+    //   h'  = u⊙h + (1−u)⊙c
+    val p = new Retain.Prng(7L)
+    val cell = GruCell(p.mat(H, 2 * H), p.mat(H, 2 * H), p.vec(2 * H),
+      p.mat(H, H), p.mat(H, H), p.vec(H))
+    val xs = Array.tabulate(3, H)((t, i) => math.cos(t * H + i) / 3.0)
+    var h = Array.fill(H)(0.0)
+    val expected = xs.map { x =>
+      val g = Array.tabulate(2 * H) { j =>
+        var z = cell.bG(j)
+        for (i <- 0 until H) z += x(i) * cell.wxG(i)(j) + h(i) * cell.whG(i)(j)
+        z
+      }
+      val rh = Array.tabulate(H)(i => Retain.sigmoid(g(i)) * h(i))
+      val c = Array.tabulate(H) { j =>
+        var z = cell.bC(j)
+        for (i <- 0 until H) z += x(i) * cell.wxC(i)(j) + rh(i) * cell.whC(i)(j)
+        math.tanh(z)
+      }
+      h = Array.tabulate(H) { k =>
+        val u = Retain.sigmoid(g(H + k))
+        u * h(k) + (1.0 - u) * c(k)
+      }
+      h
+    }
+    val got = cell.runSeq(xs)
+    for (t <- 0 until 3; k <- 0 until H)
+      assert(math.abs(got(t)(k) - expected(t)(k)) < 1e-12,
+        s"step $t unit $k: ${got(t)(k)} vs ${expected(t)(k)}")
+  }
+
+  test("GRU forward: alpha is a distribution; probs in (0,1); deterministic") {
+    val w = Retain.defaultGruWeights
+    val x = Array.tabulate(T, F)((t, i) => math.sin(t + i) / 2.0)
+    val (p1, a1, _) = Retain.forward(w, x)
+    assert(math.abs(a1.sum - 1.0) < 1e-12)
+    assert(p1.forall(v => v > 0 && v < 1))
+    val (p2, a2, _) = Retain.forward(Retain.defaultGruWeights, x)
+    assert(p1.sameElements(p2) && a1.sameElements(a2))
+    // and the GRU lineage genuinely differs from the LSTM default
+    val (pL, _, _) = Retain.forward(Retain.defaultWeights, x)
+    assert(!p1.sameElements(pL))
+  }
+
+  test("RetainGrad refuses GRU cells (training is LSTM-only)") {
+    intercept[IllegalArgumentException] {
+      graft.functions.RetainGrad.pack(Retain.defaultGruWeights)
+    }
+  }
 }
