@@ -27,7 +27,8 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -38,9 +39,10 @@ case class TopKPerGroup(
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
+    case TopKPerGroup(g, o, k, child, ties) =>
       TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child), ties),
+        ties) :: Nil
     case _ => Nil
   }
 }
@@ -51,12 +53,21 @@ object TopKStrategy extends SparkStrategy {
   * satisfies with an Exchange over the (already k-bounded) partial
   * output.
   */
+/** `withTies = true` switches from the exact-k heap to rank()-with-ties
+  * retention: a row is kept iff fewer than k rows of its group sort
+  * STRICTLY before it (`rank() <= k` semantics — boundary ties all
+  * survive). Retention is still a semigroup (a row with ≥k strict
+  * predecessors in ANY subset has ≥k globally), so the same partial/
+  * final pair applies; per-group state is ≤k sort-key buckets plus the
+  * boundary tie group.
+  */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -76,7 +87,8 @@ case class TopKPerGroupExec(
     val groupE = groupExprs
     val sortE = ordering
     val limit = k
-    child.execute().mapPartitions({ iter =>
+    if (withTies) doExecuteTies(childOutput, groupE, sortE, limit)
+    else child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val cmp = GenerateOrdering.generate(sortE, childOutput)
       // max-heap by the sort order: head = worst retained row, evicted
@@ -112,6 +124,69 @@ case class TopKPerGroupExec(
       heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
+
+  /** rank()-with-ties retention pass: per group a TreeMap of sort-key
+    * buckets (comparator = the codegen'd sort ordering, so rows with
+    * equal sort keys share a bucket); after each insert the trailing
+    * bucket is dropped while ≥k rows sort strictly before it. Retained
+    * state per group is at most k buckets (their ranks are distinct and
+    * ≤k) plus the boundary tie group — the documented memory trade for
+    * WITH TIES, vs the heap path's hard k.
+    */
+  private def doExecuteTies(childOutput: Seq[Attribute], groupE: Seq[Expression],
+      sortE: Seq[SortOrder], limit: Int): RDD[InternalRow] = {
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val cmp = GenerateOrdering.generate(sortE, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val cmpJ = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(a, b)
+      }
+      final class TieBuf {
+        val tree = new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](cmpJ)
+        var total = 0
+        def add(row: UnsafeRow): Unit = {
+          // fast reject: sorts strictly after every retained row while
+          // ≥k are already retained ⇒ ≥k strict predecessors
+          if (total >= limit && cmp.compare(row, tree.lastKey()) > 0) return
+          val copied = row.copy()
+          val bucket = tree.get(copied)
+          if (bucket != null) bucket.add(copied)
+          else {
+            val l = new java.util.ArrayList[UnsafeRow](1)
+            l.add(copied)
+            tree.put(copied, l)
+          }
+          total += 1
+          var done = false
+          while (!done && !tree.isEmpty) {
+            val last = tree.lastEntry()
+            if (total - last.getValue.size() >= limit) {
+              tree.remove(last.getKey)
+              total -= last.getValue.size()
+            } else done = true
+          }
+        }
+      }
+      val groups = new java.util.HashMap[UnsafeRow, TieBuf]()
+      while (iter.hasNext) {
+        val row = iter.next() match {
+          case u: UnsafeRow => u
+          case r => toUnsafe(r)
+        }
+        val key = keyProj(row)
+        var buf = groups.get(key)
+        if (buf == null) {
+          buf = new TieBuf
+          groups.put(key.copy(), buf)
+        }
+        buf.add(row)
+      }
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap(
+        _.tree.values().iterator().asScala.flatMap(_.iterator().asScala))
+    }, preservesPartitioning = true)
+  }
 }
 
 /** User-facing entry: `TopKPerGroup.of(df, groupCols, sortCols, k)`. */
@@ -122,7 +197,8 @@ object TopKPerGroupOps {
     * same for packaged deployments.
     */
   def topKPerGroup(spark: SparkSession, df: DataFrame,
-                   groupCols: Seq[Column], sortCols: Seq[Column], k: Int): DataFrame = {
+                   groupCols: Seq[Column], sortCols: Seq[Column], k: Int,
+                   withTies: Boolean = false): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
@@ -133,6 +209,7 @@ object TopKPerGroupOps {
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
     }
     GraftBridge.ofRows(spark,
-      TopKPerGroup(groupCols.map(c => GraftBridge.expr(spark, c)), ordering, k, plan))
+      TopKPerGroup(groupCols.map(c => GraftBridge.expr(spark, c)), ordering, k,
+        plan, withTies))
   }
 }

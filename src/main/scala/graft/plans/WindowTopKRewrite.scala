@@ -18,8 +18,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * WindowGroupLimit below the Window to prune rows early but still
   * runs the full Window exec + filter above it; this rule replaces the
   * whole subtree. Fires only when:
-  *   - the single window expression is row_number() (rank/dense_rank
-  *     admit >k rows on ties — different semantics than a k-heap),
+  *   - the single window expression is row_number() (exact-k heap) or
+  *     rank() (rewritten to the exec's WITH-TIES retention mode, which
+  *     preserves the boundary-tie rows `rank() <= k` admits);
+  *     dense_rank stays on the vanilla window path (its "k distinct
+  *     key values" retention is a different operator),
   *   - the filter is `rn <= k` / `rn < k` / `rn = 1` on that alias,
   *   - the projection above drops the rn column (so output equals
   *     TopKPerGroup's child schema).
@@ -74,7 +77,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond,
-          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+          Window(Seq(alias @ Alias(WindowExpression(rankFn @ (_: RowNumber | _: Rank),
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
         if part.nonEmpty // global top-k (no PARTITION BY) stays on the window path
           && splitCondition(cond, alias.toAttribute).exists(_._1 <= MaxRewriteK)
@@ -83,8 +86,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       if (k <= 0) LocalRelation(p.output)
       else {
         // rn is computed over ALL rows before the original Filter ran,
-        // so the extra predicates apply ABOVE the top-k, not below it
-        val topk = TopKPerGroup(part, order, k, windowChild(wchild))
+        // so the extra predicates apply ABOVE the top-k, not below it.
+        // rank() maps to WITH-TIES retention; row_number() to the exact
+        // k-heap — both identical to the window-filter semantics.
+        val topk = TopKPerGroup(part, order, k, windowChild(wchild),
+          withTies = rankFn.isInstanceOf[Rank])
         Project(projectList, rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk))
       }
   }

@@ -136,6 +136,43 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.count() === 50)
   }
 
+  test("rank() <= k rewrites to WITH-TIES retention and keeps boundary ties") {
+    // bucket value to force heavy ties on the sort key
+    val base = Tables.events(spark, sf).withColumn("vb", floor(col("value") / 50))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vb").desc)
+    val df = base.withColumn("rk", rank().over(w))
+      .where(col("rk") <= 3)
+      .select("event_type", "event_id", "vb")
+    val plan = finalPlan(df)
+    val custom = allNodes(plan).collect { case t: TopKPerGroupExec => t }
+    assert(custom.nonEmpty, s"rank rewrite did not fire:\n$plan")
+    assert(custom.forall(_.withTies), "rank must map to the WITH-TIES mode")
+    assert(!allNodes(plan).exists(_.getClass.getSimpleName.startsWith("Window")),
+      "the Window exec should be gone after the rank rewrite")
+    // reference: driver-side rank (row kept iff <3 strictly-greater keys)
+    val rows = base.select("event_type", "event_id", "vb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val keys = g.map(_._3)
+      g.filter(t => keys.count(_ > t._3) < 3)
+    }.map(t => (t._1, t._2)).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    // the bucketing genuinely produced boundary ties (WITH TIES > exact k)
+    assert(got.size > 3 * rows.map(_._1).distinct.length,
+      "test data produced no ties — rank coverage is vacuous")
+  }
+
+  test("dense_rank() <= k does NOT rewrite (different retention semantics)") {
+    val base = Tables.events(spark, sf).withColumn("vb", floor(col("value") / 50))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vb").desc)
+    val df = base.withColumn("rk", dense_rank().over(w))
+      .where(col("rk") <= 3)
+      .select("event_type", "event_id")
+    assert(!allNodes(finalPlan(df)).exists(_.isInstanceOf[TopKPerGroupExec]),
+      "dense_rank must stay on the window path")
+  }
+
   test("rn = 1 (argmax per group) also rewrites") {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("event_id"))
