@@ -23,9 +23,9 @@ object Extensions {
   private def zSql = "CAST(l_quantity/10.0 - l_discount*20.0 + l_tax*5.0 - 1.5 AS DOUBLE)"
   private def ySql = "CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS DOUBLE)"
 
-  // deterministic hyperplanes — shared with q66 (LLMPipeline.planes shape)
-  private val planes: Array[Array[Double]] =
-    Array.tabulate(8, 64)((p, i) => (((p * 64 + i) * 31) % 17 - 8) / 8.0)
+  // deterministic hyperplanes — shared family with q66 (see Lsh scaladoc
+  // for the plane-count scale knob; 8 = the demo/oracle-pinned width)
+  private val planes: Array[Array[Double]] = Lsh.hyperplanes(8)
   private val qvec: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
 
   val defs: Seq[QueryDef] = Seq(

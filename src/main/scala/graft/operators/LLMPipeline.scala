@@ -38,9 +38,9 @@ object LLMPipeline {
   private def qvecSparkLit: Column = array(qvec.map(lit): _*)
   private def qvecSqlList: String = qvec.mkString("[", ", ", "]::DOUBLE[]")
 
-  // ---- deterministic hyperplanes for LSH bucketing (8 planes × 64) ----
-  private val planes: Array[Array[Double]] =
-    Array.tabulate(8, 64)((p, i) => (((p * 64 + i) * 31) % 17 - 8) / 8.0)
+  // ---- deterministic hyperplanes for LSH bucketing (8 planes × 64;
+  // see Lsh scaladoc for the plane-count scale knob) ----
+  private val planes: Array[Array[Double]] = Lsh.hyperplanes(8)
 
   private val simBits = 16
 

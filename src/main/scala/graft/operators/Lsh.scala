@@ -1,0 +1,44 @@
+package graft.operators
+
+/** Deterministic random-hyperplane family for cosine LSH — shared by
+  * the bucketing queries (q66 occupancy histogram, q98 near-dup,
+  * q90 two-stage ANN search).
+  *
+  * Plane count is THE scale knob of this family: b planes → 2^b
+  * buckets; for n vectors the expected occupancy is n/2^b and the
+  * within-bucket pair work is Σ occupancy² ≈ n²/2^b. Two vectors at
+  * angle θ land in the same bucket with probability (1 − θ/π)^b, so
+  * widening b shrinks buckets (cost ↓) but lowers single-table recall —
+  * a 100 TB deployment buys the recall back with L independent tables
+  * or multi-probe, keeping per-bucket work bounded. The demo queries
+  * pin b = 8 (256 buckets at the testdata scale, where n/2^b ≈ 2);
+  * LshSpec pins the occupancy-vs-recall trade empirically at
+  * b ∈ {8, 16, 32} so the widening path is tested, not aspirational.
+  */
+object Lsh {
+  val Dim = 64
+
+  /** Deterministic plane family, identical across JVMs and engines (the
+    * oracle SQL embeds the same literals). Prefix-stable: the first b
+    * rows of a wider family equal `hyperplanes(b)`, so widening only
+    * SPLITS existing buckets — occupancy is monotone nonincreasing.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int = Dim): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, i) => (((p * dim + i) * 31) % 17 - 8) / 8.0)
+
+  /** Bucket id of a vector under the given planes (driver/test-side
+    * mirror of the queries' column expression). */
+  def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    var pi = 0
+    while (pi < planes.length) {
+      val p = planes(pi)
+      var d = 0.0
+      var i = 0
+      while (i < p.length) { d += p(i) * v(i); i += 1 }
+      if (d > 0) b |= 1L << pi
+      pi += 1
+    }
+    b
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Lsh
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The hyperplane-LSH widening path (Lsh scaladoc): plane count b is
+  * the knob between the 8-plane demo and a 100 TB ANN pass. These tests
+  * pin (a) the family's determinism and prefix stability, so widening
+  * never silently changes the verified 8-plane queries, and (b) the
+  * occupancy-vs-recall trade empirically at b ∈ {8, 16, 32} over the
+  * embeddings table.
+  */
+class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName("lsh-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("plane family is deterministic (golden values) and prefix-stable") {
+    val p8 = Lsh.hyperplanes(8)
+    assert(p8.length == 8 && p8(0).length == 64)
+    // golden spot values of the formula the oracle SQL also embeds
+    assert(p8(0)(0) == -1.0 && p8(0)(1) == 0.75)
+    // widening must only APPEND planes: the first 8 of 32 are identical,
+    // so every b=32 bucket is a refinement of its b=8 bucket
+    val p32 = Lsh.hyperplanes(32)
+    for (p <- 0 until 8; i <- 0 until 64)
+      assert(p32(p)(i) == p8(p)(i), s"prefix broke at ($p,$i)")
+  }
+
+  test("widening planes shrinks occupancy and lowers single-table recall (the documented trade)") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(vecs.length >= 100)
+    // near-dup target pairs: exact cosine >= 0.4 (q98's threshold)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val targets = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.4
+    } yield (i, j)
+    assert(targets.nonEmpty, "corpus has no near-dup pairs — recall check is vacuous")
+
+    val stats = Seq(8, 16, 32).map { b =>
+      val planes = Lsh.hyperplanes(b)
+      val buckets = vecs.map { case (_, v) => Lsh.bucketOf(v, planes) }
+      val occ = buckets.groupBy(identity).view.mapValues(_.length)
+      val pairWork = occ.values.map(n => n.toLong * (n - 1) / 2).sum
+      val recall = targets.count { case (i, j) => buckets(i) == buckets(j) }
+        .toDouble / targets.size
+      (b, occ.values.max, pairWork, recall)
+    }
+    val Seq((_, max8, work8, rec8), (_, max16, work16, rec16),
+      (_, max32, work32, rec32)) = stats
+    // cost side: refinement can only split buckets, so max occupancy and
+    // candidate-pair work are monotone nonincreasing in b
+    assert(max8 >= max16 && max16 >= max32, s"occupancy not shrinking: $stats")
+    assert(work8 >= work16 && work16 >= work32, s"pair work not shrinking: $stats")
+    assert(work32 < work8, s"widening 8→32 should cut candidate pairs: $stats")
+    // recall side: collision probability (1−θ/π)^b decays in b
+    assert(rec8 >= rec16 && rec16 >= rec32, s"recall not decaying: $stats")
+  }
+
+  test("bucketOf mirrors the query-side bucketing expression (q66)") {
+    // q66's output is the occupancy histogram under b=8; recomputing it
+    // driver-side from the same vectors must agree exactly
+    val expected = SparkEntry.queries("q66_ann_lsh_buckets")(spark, sf)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val planes = Lsh.hyperplanes(8)
+    val got = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(r => Lsh.bucketOf(r.getSeq[Double](0).toArray, planes))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expected)
+  }
+}
