@@ -212,6 +212,166 @@ object Retain {
       headB = p.vec(numTasks))
   }
 
+  /** float32 scoring mode (reference `model.py:45`: the TF graph runs
+    * float32 end-to-end, while the engine's default kernel is float64 —
+    * the SURVEY §7.4 documented divergence). This path reproduces the
+    * reference's precision regime: every weight is cast to Float once
+    * and every intermediate op rounds to float32 (JVM float arithmetic
+    * rounds per-op exactly like TF's f32 kernels), closing the
+    * TF-parity testing gap for scoring. Supports both cell kinds.
+    */
+  object F32 {
+    @inline private def sig(z: Float): Float =
+      (1.0 / (1.0 + math.exp(-z.toDouble))).toFloat
+    @inline private def tanhF(z: Float): Float = math.tanh(z.toDouble).toFloat
+
+    private def lstmSeq(cell: LstmCell, xs: Array[Array[Float]]): Array[Array[Float]] = {
+      val wx = cell.wx.map(_.map(_.toFloat))
+      val wh = cell.wh.map(_.map(_.toFloat))
+      val b = cell.b.map(_.toFloat)
+      var c = new Array[Float](H)
+      var h = new Array[Float](H)
+      xs.map { xv =>
+        val g = b.clone()
+        var i = 0
+        while (i < H) {
+          val xi = xv(i); val hi = h(i)
+          if (xi != 0f || hi != 0f) {
+            val wxr = wx(i); val whr = wh(i)
+            var j = 0
+            while (j < 4 * H) { g(j) = g(j) + xi * wxr(j) + hi * whr(j); j += 1 }
+          }
+          i += 1
+        }
+        val nc = new Array[Float](H)
+        val nh = new Array[Float](H)
+        var k = 0
+        while (k < H) {
+          val ig = sig(g(k))
+          val jg = tanhF(g(H + k))
+          val fg = sig(g(2 * H + k) + 1.0f)
+          val og = sig(g(3 * H + k))
+          nc(k) = fg * c(k) + ig * jg
+          nh(k) = og * tanhF(nc(k))
+          k += 1
+        }
+        c = nc; h = nh
+        nh
+      }
+    }
+
+    private def gruSeq(cell: GruCell, xs: Array[Array[Float]]): Array[Array[Float]] = {
+      val wxG = cell.wxG.map(_.map(_.toFloat))
+      val whG = cell.whG.map(_.map(_.toFloat))
+      val bG = cell.bG.map(_.toFloat)
+      val wxC = cell.wxC.map(_.map(_.toFloat))
+      val whC = cell.whC.map(_.map(_.toFloat))
+      val bC = cell.bC.map(_.toFloat)
+      var h = new Array[Float](H)
+      xs.map { xv =>
+        val g = bG.clone()
+        var i = 0
+        while (i < H) {
+          val xi = xv(i); val hi = h(i)
+          if (xi != 0f || hi != 0f) {
+            val wxr = wxG(i); val whr = whG(i)
+            var j = 0
+            while (j < 2 * H) { g(j) = g(j) + xi * wxr(j) + hi * whr(j); j += 1 }
+          }
+          i += 1
+        }
+        val cand = bC.clone()
+        i = 0
+        while (i < H) {
+          val xi = xv(i)
+          val rhi = sig(g(i)) * h(i)
+          if (xi != 0f || rhi != 0f) {
+            val wxr = wxC(i); val whr = whC(i)
+            var j = 0
+            while (j < H) { cand(j) = cand(j) + xi * wxr(j) + rhi * whr(j); j += 1 }
+          }
+          i += 1
+        }
+        val nh = new Array[Float](H)
+        var k = 0
+        while (k < H) {
+          val u = sig(g(H + k))
+          nh(k) = u * h(k) + (1f - u) * tanhF(cand(k))
+          k += 1
+        }
+        h = nh
+        nh
+      }
+    }
+
+    /** float32 forward; returns probs[numTasks] (as doubles carrying
+      * float32-valued results, so callers keep one numeric type). */
+    def forward(w: RetainWeights, x: Array[Array[Double]]): Array[Double] = {
+      val vF = w.v.map(_.map(_.toFloat))
+      val e = Array.tabulate(T) { t =>
+        val out = new Array[Float](H)
+        var i = 0
+        while (i < F) {
+          val xi = x(t)(i).toFloat
+          if (xi != 0f) {
+            val vr = vF(i)
+            var j = 0
+            while (j < H) { out(j) = out(j) + xi * vr(j); j += 1 }
+          }
+          i += 1
+        }
+        out
+      }
+      val rev = Array.tabulate(T)(t => e(T - 1 - t))
+      def run(cell: RnnCell): Array[Array[Float]] = cell match {
+        case l: LstmCell => lstmSeq(l, rev)
+        case g: GruCell => gruSeq(g, rev)
+      }
+      val hA = run(w.alphaCell)
+      val hB = run(w.betaCell)
+      val wAlphaF = w.wAlpha.map(_.toFloat)
+      val scores = Array.tabulate(T) { t =>
+        var sc = w.bAlpha.toFloat
+        var j = 0
+        while (j < H) { sc = sc + hA(t)(j) * wAlphaF(j); j += 1 }
+        sc
+      }
+      val mx = scores.max
+      val ez = scores.map(sc => math.exp((sc - mx).toDouble).toFloat)
+      var sez = 0f
+      ez.foreach(v => sez = sez + v)
+      val alphaRev = ez.map(v => v / sez)
+      val wBetaF = w.wBeta.map(_.map(_.toFloat))
+      val bBetaF = w.bBeta.map(_.toFloat)
+      val betaRev = Array.tabulate(T) { t =>
+        val out = new Array[Float](H)
+        var j = 0
+        while (j < H) {
+          var acc = bBetaF(j)
+          var i = 0
+          while (i < H) { acc = acc + hB(t)(i) * wBetaF(i)(j); i += 1 }
+          out(j) = tanhF(acc)
+          j += 1
+        }
+        out
+      }
+      val ctx = new Array[Float](H)
+      var t = 0
+      while (t < T) {
+        val a = alphaRev(T - 1 - t); val bt = betaRev(T - 1 - t); val et = e(t)
+        var j = 0
+        while (j < H) { ctx(j) = ctx(j) + a * bt(j) * et(j); j += 1 }
+        t += 1
+      }
+      Array.tabulate(numTasks) { k =>
+        var z = w.headB(k).toFloat
+        var j = 0
+        while (j < H) { z = z + ctx(j) * w.heads(k)(j).toFloat; j += 1 }
+        sig(z).toDouble
+      }
+    }
+  }
+
   /** Forward pass for one entity. Input: dense [T][F] series.
     * Returns (probs[numTasks], alpha[T], context[H]).
     */

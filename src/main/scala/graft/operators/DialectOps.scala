@@ -48,8 +48,10 @@ object DialectOps {
     /** Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES semantics, G6):
       * rank() — not row_number() — keeps every row tied with the k-th,
       * so the result is a deterministic SET with no tie-break dice roll.
-      * Same bounded-window shape as q40; the tie rows are exactly what
-      * the bounded-heap operator must NOT drop.
+      * Runs through TopKPerGroup's WITH-TIES retention mode (boundary
+      * ties survive the bounded partial/final pair), so only ~k+ties
+      * rows per group ever shuffle — vs the window form's full sort of
+      * the orders table.
       */
     QueryDef(
       "q187_topk_with_ties",
@@ -60,11 +62,19 @@ object DialectOps {
         |  FROM orders)
         |WHERE rnk <= 5
         |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin) { (s, d) =>
+      // WITH-TIES retention runs through the custom bounded operator
+      // (partial/final pair — only ~k+ties rows per group reach the
+      // exchange) instead of window-sorting the whole orders table; the
+      // emitted rnk is then recomputed by a window over the k-bounded
+      // survivors, where it is exact because every row of rank <= 5 —
+      // including boundary ties — survived retention.
+      val o = Tables.orders(s, d)
+      val top = graft.plans.TopKPerGroupOps.topKPerGroup(s, o,
+        Seq(o("o_orderpriority")), Seq(o("o_totalprice").desc), 5,
+        withTies = true)
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc)
-      Tables.orders(s, d)
-        .withColumn("rnk", rank().over(w))
-        .where(col("rnk") <= 5)
+      top.withColumn("rnk", rank().over(w))
         .select(col("o_orderpriority"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"), col("rnk"))
         .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey"))

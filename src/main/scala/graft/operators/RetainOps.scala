@@ -357,6 +357,54 @@ object RetainOps {
         .orderBy("user_id")
     },
 
+    /** Weights checkpoint round-trip (the reference's `tf.train.Saver`
+      * surface, `model.py:216-217`): save the eval weights to parquet,
+      * restore, score the corpus under BOTH, and emit the per-task max
+      * absolute score divergence — which must be EXACTLY zero (the
+      * restore is bit-exact and the kernel deterministic), so the
+      * constant oracle hash-verifies the whole save→load→score path.
+      */
+    QueryDef(
+      "q205_weights_checkpoint",
+      """SELECT * FROM (VALUES (0, CAST(0.0 AS DOUBLE)),
+        |  (1, CAST(0.0 AS DOUBLE)), (2, CAST(0.0 AS DOUBLE)))
+        |  t(task, max_abs_diff)
+        |ORDER BY task""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        .toString + "/w"
+      graft.functions.RetainCheckpoint.save(s, Retain.defaultWeights, dir)
+      val restored = graft.functions.RetainCheckpoint.load(s, dir)
+      val a = scored(s, d, Retain.defaultWeights)
+        .select(col("user_id"), col("p0"), col("p1"), col("p2"))
+      val b = scored(s, d, restored)
+        .select(col("user_id"), col("p0").as("q0"), col("p1").as("q1"),
+          col("p2").as("q2"))
+      val j = a.join(b, "user_id")
+      (0 until numTasks).map { k =>
+        j.agg(lit(k).as("task"),
+          max(abs(col(s"p$k") - col(s"q$k"))).as("max_abs_diff"))
+      }.reduce(_.unionByName(_)).orderBy("task")
+    },
+
+    /** q76 in the reference's own precision (`model.py:45` float32
+      * end-to-end): every op of the forward pass rounds to f32, closing
+      * the SURVEY §7.4 precision-divergence gap for scoring. Rows-only;
+      * RetainSpec pins f32-vs-f64 agreement and genuine f32 rounding.
+      */
+    QueryDef.noOracle("q204_retain_score_f32") { (s, d) =>
+      import s.implicits._
+      val bw = s.sparkContext.broadcast(Retain.defaultWeights)
+      featurized(s, d).map { case (uid, x, _) =>
+        val p = Retain.F32.forward(bw.value, x)
+        (uid, p(0), p(1), p(2))
+      }.toDF("user_id", "p0", "p1", "p2")
+        .select(col("user_id"),
+          round(col("p0"), 6).as("p0"),
+          round(col("p1"), 6).as("p1"),
+          round(col("p2"), 6).as("p2"))
+        .orderBy("user_id")
+    },
+
     /** q76 under the GRU fallback cell (reference `use_lstm=False`,
       * `model.py:110-111`): same eval-mode forward, α/β recurrences run
       * the GRU under its own deterministic weight lineage. Rows-only

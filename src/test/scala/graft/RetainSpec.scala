@@ -148,4 +148,27 @@ class RetainSpec extends AnyFunSuite {
       graft.functions.RetainGrad.pack(Retain.defaultGruWeights)
     }
   }
+
+  test("float32 scoring agrees with f64 to f32 precision and genuinely rounds") {
+    val w = Retain.defaultWeights
+    val x = Array.tabulate(T, F)((t, i) => math.sin(t * F + i) / 2.0)
+    val (p64, _, _) = Retain.forward(w, x)
+    val p32 = Retain.F32.forward(w, x)
+    // agreement: an 11-step recurrence at H=8 loses a few f32 digits,
+    // but probabilities must match well inside 1e-3
+    for (k <- 0 until numTasks)
+      assert(math.abs(p32(k) - p64(k)) < 1e-3, s"task $k: ${p32(k)} vs ${p64(k)}")
+    // genuine float32: every prob is exactly representable as a Float
+    // and at least one differs from the f64 path in the low-order bits
+    assert(p32.forall(p => p == p.toFloat.toDouble))
+    assert(p32.zip(p64).exists { case (a, b) => a != b },
+      "f32 path produced bit-identical f64 results — not a float32 mode")
+    // deterministic
+    assert(Retain.F32.forward(w, x).sameElements(p32))
+    // and it supports the GRU cell too
+    val g32 = Retain.F32.forward(Retain.defaultGruWeights, x)
+    val (g64, _, _) = Retain.forward(Retain.defaultGruWeights, x)
+    for (k <- 0 until numTasks)
+      assert(math.abs(g32(k) - g64(k)) < 1e-3)
+  }
 }

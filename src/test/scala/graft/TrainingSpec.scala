@@ -59,4 +59,20 @@ class TrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("weights checkpoint round-trips bit-exactly and rejects truncation") {
+    import graft.functions.{Retain, RetainCheckpoint, RetainGrad}
+    val w = Retain.defaultWeights
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-spec").toString
+    RetainCheckpoint.save(spark, w, s"$dir/w")
+    val restored = RetainCheckpoint.load(spark, s"$dir/w")
+    assert(RetainGrad.pack(restored).sameElements(RetainGrad.pack(w)),
+      "restored flat vector differs from the saved one")
+    // a truncated/partial checkpoint must fail loudly, not mis-restore
+    spark.read.parquet(s"$dir/w").limit(10)
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    intercept[IllegalArgumentException] {
+      RetainCheckpoint.load(spark, s"$dir/bad")
+    }
+  }
 }
