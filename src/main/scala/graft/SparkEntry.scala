@@ -25,6 +25,7 @@ object SparkEntry {
       operators.FeatureOps.defs ++
       operators.AnalyticsOps.defs ++
       operators.StatsOps.defs ++
+      operators.CurriculumOps.defs ++
       operators.TemporalOps.defs ++
       operators.RobustOps.defs ++
       operators.TextIndexOps.defs ++

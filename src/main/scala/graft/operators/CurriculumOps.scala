@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 training-data assembly operators: the steps between a
+  * cleaned corpus and a training run — batch assembly by length
+  * (padding efficiency), schema-evolution reads over heterogeneous
+  * snapshots, domain-interleaved curriculum ordering, and n-gram
+  * novelty scoring (dedup-lite repetition pressure).
+  */
+object CurriculumOps {
+  private def words(c: org.apache.spark.sql.Column) =
+    graft.functions.Text.wordsCol(c)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Length-bucketed batch assembly: bucket docs by token count
+      * (64-token buckets), fill fixed-size batches of 8 in doc_id
+      * order within each bucket, and emit per-batch padding waste
+      * (max_len·n − Σlen — the tokens a rectangular batch burns on
+      * pad). THE seq-batching efficiency metric of an LLM trainer.
+      * One window shuffle on the bucket key; at 100 TB the partition
+      * key gains a shard salt and batch ids offset per shard exactly
+      * like q160's two-phase offset merge.
+      */
+    QueryDef(
+      "q206_length_batching",
+      """WITH toks AS (
+        |  SELECT doc_id, len(list_filter(string_split(text,' '), w -> w != '')) AS tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, tok, tok // 64 AS bucket FROM toks),
+        |bb AS (
+        |  SELECT bucket, tok,
+        |    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8 AS batch
+        |  FROM b)
+        |SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(tok) AS BIGINT) AS max_tok,
+        |  CAST(max(tok)*count(*) - sum(tok) AS BIGINT) AS pad_waste
+        |FROM bb GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(words(col("text"))).as("tok"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      toks.withColumn("bucket", floor(col("tok") / 64).cast("long"))
+        .withColumn("batch", floor((row_number().over(w) - 1) / 8).cast("long"))
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("tok")).cast("long").as("max_tok"),
+          sum(col("tok")).as("sum_tok"))
+        .select(col("bucket"), col("batch"), col("n_docs"), col("max_tok"),
+          (col("max_tok") * col("n_docs") - col("sum_tok")).as("pad_waste"))
+        .orderBy("bucket", "batch")
+    },
+
+    /** Schema-evolution read (mergeSchema): a v1 snapshot without the
+      * `b` column and a v2 snapshot with it — written here from the
+      * nation table — read back as ONE relation whose missing column
+      * is null-filled, then audited per presence class. The lakehouse
+      * reality of a long-lived 100 TB corpus: columns arrive over
+      * time and every reader must union-by-name. The oracle reads the
+      * very same parquet files with union_by_name.
+      */
+    QueryDef(
+      "q207_schema_evolution",
+      """SELECT (b IS NOT NULL) AS has_b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(coalesce(sum(b), 0) AS BIGINT) AS sum_b
+        |FROM read_parquet(['/tmp/graft_evo/v1/*.parquet',
+        |                   '/tmp/graft_evo/v2/*.parquet'], union_by_name=true)
+        |GROUP BY 1 ORDER BY has_b""".stripMargin) { (s, d) =>
+      val base = "/tmp/graft_evo"
+      val nation = Tables.load(s, d, "nation")
+      nation.select(col("n_nationkey").as("id"), col("n_regionkey").as("a"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v1")
+      nation.select(col("n_nationkey").as("id"), col("n_regionkey").as("a"),
+          length(col("n_name")).cast("long").as("b"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy(col("b").isNotNull.as("has_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("long").as("sum_a"),
+          coalesce(sum(col("b")), lit(0)).cast("long").as("sum_b"))
+        .orderBy("has_b")
+    },
+
+    /** Domain-interleaved curriculum ordering: rank docs per source by
+      * quality (n_chars desc), then round-robin the sources so
+      * position p cycles domains — the data-order recipe that keeps a
+      * training run from seeing one domain in a burst. Emit the first
+      * 100 positions. Per-source window + a broadcast 20-row source
+      * index: nothing global ever sorts (the `pos` order is computed,
+      * not sorted-then-limited, until the final 100-row top-k).
+      */
+    QueryDef(
+      "q210_domain_interleave",
+      """WITH sidx AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) - 1 AS rn
+        |  FROM documents),
+        |interleaved AS (
+        |  SELECT r.rn * (SELECT count(*) FROM sidx) + s.sidx AS pos,
+        |    r.source, r.doc_id, r.n_chars
+        |  FROM ranked r JOIN sidx s ON r.source = s.source)
+        |SELECT CAST(pos AS BIGINT) AS pos, source, doc_id, n_chars
+        |FROM interleaved WHERE pos < 100 ORDER BY pos""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val srcIdx = docs.select("source").distinct()
+        .withColumn("sidx",
+          row_number().over(Window.orderBy("source")).cast("long") - 1)
+      val nSrc = srcIdx.count() // O(domains) driver scalar, like q152
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.withColumn("rn", row_number().over(w).cast("long") - 1)
+        .join(broadcast(srcIdx), "source")
+        .withColumn("pos", col("rn") * nSrc + col("sidx"))
+        .where(col("pos") < 100)
+        .select(col("pos"), col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("pos")
+    },
+
+    /** n-gram novelty scoring: per doc, the fraction of its distinct
+      * 5-grams whose global first sighting (min doc_id) is the doc
+      * itself; per-source average. The dedup-lite signal (low novelty
+      * = templated/duplicated content) a filtering pipeline thresholds
+      * on. Two shuffles (gram group + doc group); the gram join is the
+      * same hashed-shingle shape as q138's decontamination semi-join.
+      * Averages go through the decimal-cast sum so both engines
+      * round identically regardless of summation order.
+      */
+    QueryDef(
+      "q211_ngram_novelty",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), w -> w != '') AS ws
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, source, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i)
+        |  WHERE len(ws) >= 5),
+        |g AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+        |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |nov AS (
+        |  SELECT g.doc_id, g.source,
+        |    sum(CASE WHEN fs.first_doc = g.doc_id THEN 1.0 ELSE 0.0 END)
+        |      / count(*) AS novelty
+        |  FROM g JOIN fs ON g.gram = fs.gram
+        |  GROUP BY g.doc_id, g.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(novelty AS DECIMAL(18,9))) AS DOUBLE)
+        |    / count(*), 6) AS avg_novelty
+        |FROM nov GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+        .where(size(col("ws")) >= 5)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("ws")) - 5),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(5)))))).as("gram"))
+      val firstSeen = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstSeen, "gram")
+        .groupBy("doc_id", "source")
+        .agg((sum(when(col("first_doc") === col("doc_id"), 1.0).otherwise(0.0))
+          / count(lit(1))).as("novelty"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round((sum(col("novelty").cast("decimal(18,9)")).cast("double")
+            / count(lit(1))), 6).as("avg_novelty"))
+        .orderBy("source")
+    }
+  )
+}
