@@ -79,6 +79,16 @@ case class TopKPerGroupExec(
       org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  /** The pass never moves rows between partitions, so the child's
+    * partitioning survives — without this override (the UnaryExecNode
+    * default is UnknownPartitioning) a downstream window/aggregate on
+    * the same group keys would re-Exchange the already-clustered,
+    * k-bounded output.
+    */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 

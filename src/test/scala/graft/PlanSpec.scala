@@ -297,6 +297,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected the carry window")
   }
 
+  test("q187 WITH-TIES top-k: one group shuffle, window reuses the TopK partitioning") {
+    // TopKPerGroupExec propagates its child partitioning, so the rank
+    // window over the k-bounded survivors must NOT re-Exchange
+    val plan = finalPlan(SparkEntry.queries("q187_topk_with_ties")(spark, sf))
+    val nodes = allNodes(plan)
+    assert(nodes.exists(_.isInstanceOf[graft.plans.TopKPerGroupExec]),
+      "expected the custom WITH-TIES operator")
+    val hashEx = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e }
+    assert(hashEx.size == 1,
+      s"expected exactly 1 hash exchange (partial→final), got ${hashEx.size}")
+  }
+
   test("q65 centroid assignment is map-side (no window, no vec_id shuffle)") {
     // the argmax folds over ONE broadcast centroid row — the old
     // crossJoin+row_number form exchanged 10× the corpus on vec_id
