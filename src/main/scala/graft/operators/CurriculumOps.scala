@@ -171,6 +171,99 @@ object CurriculumOps {
           round((sum(col("novelty").cast("decimal(18,9)")).cast("double")
             / count(lit(1))), 6).as("avg_novelty"))
         .orderBy("source")
+    },
+
+    /** Quality-threshold sweep: retention rate + retained-size profile
+      * at nine candidate cut points in ONE pass (each row fans out to
+      * the 9 thresholds map-side, then a 9-group aggregate) — how a
+      * filtering pipeline picks its quality cut without 9 scans.
+      * Quality here = fraction of words longer than 3 chars (cheap,
+      * deterministic; the sweep machinery is the operator).
+      */
+    QueryDef(
+      "q212_threshold_sweep", {
+        val ts = (1 to 9).map(i => i / 10.0)
+        s"""WITH q AS (
+           |  SELECT doc_id, n_chars,
+           |    len(list_filter(ws, w -> length(w) > 3)) / CAST(len(ws) AS DOUBLE) AS q
+           |  FROM (SELECT doc_id, n_chars,
+           |          list_filter(string_split(text,' '), w -> w != '') AS ws
+           |        FROM documents)
+           |  WHERE len(ws) > 0),
+           |sweep AS (SELECT t, doc_id, n_chars, q
+           |          FROM q, LATERAL (SELECT unnest([${ts.mkString(", ")}]) AS t))
+           |SELECT t, CAST(count_if(q >= t) AS BIGINT) AS n_kept,
+           |  round(count_if(q >= t) / CAST(count(*) AS DOUBLE), 6) AS retention,
+           |  CAST(coalesce(sum(CASE WHEN q >= t THEN n_chars END), 0) AS BIGINT)
+           |    AS kept_chars
+           |FROM sweep GROUP BY t ORDER BY t""".stripMargin
+      }) { (s, d) =>
+      val ts = (1 to 9).map(i => i / 10.0)
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
+        .where(size(col("ws")) > 0)
+        .select(col("doc_id"), col("n_chars"),
+          (size(filter(col("ws"), w => length(w) > 3)) /
+            size(col("ws")).cast("double")).as("q"))
+      q.withColumn("t", explode(array(ts.map(lit): _*)))
+        .groupBy("t")
+        .agg(count_if(col("q") >= col("t")).as("n_kept"),
+          round(count_if(col("q") >= col("t")) /
+            count(lit(1)).cast("double"), 6).as("retention"),
+          coalesce(sum(when(col("q") >= col("t"), col("n_chars"))), lit(0))
+            .as("kept_chars"))
+        .orderBy("t")
+    },
+
+    /** T5-style span corruption: every doc's token stream splits into
+      * 3-token spans; a span is masked iff the portable 60-bit
+      * md5-derived hash of (doc_id, span_idx) ≡ 0 (mod 5) — the q163
+      * salt-hash idiom, so the "random" mask is identical on both
+      * engines and across reruns/backfills (the property a 100 TB
+      * example-generation job actually needs; no RNG state anywhere).
+      * Emits per-doc mask stats + the first masked target span.
+      * Entirely map-side: HOFs over the token array, no shuffle before
+      * the final 20-row ORDER BY.
+      */
+    QueryDef(
+      "q213_span_corruption",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w != '') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, ws, len(ws) // 3 AS nspan FROM tok WHERE len(ws) >= 3),
+        |masked AS (
+        |  SELECT doc_id, ws, nspan,
+        |    list_filter(range(nspan),
+        |      i -> ('0x' || substr(md5(doc_id || ':' || i), 1, 15))::BIGINT % 5 = 0)
+        |      AS mi
+        |  FROM base)
+        |SELECT doc_id, CAST(nspan AS BIGINT) AS n_spans,
+        |  CAST(len(mi) AS BIGINT) AS n_masked,
+        |  round(len(mi) / CAST(nspan AS DOUBLE), 6) AS masked_ratio,
+        |  CASE WHEN len(mi) > 0
+        |       THEN array_to_string(ws[mi[1]*3+1 : mi[1]*3+3], ' ')
+        |       ELSE '' END AS first_target
+        |FROM masked WHERE doc_id < 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spanHash = (i: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          i.cast("string"))), 1, 15), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+        .withColumn("nspan", floor(size(col("ws")) / 3).cast("long"))
+        .withColumn("mi", filter(sequence(lit(0L), col("nspan") - 1),
+          i => pmod(spanHash(i), lit(5)) === 0))
+        .select(col("doc_id"), col("nspan").as("n_spans"),
+          size(col("mi")).cast("long").as("n_masked"),
+          round(size(col("mi")) / col("nspan").cast("double"), 6)
+            .as("masked_ratio"),
+          when(size(col("mi")) > 0,
+            concat_ws(" ", slice(col("ws"),
+              (element_at(col("mi"), 1) * 3 + 1).cast("int"), lit(3))))
+            .otherwise("").as("first_target"))
+        .where(col("doc_id") < 20)
+        .orderBy("doc_id")
     }
   )
 }
