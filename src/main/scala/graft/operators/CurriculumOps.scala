@@ -127,10 +127,11 @@ object CurriculumOps {
       * 5-grams whose global first sighting (min doc_id) is the doc
       * itself; per-source average. The dedup-lite signal (low novelty
       * = templated/duplicated content) a filtering pipeline thresholds
-      * on. Two shuffles (gram group + doc group); the gram join is the
-      * same hashed-shingle shape as q138's decontamination semi-join.
-      * Averages go through the decimal-cast sum so both engines
-      * round identically regardless of summation order.
+      * on. Two shuffles only: first-sighting is a min window OVER the
+      * gram partition (no self-join, no second scan of the exploded
+      * grams), then the doc/source rollup. Averages go through the
+      * decimal-cast sum so both engines round identically regardless
+      * of summation order.
       */
     QueryDef(
       "q211_ngram_novelty",
@@ -161,8 +162,9 @@ object CurriculumOps {
           explode(array_distinct(transform(
             sequence(lit(0), size(col("ws")) - 5),
             i => concat_ws(" ", slice(col("ws"), i + 1, lit(5)))))).as("gram"))
-      val firstSeen = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstSeen, "gram")
+      grams
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("gram"))))
         .groupBy("doc_id", "source")
         .agg((sum(when(col("first_doc") === col("doc_id"), 1.0).otherwise(0.0))
           / count(lit(1))).as("novelty"))
