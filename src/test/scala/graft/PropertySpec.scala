@@ -120,4 +120,27 @@ class PropertySpec extends AnyFunSuite {
         heavy.subsetOf(cands)
     })
   }
+
+  test("WITH-TIES top-k retention is a semigroup (partial∘final == global)") {
+    // the algebra TopKPerGroupExec's withTies two-phase plan rests on:
+    // keep row r iff fewer than k rows sort strictly before it; for ANY
+    // partition split, re-retaining the union of per-partition
+    // retentions equals retaining globally (multiset equality, so
+    // boundary ties are neither lost nor duplicated)
+    def retainTies(rows: Seq[Int], k: Int): Seq[Int] =
+      rows.filter(r => rows.count(_ < r) < k)
+    val rowsGen = Gen.nonEmptyListOf(Gen.choose(0, 9)) // tie-heavy domain
+    val kGen = Gen.choose(1, 5)
+    val partsGen = Gen.choose(1, 6)
+    check(Prop.forAll(rowsGen, kGen, partsGen, Gen.choose(0L, Long.MaxValue)) {
+      (rows, k, parts, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val partitions = Array.fill(parts)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        rows.foreach(r => partitions(rnd.nextInt(parts)) += r)
+        val twoPhase = retainTies(
+          partitions.toSeq.flatMap(p => retainTies(p.toSeq, k)), k)
+        twoPhase.sorted == retainTies(rows, k).sorted
+    })
+  }
 }
