@@ -21,9 +21,15 @@ object CurriculumOps {
       * order within each bucket, and emit per-batch padding waste
       * (max_len·n − Σlen — the tokens a rectangular batch burns on
       * pad). THE seq-batching efficiency metric of an LLM trainer.
-      * One window shuffle on the bucket key; at 100 TB the partition
-      * key gains a shard salt and batch ids offset per shard exactly
-      * like q160's two-phase offset merge.
+      *
+      * The within-bucket row number is computed by q160's two-phase
+      * offset merge, NOT a `partitionBy(bucket)` window: a handful of
+      * length buckets would each land on one reducer at 100 TB. Rows
+      * number locally per (bucket, doc_id-range shard) — thousands of
+      * bounded partitions — and a broadcast O(buckets×shards) offset
+      * table lifts local numbers to the EXACT global ones (shards are
+      * doc_id ranges, so shard order == doc_id order). Output is
+      * identical to the single-window form the oracle states.
       */
     QueryDef(
       "q206_length_batching",
@@ -41,9 +47,23 @@ object CurriculumOps {
         |FROM bb GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), size(words(col("text"))).as("tok"))
-      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      toks.withColumn("bucket", floor(col("tok") / 64).cast("long"))
-        .withColumn("batch", floor((row_number().over(w) - 1) / 8).cast("long"))
+        .withColumn("bucket", floor(col("tok") / 64).cast("long"))
+        .withColumn("shard", (col("doc_id") / 100).cast("long"))
+      val wLocal = Window.partitionBy(col("bucket"), col("shard"))
+        .orderBy(col("doc_id"))
+      val local = toks
+        .withColumn("rn_local", row_number().over(wLocal).cast("long"))
+      // exact global offsets: cumulative count of earlier doc_id-range
+      // shards within the bucket — O(buckets×shards) rows, broadcast
+      val wOff = Window.partitionBy(col("bucket")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy("bucket", "shard")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select("bucket", "shard", "off")
+      local.join(broadcast(offsets), Seq("bucket", "shard"))
+        .withColumn("batch",
+          floor((col("rn_local") - 1 + col("off")) / 8).cast("long"))
         .groupBy("bucket", "batch")
         .agg(count(lit(1)).as("n_docs"),
           max(col("tok")).cast("long").as("max_tok"),

@@ -311,6 +311,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (partial→final), got ${hashEx.size}")
   }
 
+  test("q206 batch numbering never windows on the bucket key alone") {
+    // the within-bucket row number comes from (bucket, shard)-local
+    // windows + a broadcast offset table — a bucket-only window would
+    // serialize each length bucket onto one reducer at scale
+    val plan = finalPlan(SparkEntry.queries("q206_length_batching")(spark, sf))
+    val windows = allNodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    val bucketOnly = windows.filter(w =>
+      w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.toString.contains("bucket") &&
+        // the tiny offsets frame (child of an aggregate) is allowed
+        !allNodes(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]))
+    assert(bucketOnly.isEmpty,
+      s"corpus rows window on bucket alone: ${bucketOnly.map(_.partitionSpec)}")
+    assert(allNodes(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected the broadcast offset-table join")
+  }
+
   test("q65 centroid assignment is map-side (no window, no vec_id shuffle)") {
     // the argmax folds over ONE broadcast centroid row — the old
     // crossJoin+row_number form exchanged 10× the corpus on vec_id
