@@ -386,6 +386,53 @@ object Extensions {
         .orderBy(col("cosF").desc, col("vec_id"))
         .limit(5)
         .select(col("vec_id"), col("label"), r6(col("cosF")).as("cos"))
+    },
+
+    /** Multi-probe ANN (q90 + recall recovery): probe the query's
+      * bucket AND its 8 Hamming-1 neighbors (flip one plane bit each) —
+      * the standard trade that buys back the recall a wider plane
+      * count costs (Lsh scaladoc) without touching the other 247
+      * cells. Still a map-side IN-filter over 9 of 256 buckets plus a
+      * bounded TakeOrdered top-5; nothing shuffles but 5 rows.
+      */
+    QueryDef(
+      "q214_ann_multiprobe", {
+        def bucketSqlOf(vecExpr: Int => String): String =
+          planes.zipWithIndex.map { case (p, pi) =>
+            val dot = p.zipWithIndex.map { case (v, i) => s"${vecExpr(i)} * ($v)" }.mkString(" + ")
+            s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
+          }.mkString(" + ")
+        val corpusBucket = bucketSqlOf(i => s"embedding[${i + 1}]::DOUBLE")
+        val qb: Int = planes.zipWithIndex.map { case (p, pi) =>
+          if (p.zip(qvec).map { case (a, b) => a * b }.sum > 0) 1 << pi else 0
+        }.sum
+        val probes = (qb +: planes.indices.map(pi => qb ^ (1 << pi)))
+          .mkString(", ")
+        val qvecSql = qvec.mkString("[", ", ", "]::DOUBLE[]")
+        s"""SELECT vec_id, label,
+           |  round(list_cosine_similarity(embedding::DOUBLE[], $qvecSql), 6) AS cos
+           |FROM embeddings
+           |WHERE ($corpusBucket) IN ($probes)
+           |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $qvecSql) DESC, vec_id
+           |LIMIT 5""".stripMargin
+      }) { (s, d) =>
+      val emb = col("embedding").cast("array<double>")
+      def bucketOf(dot: Array[Double] => org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (p, pi) =>
+          when(dot(p) > 0, lit(1 << pi)).otherwise(0)
+        }.reduce(_ + _)
+      val corpusBucket = bucketOf(p => Kernels.arrayDot(emb, array(p.map(lit): _*)))
+      val qb: Int = planes.zipWithIndex.map { case (p, pi) =>
+        if (p.zip(qvec).map { case (a, b) => a * b }.sum > 0) 1 << pi else 0
+      }.sum
+      val probes = qb +: planes.indices.map(pi => qb ^ (1 << pi))
+      val cosF = Kernels.cosine(emb, array(qvec.map(lit): _*))
+      Tables.embeddings(s, d)
+        .where(corpusBucket.isin(probes: _*))
+        .withColumn("cosF", cosF)
+        .orderBy(col("cosF").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("label"), r6(col("cosF")).as("cos"))
     }
   )
 }

@@ -77,6 +77,20 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec8 >= rec16 && rec16 >= rec32, s"recall not decaying: $stats")
   }
 
+  test("multi-probe candidates dominate single-probe (q214 vs q90)") {
+    // q214 probes the query bucket plus its 8 Hamming-1 neighbors, so
+    // its candidate set is a superset of q90's: every returned cosine
+    // must be >= the single-probe result at the same rank
+    val single = SparkEntry.queries("q90_ann_search")(spark, sf).collect()
+      .map(_.getDouble(2))
+    val multi = SparkEntry.queries("q214_ann_multiprobe")(spark, sf).collect()
+      .map(_.getDouble(2))
+    assert(multi.length >= single.length)
+    single.zip(multi).foreach { case (s1, m) =>
+      assert(m >= s1, s"multi-probe cosine $m below single-probe $s1")
+    }
+  }
+
   test("bucketOf mirrors the query-side bucketing expression (q66)") {
     // q66's output is the occupancy histogram under b=8; recomputing it
     // driver-side from the same vectors must agree exactly
