@@ -583,6 +583,51 @@ object Streaming {
         .orderBy("user_id", "session_start")
     },
 
+    /** DYNAMIC-gap session windows: the gap is an expression of the
+      * row (purchases hold a session open 1 h, everything else 15 min)
+      * — `session_window(ts, CASE ...)`, the per-event-type engagement
+      * model a fixed gap can't express. The oracle states the interval-
+      * union semantics directly: a row opens a new session iff its ts
+      * is ≥ the running MAX of all previous ends (ts+gap) — with a
+      * variable gap the previous EVENT is not necessarily the previous
+      * END, so the lag form q82 uses would be wrong here.
+      */
+    QueryDef(
+      "q215_dynamic_session_gap",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 900000000 END AS gap_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN max(epoch_us(ts) + gap_us) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("1 hour"))
+            .otherwise(lit("15 minutes"))).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     /** Durable streaming sink: stream → dropDuplicates → parquet file
       * sink with a checkpoint (exactly-once file output, the
       * production sink shape) → batch read-back of the sink directory.
