@@ -157,6 +157,56 @@ object RobustOps {
             .as("observed"),
           r6(log10(lit(1.0) + lit(1.0) / col("digit"))).as("benford"))
         .orderBy("digit")
+    },
+
+    /** Fault-tolerant ingestion via the ANSI try_* family: dirty
+      * strings (integer-derived so both engines render them
+      * byte-identically) parse with try_cast (malformed → null, never
+      * a job abort), try_divide survives the zero denominators, and
+      * try_element_at survives the missing fractional part — the
+      * never-fail ingestion contract a 100 TB load needs (one poison
+      * row must not kill a 6-hour job). DuckDB states the same
+      * semantics with TRY_CAST / CASE / out-of-range list access.
+      */
+    QueryDef(
+      "q217_try_ingestion",
+      """WITH dirty AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+        |         WHEN o_orderkey % 5 = 0 THEN ''
+        |         ELSE CAST((o_orderkey * 37) % 9973 AS VARCHAR) || '.' ||
+        |              CAST(o_orderkey % 10 AS VARCHAR) END AS raw,
+        |    o_orderkey % 3 AS denom
+        |  FROM orders),
+        |parsed AS (
+        |  SELECT k, TRY_CAST(raw AS DOUBLE) AS val,
+        |    CASE WHEN denom = 0 THEN NULL
+        |         ELSE CAST(k AS DOUBLE) / denom END AS ratio,
+        |    string_split(raw, '.')[2] AS frac
+        |  FROM dirty)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(val) AS BIGINT) AS n_parsed,
+        |  round(CAST(sum(CAST(val AS DECIMAL(28,8))) AS DOUBLE), 2) AS parsed_total,
+        |  CAST(count(ratio) AS BIGINT) AS n_divided,
+        |  CAST(count(frac) AS BIGINT) AS n_with_frac
+        |FROM parsed""".stripMargin) { (s, d) =>
+      val dirty = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, "N/A")
+            .when(col("o_orderkey") % 5 === 0, "")
+            .otherwise(concat(((col("o_orderkey") * 37) % 9973).cast("string"),
+              lit("."), (col("o_orderkey") % 10).cast("string"))).as("raw"),
+          (col("o_orderkey") % 3).as("denom"))
+      dirty.select(col("k"),
+          expr("try_cast(raw AS DOUBLE)").as("val"),
+          try_divide(col("k"), col("denom")).as("ratio"),
+          expr("try_element_at(split(raw, '\\\\.'), 2)").as("frac"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("val")).as("n_parsed"),
+          round(sum(col("val").cast("decimal(28,8)")).cast("double"), 2)
+            .as("parsed_total"),
+          count(col("ratio")).as("n_divided"),
+          count(col("frac")).as("n_with_frac"))
     }
   )
 }

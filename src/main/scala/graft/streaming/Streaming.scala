@@ -902,6 +902,54 @@ object Streaming {
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    /** q215's dynamic per-row gap on a STREAM under watermark+append:
+      * a session emits once the watermark passes its end, where the
+      * end of a variable-gap session is max(ts+gap) over its members
+      * (NOT lastEvent+constant) — the oracle states exactly that
+      * interval-union + eviction rule relationally, so the streaming
+      * engine's dynamic-gap merge AND watermark semantics both
+      * hash-verify against the batch form.
+      */
+    QueryDef(
+      "q216_stream_dynamic_sessions",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 900000000 END AS gap_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, gap_us,
+        |    CASE WHEN max(epoch_us(ts) + gap_us) OVER w1 IS NULL
+        |           OR epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER w1
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM g WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sess AS (
+        |  SELECT user_id, ts, gap_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, min(ts) AS start_ts,
+        |    max(epoch_us(ts) + gap_us) AS end_us, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  n_events
+        |FROM agg
+        |WHERE end_us <= (SELECT max(epoch_us(ts)) - 10000000 FROM events)
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("1 hour"))
+            .otherwise(lit("15 minutes"))).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, agg, "graft_stream_dyn_sessions", "append")
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }
   )
 }
