@@ -237,6 +237,80 @@ object CurriculumOps {
         .orderBy("t")
     },
 
+    /** End-to-end curation pipeline in ONE declarative plan — exact
+      * dedup (md5, keep-first) → quality gate (≥200 chars) → 50-token
+      * chunk accounting → 2048-token pack estimate, rolled up per
+      * source. The point is composition: every stage is one of the
+      * engine's verified primitives and Catalyst fuses the whole chain
+      * into two shuffles (dedup hash + final rollup) with the scan
+      * shared — the "run your whole pipeline as one query" contract.
+      */
+    QueryDef(
+      "q219_e2e_pipeline",
+      """WITH dedup AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |kept AS (
+        |  SELECT d.doc_id, d.source,
+        |    list_filter(string_split(d.text,' '), w -> w != '') AS ws
+        |  FROM documents d JOIN dedup u ON d.doc_id = u.doc_id
+        |  WHERE d.n_chars >= 200),
+        |chunks AS (
+        |  SELECT source, len(ws) AS tok,
+        |    CAST(ceil(len(ws) / 50.0) AS BIGINT) AS n_chunks
+        |  FROM kept WHERE len(ws) > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(ceil(sum(tok) / 2048.0) AS BIGINT) AS packed_batches
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dedup = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      docs.join(dedup, "doc_id")
+        .where(col("n_chars") >= 200)
+        .select(col("source"), words(col("text")).as("ws"))
+        .where(size(col("ws")) > 0)
+        .select(col("source"), size(col("ws")).as("tok"),
+          ceil(size(col("ws")) / 50.0).as("n_chunks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("tok")).as("total_tokens"),
+          ceil(sum(col("tok")) / 2048.0).as("packed_batches"))
+        .orderBy("source")
+    },
+
+    /** Market-basket pair mining (co-occurrence itemsets): distinct
+      * (order, part) pairs self-join WITHIN the order key — fan-out is
+      * bounded by basket size (≤7 lineitems ⇒ ≤21 pairs per order), so
+      * the join is a per-key local expansion, never quadratic in the
+      * table; one grouped count ranks the pairs. The co-occurrence
+      * primitive under recommender candidates and FP-growth's first
+      * pass.
+      */
+    QueryDef(
+      "q218_market_basket",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM pairs GROUP BY p1, p2
+        |HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= 2)
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+
     /** T5-style span corruption: every doc's token stream splits into
       * 3-token spans; a span is masked iff the portable 60-bit
       * md5-derived hash of (doc_id, span_idx) ≡ 0 (mod 5) — the q163
