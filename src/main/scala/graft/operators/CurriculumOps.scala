@@ -241,9 +241,10 @@ object CurriculumOps {
       * dedup (md5, keep-first) → quality gate (≥200 chars) → 50-token
       * chunk accounting → 2048-token pack estimate, rolled up per
       * source. The point is composition: every stage is one of the
-      * engine's verified primitives and Catalyst fuses the whole chain
-      * into two shuffles (dedup hash + final rollup) with the scan
-      * shared — the "run your whole pipeline as one query" contract.
+      * engine's verified primitives and Catalyst fuses the chain: the
+      * dedup hash shuffle, the keep-list join (auto-broadcast here; a
+      * co-partitioned doc_id shuffle at 100 TB), and the final rollup
+      * — the "run your whole pipeline as one query" contract.
       */
     QueryDef(
       "q219_e2e_pipeline",
