@@ -237,6 +237,66 @@ object CurriculumOps {
         .orderBy("t")
     },
 
+    /** Portable oracled MinHash banding: 8 per-doc min-hash signatures
+      * from the md5-derived 60-bit hash (seeded by suffix — identical
+      * on both engines, unlike engine-native hash functions), banded
+      * 2-at-a-time into 4 LSH bands; emits per-band bucket occupancy.
+      * Complements q71 (MLlib MinHashLSH, rows-only because its
+      * signatures are RNG-seeded): THIS banding pipeline hash-verifies
+      * end to end. Shape: one doc_id shuffle for the signature
+      * aggregate, map-side band fan-out, one (band,key) count.
+      */
+    QueryDef(
+      "q220_minhash_portable", {
+        val mins = (0 until 8).map(si =>
+          s"min(('0x' || substr(md5(w || '#$si'), 1, 15))::BIGINT) AS mh$si")
+          .mkString(",\n        |    ")
+        val keys = (0 until 4).map(b =>
+          s"mh${2 * b} || '_' || mh${2 * b + 1}").mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(list_filter(string_split(text,' '), w -> w != ''))) AS w
+           |  FROM documents),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM tok GROUP BY doc_id),
+           |bands AS (
+           |  SELECT band, key FROM mh, LATERAL (
+           |    SELECT unnest([0, 1, 2, 3]) AS band,
+           |           unnest([$keys]) AS key)),
+           |b AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key)
+           |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(max(n) AS BIGINT) AS max_bucket,
+           |  CAST(sum(n) AS BIGINT) AS n_docs
+           |FROM b GROUP BY band ORDER BY band""".stripMargin
+      }) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(words(col("text")))).as("w"))
+      val mh = tok.groupBy("doc_id")
+        .agg(
+          min(conv(substring(md5(concat(col("w"), lit("#0"))), 1, 15), 16, 10)
+            .cast("long")).as("mh0"),
+          (1 until 8).map(si =>
+            min(conv(substring(md5(concat(col("w"), lit(s"#$si"))), 1, 15), 16, 10)
+              .cast("long")).as(s"mh$si")): _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat(col(s"mh${2 * b}").cast("string"), lit("_"),
+            col(s"mh${2 * b + 1}").cast("string")).as("key"))
+      }
+      mh.select(explode(array(bandStructs: _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+        .groupBy("band", "key")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket"),
+          sum(col("n")).as("n_docs"))
+        .orderBy("band")
+    },
+
     /** End-to-end curation pipeline in ONE declarative plan — exact
       * dedup (md5, keep-first) → quality gate (≥200 chars) → 50-token
       * chunk accounting → 2048-token pack estimate, rolled up per
