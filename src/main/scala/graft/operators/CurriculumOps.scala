@@ -237,6 +237,49 @@ object CurriculumOps {
         .orderBy("t")
     },
 
+    /** Key-skew audit: the per-key count distribution (cardinality,
+      * max, p50/p99, heaviest key's share) for candidate join/group
+      * keys — the diagnostic that DECIDES between a plain shuffle, a
+      * salted join (q93), or salted two-phase aggregation (q201)
+      * before a 100 TB job runs. One grouped count per key column,
+      * then O(keys) stats; the events key columns profile user_id
+      * (uniform) against event_type (5 hot keys) side by side.
+      */
+    QueryDef(
+      "q221_skew_audit",
+      """WITH c1 AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |c2 AS (SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1),
+        |s1 AS (
+        |  SELECT 'user_id' AS dim, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(n) AS BIGINT) AS max_n,
+        |    round(quantile_cont(n, 0.5), 2) AS p50_n,
+        |    round(quantile_cont(n, 0.99), 2) AS p99_n,
+        |    round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_share
+        |  FROM c1),
+        |s2 AS (
+        |  SELECT 'event_type' AS dim, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(n) AS BIGINT) AS max_n,
+        |    round(quantile_cont(n, 0.5), 2) AS p50_n,
+        |    round(quantile_cont(n, 0.99), 2) AS p99_n,
+        |    round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_share
+        |  FROM c2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY dim""".stripMargin) { (s, d) =>
+      def profile(keyCol: String): org.apache.spark.sql.DataFrame =
+        Tables.events(s, d)
+          .groupBy(col(keyCol).cast("string").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .agg(lit(keyCol).as("dim"),
+            count(lit(1)).as("n_keys"),
+            max(col("n")).as("max_n"),
+            round(expr("percentile(n, 0.5)"), 2).as("p50_n"),
+            round(expr("percentile(n, 0.99)"), 2).as("p99_n"),
+            round(max(col("n")) / sum(col("n")).cast("double"), 6)
+              .as("top1_share"))
+      profile("user_id").unionByName(profile("event_type")).orderBy("dim")
+    },
+
     /** Portable oracled MinHash banding: 8 per-doc min-hash signatures
       * from the md5-derived 60-bit hash (seeded by suffix — identical
       * on both engines, unlike engine-native hash functions), banded
