@@ -19,6 +19,14 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any STALE output from a previous run into this outDir —
+        // otherwise the checker would hash the old parquet and report a
+        // now-broken query green (exactly what the lint must prevent)
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

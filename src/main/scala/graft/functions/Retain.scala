@@ -225,96 +225,131 @@ object Retain {
       (1.0 / (1.0 + math.exp(-z.toDouble))).toFloat
     @inline private def tanhF(z: Float): Float = math.tanh(z.toDouble).toFloat
 
-    private def lstmSeq(cell: LstmCell, xs: Array[Array[Float]]): Array[Array[Float]] = {
-      val wx = cell.wx.map(_.map(_.toFloat))
-      val wh = cell.wh.map(_.map(_.toFloat))
-      val b = cell.b.map(_.toFloat)
-      var c = new Array[Float](H)
-      var h = new Array[Float](H)
-      xs.map { xv =>
-        val g = b.clone()
-        var i = 0
-        while (i < H) {
-          val xi = xv(i); val hi = h(i)
-          if (xi != 0f || hi != 0f) {
-            val wxr = wx(i); val whr = wh(i)
-            var j = 0
-            while (j < 4 * H) { g(j) = g(j) + xi * wxr(j) + hi * whr(j); j += 1 }
+    /** A cell whose parameters are already Float-typed. */
+    sealed trait Cell32 {
+      def runSeq(xs: Array[Array[Float]]): Array[Array[Float]]
+    }
+
+    final case class Lstm32(wx: Array[Array[Float]], wh: Array[Array[Float]],
+        b: Array[Float]) extends Cell32 {
+      def runSeq(xs: Array[Array[Float]]): Array[Array[Float]] = {
+        var c = new Array[Float](H)
+        var h = new Array[Float](H)
+        xs.map { xv =>
+          val g = b.clone()
+          var i = 0
+          while (i < H) {
+            val xi = xv(i); val hi = h(i)
+            if (xi != 0f || hi != 0f) {
+              val wxr = wx(i); val whr = wh(i)
+              var j = 0
+              while (j < 4 * H) { g(j) = g(j) + xi * wxr(j) + hi * whr(j); j += 1 }
+            }
+            i += 1
           }
-          i += 1
+          val nc = new Array[Float](H)
+          val nh = new Array[Float](H)
+          var k = 0
+          while (k < H) {
+            val ig = sig(g(k))
+            val jg = tanhF(g(H + k))
+            val fg = sig(g(2 * H + k) + 1.0f)
+            val og = sig(g(3 * H + k))
+            nc(k) = fg * c(k) + ig * jg
+            nh(k) = og * tanhF(nc(k))
+            k += 1
+          }
+          c = nc; h = nh
+          nh
         }
-        val nc = new Array[Float](H)
-        val nh = new Array[Float](H)
-        var k = 0
-        while (k < H) {
-          val ig = sig(g(k))
-          val jg = tanhF(g(H + k))
-          val fg = sig(g(2 * H + k) + 1.0f)
-          val og = sig(g(3 * H + k))
-          nc(k) = fg * c(k) + ig * jg
-          nh(k) = og * tanhF(nc(k))
-          k += 1
-        }
-        c = nc; h = nh
-        nh
       }
     }
 
-    private def gruSeq(cell: GruCell, xs: Array[Array[Float]]): Array[Array[Float]] = {
-      val wxG = cell.wxG.map(_.map(_.toFloat))
-      val whG = cell.whG.map(_.map(_.toFloat))
-      val bG = cell.bG.map(_.toFloat)
-      val wxC = cell.wxC.map(_.map(_.toFloat))
-      val whC = cell.whC.map(_.map(_.toFloat))
-      val bC = cell.bC.map(_.toFloat)
-      var h = new Array[Float](H)
-      xs.map { xv =>
-        val g = bG.clone()
-        var i = 0
-        while (i < H) {
-          val xi = xv(i); val hi = h(i)
-          if (xi != 0f || hi != 0f) {
-            val wxr = wxG(i); val whr = whG(i)
-            var j = 0
-            while (j < 2 * H) { g(j) = g(j) + xi * wxr(j) + hi * whr(j); j += 1 }
+    final case class Gru32(wxG: Array[Array[Float]], whG: Array[Array[Float]],
+        bG: Array[Float], wxC: Array[Array[Float]], whC: Array[Array[Float]],
+        bC: Array[Float]) extends Cell32 {
+      def runSeq(xs: Array[Array[Float]]): Array[Array[Float]] = {
+        var h = new Array[Float](H)
+        xs.map { xv =>
+          val g = bG.clone()
+          var i = 0
+          while (i < H) {
+            val xi = xv(i); val hi = h(i)
+            if (xi != 0f || hi != 0f) {
+              val wxr = wxG(i); val whr = whG(i)
+              var j = 0
+              while (j < 2 * H) { g(j) = g(j) + xi * wxr(j) + hi * whr(j); j += 1 }
+            }
+            i += 1
           }
-          i += 1
-        }
-        val cand = bC.clone()
-        i = 0
-        while (i < H) {
-          val xi = xv(i)
-          val rhi = sig(g(i)) * h(i)
-          if (xi != 0f || rhi != 0f) {
-            val wxr = wxC(i); val whr = whC(i)
-            var j = 0
-            while (j < H) { cand(j) = cand(j) + xi * wxr(j) + rhi * whr(j); j += 1 }
+          val cand = bC.clone()
+          i = 0
+          while (i < H) {
+            val xi = xv(i)
+            val rhi = sig(g(i)) * h(i)
+            if (xi != 0f || rhi != 0f) {
+              val wxr = wxC(i); val whr = whC(i)
+              var j = 0
+              while (j < H) { cand(j) = cand(j) + xi * wxr(j) + rhi * whr(j); j += 1 }
+            }
+            i += 1
           }
-          i += 1
+          val nh = new Array[Float](H)
+          var k = 0
+          while (k < H) {
+            val u = sig(g(H + k))
+            nh(k) = u * h(k) + (1f - u) * tanhF(cand(k))
+            k += 1
+          }
+          h = nh
+          nh
         }
-        val nh = new Array[Float](H)
-        var k = 0
-        while (k < H) {
-          val u = sig(g(H + k))
-          nh(k) = u * h(k) + (1f - u) * tanhF(cand(k))
-          k += 1
-        }
-        h = nh
-        nh
       }
     }
+
+    /** All parameters Float-typed, converted ONCE. Broadcast THIS for
+      * corpus scoring (q204) — the per-row hot loop then converts only
+      * the input grid, never the weights.
+      */
+    final case class W32(
+        v: Array[Array[Float]],
+        alphaCell: Cell32,
+        betaCell: Cell32,
+        wAlpha: Array[Float],
+        bAlpha: Float,
+        wBeta: Array[Array[Float]],
+        bBeta: Array[Float],
+        heads: Array[Array[Float]],
+        headB: Array[Float])
+
+    /** One-time Double→Float conversion of a weight set. */
+    def prepare(w: RetainWeights): W32 = {
+      def m(a: Array[Array[Double]]) = a.map(_.map(_.toFloat))
+      def vec(a: Array[Double]) = a.map(_.toFloat)
+      def cell(c: RnnCell): Cell32 = c match {
+        case l: LstmCell => Lstm32(m(l.wx), m(l.wh), vec(l.b))
+        case g: GruCell =>
+          Gru32(m(g.wxG), m(g.whG), vec(g.bG), m(g.wxC), m(g.whC), vec(g.bC))
+      }
+      W32(m(w.v), cell(w.alphaCell), cell(w.betaCell), vec(w.wAlpha),
+        w.bAlpha.toFloat, m(w.wBeta), vec(w.bBeta), m(w.heads), vec(w.headB))
+    }
+
+    /** Convenience form for tests/one-off calls; converts per call —
+      * corpus scoring should prepare() once and use the W32 overload. */
+    def forward(w: RetainWeights, x: Array[Array[Double]]): Array[Double] =
+      forward(prepare(w), x)
 
     /** float32 forward; returns probs[numTasks] (as doubles carrying
       * float32-valued results, so callers keep one numeric type). */
-    def forward(w: RetainWeights, x: Array[Array[Double]]): Array[Double] = {
-      val vF = w.v.map(_.map(_.toFloat))
+    def forward(p: W32, x: Array[Array[Double]]): Array[Double] = {
       val e = Array.tabulate(T) { t =>
         val out = new Array[Float](H)
         var i = 0
         while (i < F) {
           val xi = x(t)(i).toFloat
           if (xi != 0f) {
-            val vr = vF(i)
+            val vr = p.v(i)
             var j = 0
             while (j < H) { out(j) = out(j) + xi * vr(j); j += 1 }
           }
@@ -323,17 +358,12 @@ object Retain {
         out
       }
       val rev = Array.tabulate(T)(t => e(T - 1 - t))
-      def run(cell: RnnCell): Array[Array[Float]] = cell match {
-        case l: LstmCell => lstmSeq(l, rev)
-        case g: GruCell => gruSeq(g, rev)
-      }
-      val hA = run(w.alphaCell)
-      val hB = run(w.betaCell)
-      val wAlphaF = w.wAlpha.map(_.toFloat)
+      val hA = p.alphaCell.runSeq(rev)
+      val hB = p.betaCell.runSeq(rev)
       val scores = Array.tabulate(T) { t =>
-        var sc = w.bAlpha.toFloat
+        var sc = p.bAlpha
         var j = 0
-        while (j < H) { sc = sc + hA(t)(j) * wAlphaF(j); j += 1 }
+        while (j < H) { sc = sc + hA(t)(j) * p.wAlpha(j); j += 1 }
         sc
       }
       val mx = scores.max
@@ -341,15 +371,13 @@ object Retain {
       var sez = 0f
       ez.foreach(v => sez = sez + v)
       val alphaRev = ez.map(v => v / sez)
-      val wBetaF = w.wBeta.map(_.map(_.toFloat))
-      val bBetaF = w.bBeta.map(_.toFloat)
       val betaRev = Array.tabulate(T) { t =>
         val out = new Array[Float](H)
         var j = 0
         while (j < H) {
-          var acc = bBetaF(j)
+          var acc = p.bBeta(j)
           var i = 0
-          while (i < H) { acc = acc + hB(t)(i) * wBetaF(i)(j); i += 1 }
+          while (i < H) { acc = acc + hB(t)(i) * p.wBeta(i)(j); i += 1 }
           out(j) = tanhF(acc)
           j += 1
         }
@@ -364,9 +392,9 @@ object Retain {
         t += 1
       }
       Array.tabulate(numTasks) { k =>
-        var z = w.headB(k).toFloat
+        var z = p.headB(k)
         var j = 0
-        while (j < H) { z = z + ctx(j) * w.heads(k)(j).toFloat; j += 1 }
+        while (j < H) { z = z + ctx(j) * p.heads(k)(j); j += 1 }
         sig(z).toDouble
       }
     }

@@ -311,11 +311,7 @@ object Extensions {
       */
     QueryDef(
       "q98_embedding_neardup", {
-        val bucketSql = planes.zipWithIndex.map { case (p, pi) =>
-          val dot = p.zipWithIndex.map { case (v, i) => s"embedding[${i + 1}]::DOUBLE * ($v)" }
-            .mkString(" + ")
-          s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
-        }.mkString(" + ")
+        val bucketSql = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
         s"""WITH b AS (
            |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
            |    CAST($bucketSql AS INT) AS bucket
@@ -328,9 +324,7 @@ object Extensions {
            |GROUP BY x.bucket ORDER BY x.bucket""".stripMargin
       }) { (s, d) =>
       val emb = col("embedding").cast("array<double>")
-      val bucket = planes.zipWithIndex.map { case (p, pi) =>
-        when(Kernels.arrayDot(emb, array(p.map(lit): _*)) > 0, lit(1 << pi)).otherwise(0)
-      }.reduce(_ + _)
+      val bucket = Lsh.bucketColumn(emb, planes)
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), emb.as("emb"), bucket.cast("int").as("bucket"))
       val x = b.select(col("bucket"), col("vec_id").as("x_id"),
@@ -355,13 +349,8 @@ object Extensions {
       */
     QueryDef(
       "q90_ann_search", {
-        def bucketSqlOf(vecExpr: Int => String): String =
-          planes.zipWithIndex.map { case (p, pi) =>
-            val dot = p.zipWithIndex.map { case (v, i) => s"${vecExpr(i)} * ($v)" }.mkString(" + ")
-            s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
-          }.mkString(" + ")
-        val corpusBucket = bucketSqlOf(i => s"embedding[${i + 1}]::DOUBLE")
-        val queryBucket = bucketSqlOf(i => s"(${qvec(i)})")
+        val corpusBucket = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
+        val queryBucket = Lsh.bucketSql(planes, i => s"(${qvec(i)})")
         val qvecSql = qvec.mkString("[", ", ", "]::DOUBLE[]")
         s"""SELECT vec_id, label,
            |  round(list_cosine_similarity(embedding::DOUBLE[], $qvecSql), 6) AS cos
@@ -371,14 +360,8 @@ object Extensions {
            |LIMIT 5""".stripMargin
       }) { (s, d) =>
       val emb = col("embedding").cast("array<double>")
-      def bucketOf(dot: Array[Double] => org.apache.spark.sql.Column) =
-        planes.zipWithIndex.map { case (p, pi) =>
-          when(dot(p) > 0, lit(1 << pi)).otherwise(0)
-        }.reduce(_ + _)
-      val corpusBucket = bucketOf(p => Kernels.arrayDot(emb, array(p.map(lit): _*)))
-      val queryBucketVal: Int = planes.zipWithIndex.map { case (p, pi) =>
-        if (p.zip(qvec).map { case (a, b) => a * b }.sum > 0) 1 << pi else 0
-      }.sum
+      val corpusBucket = Lsh.bucketColumn(emb, planes)
+      val queryBucketVal = Lsh.bucketOf(qvec, planes).toInt
       val cosF = Kernels.cosine(emb, array(qvec.map(lit): _*))
       Tables.embeddings(s, d)
         .where(corpusBucket === queryBucketVal) // prune to the query's cell
@@ -397,15 +380,8 @@ object Extensions {
       */
     QueryDef(
       "q214_ann_multiprobe", {
-        def bucketSqlOf(vecExpr: Int => String): String =
-          planes.zipWithIndex.map { case (p, pi) =>
-            val dot = p.zipWithIndex.map { case (v, i) => s"${vecExpr(i)} * ($v)" }.mkString(" + ")
-            s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
-          }.mkString(" + ")
-        val corpusBucket = bucketSqlOf(i => s"embedding[${i + 1}]::DOUBLE")
-        val qb: Int = planes.zipWithIndex.map { case (p, pi) =>
-          if (p.zip(qvec).map { case (a, b) => a * b }.sum > 0) 1 << pi else 0
-        }.sum
+        val corpusBucket = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
+        val qb = Lsh.bucketOf(qvec, planes).toInt
         val probes = (qb +: planes.indices.map(pi => qb ^ (1 << pi)))
           .mkString(", ")
         val qvecSql = qvec.mkString("[", ", ", "]::DOUBLE[]")
@@ -417,14 +393,8 @@ object Extensions {
            |LIMIT 5""".stripMargin
       }) { (s, d) =>
       val emb = col("embedding").cast("array<double>")
-      def bucketOf(dot: Array[Double] => org.apache.spark.sql.Column) =
-        planes.zipWithIndex.map { case (p, pi) =>
-          when(dot(p) > 0, lit(1 << pi)).otherwise(0)
-        }.reduce(_ + _)
-      val corpusBucket = bucketOf(p => Kernels.arrayDot(emb, array(p.map(lit): _*)))
-      val qb: Int = planes.zipWithIndex.map { case (p, pi) =>
-        if (p.zip(qvec).map { case (a, b) => a * b }.sum > 0) 1 << pi else 0
-      }.sum
+      val corpusBucket = Lsh.bucketColumn(emb, planes)
+      val qb = Lsh.bucketOf(qvec, planes).toInt
       val probes = qb +: planes.indices.map(pi => qb ^ (1 << pi))
       val cosF = Kernels.cosine(emb, array(qvec.map(lit): _*))
       Tables.embeddings(s, d)

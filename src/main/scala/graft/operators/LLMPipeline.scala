@@ -285,23 +285,15 @@ object LLMPipeline {
       */
     QueryDef(
       "q66_ann_lsh_buckets", {
-        val bucketSql = planes.zipWithIndex.map { case (p, pi) =>
-          val dot = p.zipWithIndex.map { case (v, i) => s"embedding[${i + 1}]::DOUBLE * ($v)" }
-            .mkString(" + ")
-          s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
-        }.mkString(" + ")
+        val bucketSql = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
         s"""SELECT CAST($bucketSql AS INT) AS bucket,
            |  count(*) AS n_vecs, count(DISTINCT label) AS n_labels
            |FROM embeddings
            |GROUP BY 1 ORDER BY bucket""".stripMargin
       }) { (s, d) =>
-      import graft.functions.Kernels
       val e = Tables.embeddings(s, d)
         .withColumn("emb", col("embedding").cast("array<double>"))
-      val bucket = planes.zipWithIndex.map { case (p, pi) =>
-        when(Kernels.arrayDot(col("emb"), array(p.map(lit): _*)) > 0, lit(1 << pi))
-          .otherwise(0)
-      }.reduce(_ + _)
+      val bucket = Lsh.bucketColumn(col("emb"), planes)
       e.withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))

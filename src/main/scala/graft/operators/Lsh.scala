@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array, lit, when}
+
 /** Deterministic random-hyperplane family for cosine LSH — shared by
   * the bucketing queries (q66 occupancy histogram, q98 near-dup,
   * q90 two-stage ANN search).
@@ -25,6 +28,24 @@ object Lsh {
     */
   def hyperplanes(nPlanes: Int, dim: Int = Dim): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim)((p, i) => (((p * dim + i) * 31) % 17 - 8) / 8.0)
+
+  /** Bucket id as a Spark Column over a double-array embedding — THE
+    * bucketing expression every LSH query (q66/q90/q98/q214) shares;
+    * a sign-convention or plane change edits exactly one place. */
+  def bucketColumn(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, pi) =>
+      when(graft.functions.Kernels.arrayDot(emb, array(p.map(lit): _*)) > 0,
+        lit(1 << pi)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** The same bucket id as oracle SQL, over a per-component expression
+    * (corpus column access or a literal query-vector component). */
+  def bucketSql(planes: Array[Array[Double]], vecExpr: Int => String): String =
+    planes.zipWithIndex.map { case (p, pi) =>
+      val dot = p.zipWithIndex.map { case (v, i) => s"${vecExpr(i)} * ($v)" }
+        .mkString(" + ")
+      s"(CASE WHEN $dot > 0 THEN ${1 << pi} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Bucket id of a vector under the given planes (driver/test-side
     * mirror of the queries' column expression). */

@@ -370,8 +370,9 @@ object RetainOps {
         |  (1, CAST(0.0 AS DOUBLE)), (2, CAST(0.0 AS DOUBLE)))
         |  t(task, max_abs_diff)
         |ORDER BY task""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-        .toString + "/w"
+      // fixed overwrite path (q207's pattern): repeated gates/benches
+      // must not accumulate orphaned temp checkpoint directories
+      val dir = "/tmp/graft_ckpt/w"
       graft.functions.RetainCheckpoint.save(s, Retain.defaultWeights, dir)
       val restored = graft.functions.RetainCheckpoint.load(s, dir)
       val a = scored(s, d, Retain.defaultWeights)
@@ -393,7 +394,9 @@ object RetainOps {
       */
     QueryDef.noOracle("q204_retain_score_f32") { (s, d) =>
       import s.implicits._
-      val bw = s.sparkContext.broadcast(Retain.defaultWeights)
+      // broadcast the PRE-CONVERTED float weights: the per-row hot loop
+      // converts only the input grid, never the parameter matrices
+      val bw = s.sparkContext.broadcast(Retain.F32.prepare(Retain.defaultWeights))
       featurized(s, d).map { case (uid, x, _) =>
         val p = Retain.F32.forward(bw.value, x)
         (uid, p(0), p(1), p(2))

@@ -97,7 +97,14 @@ case class TopKPerGroupExec(
     val groupE = groupExprs
     val sortE = ordering
     val limit = k
-    if (withTies) doExecuteTies(childOutput, groupE, sortE, limit)
+    // k <= 0 keeps nothing — short-circuit BOTH retention paths (the
+    // heap would NPE on peek(), the tie buffer on lastKey(); the
+    // optimizer-rewrite entry already maps k<=0 to a LocalRelation but
+    // the direct operator API must agree)
+    if (limit <= 0)
+      child.execute().mapPartitions(_ => Iterator.empty,
+        preservesPartitioning = true)
+    else if (withTies) doExecuteTies(childOutput, groupE, sortE, limit)
     else child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val cmp = GenerateOrdering.generate(sortE, childOutput)

@@ -173,6 +173,17 @@ class WindowTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dense_rank must stay on the window path")
   }
 
+  test("direct operator API with k = 0 returns empty in both retention modes") {
+    // regression: the heap path NPE'd on peek() and the tie path on
+    // lastKey() — the exec must short-circuit like the rewrite does
+    val ev = Tables.events(spark, sf).limit(50)
+    assert(graft.plans.TopKPerGroupOps.topKPerGroup(spark, ev,
+      Seq(ev("event_type")), Seq(ev("value").desc), 0).count() === 0)
+    assert(graft.plans.TopKPerGroupOps.topKPerGroup(spark, ev,
+      Seq(ev("event_type")), Seq(ev("value").desc), 0, withTies = true)
+      .count() === 0)
+  }
+
   test("rn = 1 (argmax per group) also rewrites") {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("event_id"))
