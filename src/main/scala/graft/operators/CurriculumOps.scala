@@ -237,6 +237,51 @@ object CurriculumOps {
         .orderBy("t")
     },
 
+    /** Complex-event pattern detection (CEP, MATCH_RECOGNIZE-lite): a
+      * purchase "qualifies" iff a click precedes it within 10 minutes
+      * with NO error event between the click and the purchase. Both
+      * negative ("no C between A and B") and windowed-precedence
+      * constraints fall out of two running-max frames over ONE user
+      * shuffle — no self-joins, no per-event lookback scans; q153's
+      * funnel counts stages, this detects ordered-with-exclusion
+      * patterns.
+      */
+    QueryDef(
+      "q222_event_pattern",
+      """WITH w AS (
+        |  SELECT user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER wp AS last_click,
+        |    max(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) OVER wp AS last_error
+        |  FROM events
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count_if(last_click IS NOT NULL
+        |    AND epoch_us(ts) - last_click <= 600000000
+        |    AND (last_error IS NULL OR last_error < last_click)) AS BIGINT)
+        |    AS n_qualified
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", unix_micros(col("ts"))))
+            .over(wp))
+        .withColumn("last_error",
+          max(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .over(wp))
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          count_if(col("last_click").isNotNull &&
+            unix_micros(col("ts")) - col("last_click") <= 600000000L &&
+            (col("last_error").isNull || col("last_error") < col("last_click")))
+            .as("n_qualified"))
+        .orderBy("user_id")
+    },
+
     /** Key-skew audit: the per-key count distribution (cardinality,
       * max, p50/p99, heaviest key's share) for candidate join/group
       * keys — the diagnostic that DECIDES between a plain shuffle, a
