@@ -237,6 +237,37 @@ object CurriculumOps {
         .orderBy("t")
     },
 
+    /** Hidden file-metadata columns over a partitioned layout: write
+      * events partitioned by event_type (repartitioned first, so each
+      * partition dir holds exactly one file), read back with Spark's
+      * `_metadata.file_path` and audit rows/files per partition — the
+      * ingestion-provenance query (which file did this row come from?)
+      * every lakehouse debugger runs. Partition identity is extracted
+      * from the PATH (part-file names are run-random; the dir name is
+      * the deterministic bit); the oracle reads the same files with
+      * `filename=true`.
+      */
+    QueryDef(
+      "q223_file_metadata",
+      """SELECT regexp_extract(filename, 'event_type=([^/]+)', 1) AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files
+        |FROM read_parquet('/tmp/graft_meta/*/*.parquet', filename=true)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = "/tmp/graft_meta"
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(base)
+      s.read.parquet(base)
+        .select(col("_metadata.file_path").as("fp"))
+        .groupBy(regexp_extract(col("fp"), "event_type=([^/]+)", 1)
+          .as("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_files"))
+        .orderBy("event_type")
+    },
+
     /** Complex-event pattern detection (CEP, MATCH_RECOGNIZE-lite): a
       * purchase "qualifies" iff a click precedes it within 10 minutes
       * with NO error event between the click and the purchase. Both
