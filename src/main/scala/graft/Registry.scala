@@ -22,3 +22,18 @@ object QueryDef {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
 }
+
+/** Per-run scratch root for queries that must materialize intermediate
+  * files (q205/q207/q223). Pid-suffixed so two concurrent verify/bench
+  * runs on one box never clobber each other's data, yet STABLE within a
+  * JVM so the oracle SQL strings (built at class-init) and the query
+  * functions (run later) agree on the path — the driver's DuckDB reads
+  * the files this JVM wrote, after it exits. Override with
+  * -Dgraft.scratch for a fixed location.
+  */
+object Scratch {
+  val root: String = sys.props.get("graft.scratch").getOrElse {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$tmp/graft_scratch_${ProcessHandle.current().pid()}"
+  }
+}

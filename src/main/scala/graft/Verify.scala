@@ -24,8 +24,10 @@ object Verify {
         // now-broken query green (exactly what the lint must prevent)
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val st = Files.walk(dir)
+          try st.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.delete(p))
+          finally st.close()
         }
       }
     }

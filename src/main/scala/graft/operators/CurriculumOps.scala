@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Scratch, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,13 +83,13 @@ object CurriculumOps {
       */
     QueryDef(
       "q207_schema_evolution",
-      """SELECT (b IS NOT NULL) AS has_b, CAST(count(*) AS BIGINT) AS n,
+      s"""SELECT (b IS NOT NULL) AS has_b, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(a) AS BIGINT) AS sum_a,
         |  CAST(coalesce(sum(b), 0) AS BIGINT) AS sum_b
-        |FROM read_parquet(['/tmp/graft_evo/v1/*.parquet',
-        |                   '/tmp/graft_evo/v2/*.parquet'], union_by_name=true)
+        |FROM read_parquet(['${Scratch.root}/graft_evo/v1/*.parquet',
+        |                   '${Scratch.root}/graft_evo/v2/*.parquet'], union_by_name=true)
         |GROUP BY 1 ORDER BY has_b""".stripMargin) { (s, d) =>
-      val base = "/tmp/graft_evo"
+      val base = s"${Scratch.root}/graft_evo"
       val nation = Tables.load(s, d, "nation")
       nation.select(col("n_nationkey").as("id"), col("n_regionkey").as("a"))
         .coalesce(1).write.mode("overwrite").parquet(s"$base/v1")
@@ -249,12 +249,12 @@ object CurriculumOps {
       */
     QueryDef(
       "q223_file_metadata",
-      """SELECT regexp_extract(filename, 'event_type=([^/]+)', 1) AS event_type,
+      s"""SELECT regexp_extract(filename, 'event_type=([^/]+)', 1) AS event_type,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files
-        |FROM read_parquet('/tmp/graft_meta/*/*.parquet', filename=true)
+        |FROM read_parquet('${Scratch.root}/graft_meta/*/*.parquet', filename=true)
         |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
-      val base = "/tmp/graft_meta"
+      val base = s"${Scratch.root}/graft_meta"
       Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
         .repartition(col("event_type"))

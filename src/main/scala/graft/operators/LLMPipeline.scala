@@ -266,9 +266,15 @@ object LLMPipeline {
       e.crossJoin(broadcast(cents))
         .withColumn("best",
           aggregate(col("cents"),
-            struct(lit(-2.0).as("cos"), lit(null).cast("int").as("clabel")),
+            // seed below the NaN-coalesce value (-2.0) so even an all-NaN
+            // (zero-norm) row deterministically takes the first centroid
+            struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
             (acc, c) => {
-              val cos = Kernels.cosine(col("emb"), c.getField("cvec"))
+              // coalesce + nan-guard: a zero-norm/NaN cosine must still lose
+              // to the -2.0 seed deterministically, never poison the fold
+              val rawCos = Kernels.cosine(col("emb"), c.getField("cvec"))
+              val cos = when(rawCos.isNull || isnan(rawCos), lit(-2.0))
+                .otherwise(rawCos)
               when(cos > acc.getField("cos"),
                 struct(cos.as("cos"), c.getField("clabel").as("clabel")))
                 .otherwise(acc)

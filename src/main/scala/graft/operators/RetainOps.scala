@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Scratch, Tables}
 import graft.functions.Retain
 import graft.functions.Retain.{RetainWeights, F, H, T, numTasks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -370,9 +370,10 @@ object RetainOps {
         |  (1, CAST(0.0 AS DOUBLE)), (2, CAST(0.0 AS DOUBLE)))
         |  t(task, max_abs_diff)
         |ORDER BY task""".stripMargin) { (s, d) =>
-      // fixed overwrite path (q207's pattern): repeated gates/benches
-      // must not accumulate orphaned temp checkpoint directories
-      val dir = "/tmp/graft_ckpt/w"
+      // per-run overwrite path (q207's pattern): repeated gates/benches
+      // must not accumulate orphaned temp checkpoint directories, and
+      // concurrent runs must not clobber each other's checkpoints
+      val dir = s"${Scratch.root}/graft_ckpt/w"
       graft.functions.RetainCheckpoint.save(s, Retain.defaultWeights, dir)
       val restored = graft.functions.RetainCheckpoint.load(s, dir)
       val a = scored(s, d, Retain.defaultWeights)

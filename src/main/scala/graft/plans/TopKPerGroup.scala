@@ -152,6 +152,15 @@ case class TopKPerGroupExec(
     */
   private def doExecuteTies(childOutput: Seq[Attribute], groupE: Seq[Expression],
       sortE: Seq[SortOrder], limit: Int): RDD[InternalRow] = {
+    // Safety bound, read driver-side at planning: unlike the heap path
+    // (hard k rows/group) the tie buffer retains WHOLE tie buckets, so
+    // its row count is unbounded on tie-skewed data and it cannot
+    // spill. Past this many retained rows in one partition we fail
+    // fast with an actionable message instead of slow-burning an
+    // executor OOM — set spark.graft.topk.rewriteRank=false (or raise
+    // the bound) to route such data onto the spillable window path.
+    val maxRetained = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.maxRetainedRows", (8 << 20).toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val cmp = GenerateOrdering.generate(sortE, childOutput)
@@ -159,6 +168,8 @@ case class TopKPerGroupExec(
       val cmpJ = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(a, b)
       }
+      // partition-wide retained-row count across ALL groups' buffers
+      var retained = 0L
       final class TieBuf {
         val tree = new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](cmpJ)
         var total = 0
@@ -175,14 +186,20 @@ case class TopKPerGroupExec(
             tree.put(copied, l)
           }
           total += 1
+          retained += 1
           var done = false
           while (!done && !tree.isEmpty) {
             val last = tree.lastEntry()
             if (total - last.getValue.size() >= limit) {
               tree.remove(last.getKey)
               total -= last.getValue.size()
+              retained -= last.getValue.size()
             } else done = true
           }
+          if (retained > maxRetained) throw new IllegalStateException(
+            s"TopKPerGroup WITH-TIES retained > $maxRetained rows in one " +
+              "partition (tie-skewed data); set spark.graft.topk.rewriteRank=false " +
+              "to use the spillable window path, or raise spark.graft.topk.maxRetainedRows")
         }
       }
       val groups = new java.util.HashMap[UnsafeRow, TieBuf]()

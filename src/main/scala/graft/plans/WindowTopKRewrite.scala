@@ -74,12 +74,24 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case other => other :: Nil
   }
 
+  /** The automatic rank() rewrite (WITH-TIES retention) can be turned
+    * off per session: its per-group state is bounded by k distinct sort
+    * keys but NOT by row count (a heavily-tied bucket is kept whole,
+    * on-heap and unspillable), so tie-skewed data that the vanilla
+    * spillable window path handled may prefer the window. row_number()
+    * (hard k rows per group) is always safe and stays on by default.
+    * The explicit TopKPerGroupOps API is unaffected by this gate.
+    */
+  private def rankRewriteEnabled: Boolean =
+    conf.getConfString("spark.graft.topk.rewriteRank", "true").toBoolean
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(rankFn @ (_: RowNumber | _: Rank),
             WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _)))
         if part.nonEmpty // global top-k (no PARTITION BY) stays on the window path
+          && (rankFn.isInstanceOf[RowNumber] || rankRewriteEnabled)
           && splitCondition(cond, alias.toAttribute).exists(_._1 <= MaxRewriteK)
           && projectList.forall(_.references.forall(_.exprId != alias.exprId)) =>
       val (k, rest) = splitCondition(cond, alias.toAttribute).get

@@ -294,7 +294,12 @@ object Streaming {
         if ((s._2 + gapUs) / 1000L <= cutoff) {
           out += ((key, s._1, s._3))
           open.clear()
-          openTimer.clear() // its timer is the one that just fired
+          // an earlier closed-session timer may be the one that fired;
+          // the open session's own still-future timer is then a stray
+          // no-op wakeup — delete it rather than leave it to expire
+          if (openTimer.exists() && openTimer.get() > cutoff)
+            getHandle.deleteTimer(openTimer.get())
+          openTimer.clear()
         }
       }
       out.iterator
