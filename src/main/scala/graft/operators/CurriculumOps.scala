@@ -238,14 +238,20 @@ object CurriculumOps {
     },
 
     /** Hidden file-metadata columns over a partitioned layout: write
-      * events partitioned by event_type (repartitioned first, so each
-      * partition dir holds exactly one file), read back with Spark's
+      * events partitioned by event_type, read back with Spark's
       * `_metadata.file_path` and audit rows/files per partition — the
       * ingestion-provenance query (which file did this row come from?)
       * every lakehouse debugger runs. Partition identity is extracted
       * from the PATH (part-file names are run-random; the dir name is
       * the deterministic bit); the oracle reads the same files with
-      * `filename=true`.
+      * `filename=true`, so n_files agrees by construction.
+      *
+      * The pre-write repartition is SALTED on (event_type, event_id%4):
+      * a plain repartition(event_type) would put each of the 5 types on
+      * exactly one write task — 5 giant stragglers at 100×. Salting
+      * spreads every type over multiple tasks/files; the salt is a
+      * deterministic column (not rand()), so file counts are stable
+      * run-over-run.
       */
     QueryDef(
       "q223_file_metadata",
@@ -257,7 +263,7 @@ object CurriculumOps {
       val base = s"${Scratch.root}/graft_meta"
       Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
-        .repartition(col("event_type"))
+        .repartition(16, col("event_type"), pmod(col("event_id"), lit(4)))
         .write.mode("overwrite").partitionBy("event_type").parquet(base)
       s.read.parquet(base)
         .select(col("_metadata.file_path").as("fp"))

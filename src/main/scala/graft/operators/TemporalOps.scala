@@ -329,10 +329,15 @@ object TemporalOps {
     /** Islands-and-gaps over the purchase event_id sequence — the
       * missing-data / continuity audit (did ingestion drop a range?).
       * The classic id − row_number() grouping key: consecutive ids
-      * share a key, so islands fall out of one grouped aggregate. The
-      * global row_number runs over the FILTERED subset (aggregate-first
-      * discipline); at 100 TB the same trick runs per partition-range
-      * with q160's two-phase offset merge.
+      * share a key, so islands fall out of one grouped aggregate.
+      *
+      * The global row_number is computed by q160's two-phase form, not
+      * a single-partition window: ids range-partition on event_id,
+      * each partition numbers locally in parallel, and an
+      * O(partitions) driver-collected offset table lifts local numbers
+      * to the exact global ones (range order == event_id order). No
+      * stage ever funnels the ~20% purchase subset through one task —
+      * the shape that survives a 100× scale-up. PlanSpec pins it.
       */
     QueryDef(
       "q174_id_islands",
@@ -344,11 +349,21 @@ object TemporalOps {
         |  CAST(max(event_id) AS BIGINT) AS island_end,
         |  CAST(count(*) AS BIGINT) AS island_len
         |FROM grp GROUP BY g ORDER BY island_start LIMIT 20""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("event_id"))
-      Tables.events(s, d)
+      val parts = Tables.events(s, d)
         .where(col("event_type") === "purchase")
         .select(col("event_id"))
-        .withColumn("g", col("event_id") - row_number().over(w))
+        .repartitionByRange(32, col("event_id"))
+        .withColumn("pid", spark_partition_id())
+      // phase 1: parallel within-partition row numbers + partition sizes
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("event_id"))
+      val local = parts
+        .withColumn("rn_local", row_number().over(wIn).cast("long")).cache()
+      val totals = local.groupBy("pid").agg(count(lit(1)).as("tot"))
+        .orderBy("pid").collect()
+      // phase 2: exclusive prefix offsets (O(partitions) on the driver)
+      val off = udfFreeOffsets(totals.map(r => (r.getInt(0), r.getLong(1))))
+      local
+        .withColumn("g", col("event_id") - (col("rn_local") + off))
         .groupBy("g")
         .agg(min(col("event_id")).as("island_start"),
           max(col("event_id")).as("island_end"),

@@ -96,4 +96,20 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(urls.length === sources)
     assert(urls.forall(_.getAs[String]("host").endsWith(".example.com")))
   }
+
+  test("q223 salted write spreads every event_type over multiple files") {
+    // a plain repartition(event_type) would pin each type to ONE write
+    // task (and one file) — the 5-straggler shape at scale; the salted
+    // repartition must yield >1 file per partition dir, deterministically
+    val rows = SparkEntry.queries("q223_file_metadata")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") > 1L,
+        s"event_type ${r.getAs[String]("event_type")} wrote only " +
+          s"${r.getAs[Long]("n_files")} file(s)")
+    }
+    val again = SparkEntry.queries("q223_file_metadata")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "file counts must be stable run-over-run")
+  }
 }

@@ -346,6 +346,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus must not shuffle on vec_id: $vecIdShuffles")
   }
 
+  test("q174 island numbering never runs a global (single-partition) window") {
+    // the row_number comes from q160's two-phase form: pid-local
+    // windows over a range partitioning + a driver offset table — a
+    // global ORDER BY window would funnel every purchase through one
+    // task at scale
+    // phase 1 is materialized behind a cache by the offsets collect, so
+    // the window lives inside the InMemoryRelation's cached plan
+    def deep(p: SparkPlan): Seq[SparkPlan] = allNodes(p).flatMap {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: (s.relation.cachedPlan match {
+          case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+          case cp => deep(cp)
+        })
+      case other => Seq(other)
+    }
+    val nodes = deep(finalPlan(SparkEntry.queries("q174_id_islands")(spark, sf)))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the pid-local window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"global window found: ${windows.filter(_.partitionSpec.isEmpty)}")
+    val singleEx = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => e }
+    assert(singleEx.isEmpty,
+      s"single-partition exchange in the island plan: $singleEx")
+  }
+
   test("q62 pair join never broadcasts a documents-derived side") {
     // the salted (source, salt) shuffle join replaces the corpus
     // broadcast — only the 8-row salt range may broadcast
