@@ -127,10 +127,17 @@ object RetainOps {
     *                  rows (seed = iteration, so the trajectory is
     *                  deterministic), gradients normalized by the rows
     *                  actually sampled.
+    * @param onIter    optional per-iteration hook `(it, B snapshot,
+    *                  evalCe thunk)` for checkpoint/artifact regimes
+    *                  (`model.py:236-310`). The thunk runs ONE CE-only
+    *                  treeAggregate over the full cached set with the
+    *                  current heads — pay it only on check iterations.
     */
   def trainAmtl(s: SparkSession, d: String, iters: Int = 40, lr: Double = 0.05,
                 mu: Double = 0.005, lambda: Double = 0.005,
-                minibatch: Int = 0): (Array[Array[Double]], Array[Double], Array[Double]) = {
+                minibatch: Int = 0,
+                onIter: (Int, Array[Array[Double]], () => Array[Double]) => Unit = null)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
     val w0 = Retain.defaultWeights
     // Persist the OBJECT RDD, not the Dataset: the Adam loop reuses the
     // same partitions every iteration, and a persisted object RDD skips
@@ -244,9 +251,95 @@ object RetainOps {
         biases(k) -= adam(flatIdx(1, k, 0), grad(flatIdx(1, k, 0)))
       for (i <- 0 until K; j <- 0 until K if i != j)
         bMat(i)(j) -= adam(flatIdx(2, i, j), grad(flatIdx(2, i, j))) // diag stays 0 (model.py:91-92)
+
+      if (onIter != null) {
+        // eval pass (`model.py:219-228`): full-set CE with the CURRENT
+        // heads — capture copies so the lazy thunk is stable even if
+        // invoked after later iterations mutate the driver arrays
+        val hSnap = heads.map(_.clone()); val bSnap = biases.clone()
+        val evalThunk = () => {
+          val agg = data.treeAggregate(new Array[Double](K + 1))(
+            seqOp = (acc, row) => {
+              val (c, y) = row
+              var k = 0
+              while (k < K) {
+                var z = bSnap(k)
+                var j = 0
+                while (j < H) { z += hSnap(k)(j) * c(j); j += 1 }
+                acc(k) += math.max(z, 0) - z * y(k) + math.log1p(math.exp(-math.abs(z)))
+                k += 1
+              }
+              acc(K) += 1
+              acc
+            },
+            combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+          Array.tabulate(K)(k => agg(k) / math.max(agg(K), 1.0))
+        }
+        onIter(it, bMat.map(_.clone()), evalThunk)
+      }
     }
     data.unpersist()
     (bMat, ces, nPos)
+  }
+
+  /** The reference's composed default training regime, end-to-end
+    * (`run.py:24-31` + `model.py:187-310`): seeded ~`minibatch`-row
+    * Adam steps, a full-set eval every `checkIter` iterations, and —
+    * every `artifactEvery` iterations — an APPEND to the reference's
+    * one persistent output, `B_matrix_loss_sqrtn.txt`, reproduced
+    * line-for-line (`model.py:296-310`):
+    *
+    * {{{
+    * Step <it>
+    * <B[t][0]>,<B[t][1]>,...,        ← one line per task, EVERY value
+    *                                    followed by ',' (model.py:303-305)
+    * Eval Main Loss = <sum>
+    * Eval Loss <loss_t>= <sum>       ← one per task; the reference
+    *                                    literally interpolates the loss
+    *                                    VALUE before '=' (model.py:308-309)
+    * <blank line>
+    * }}}
+    *
+    * Note `artifactEvery` need not divide `checkIter` (the reference's
+    * 500 vs 200): the artifact uses the LATEST eval values, exactly as
+    * `model.py` reads its last-updated `eval_loss` variables.
+    *
+    * Defaults are the reference's regime constants (`run.py:28-30`:
+    * total 1000, check 200, artifact 500, batch 128, lr 1e-3). Scale
+    * posture: each iteration is one treeAggregate over the cached
+    * context RDD; the artifact path is driver-side O(K²) text.
+    *
+    * @return the artifact lines appended by THIS run, in order.
+    */
+  def referenceRegime(s: SparkSession, d: String,
+      totalIter: Int = 1000, checkIter: Int = 200, artifactEvery: Int = 500,
+      minibatch: Int = 128, lr: Double = 1e-3,
+      artifactPath: java.nio.file.Path): Seq[String] = {
+    import java.nio.file.{Files, StandardOpenOption}
+    if (artifactPath.getParent != null) Files.createDirectories(artifactPath.getParent)
+    val written = scala.collection.mutable.ArrayBuffer[String]()
+    var lastEval: Array[Double] = null
+    trainAmtl(s, d, iters = totalIter, lr = lr, minibatch = minibatch,
+      onIter = (it, b, evalThunk) => {
+        if (checkIter > 0 && it % checkIter == 0) lastEval = evalThunk()
+        if (artifactEvery > 0 && it % artifactEvery == 0) {
+          val ev = if (lastEval != null) lastEval else evalThunk()
+          val sum = ev.sum
+          val block = scala.collection.mutable.ArrayBuffer[String]()
+          block += s"Step $it"
+          for (t <- 0 until numTasks)
+            block += b(t).map(x => s"$x,").mkString // trailing comma per value
+          block += s"Eval Main Loss = $sum"
+          for (t <- 0 until numTasks)
+            block += s"Eval Loss ${ev(t)}= $sum"
+          block += ""
+          Files.write(artifactPath,
+            (block.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          written ++= block
+        }
+      })
+    written.toSeq
   }
 
   /** Full joint training (the reference's actual optimization,
@@ -599,6 +692,28 @@ object RetainOps {
     QueryDef.noOracle("q79_train_bmatrix") { (s, d) =>
       val (bMat, ces, nPos) = trainAmtl(s, d, iters = 30)
       amtlResultDf(s, bMat, ces, nPos)
+    },
+
+    /** The reference's COMPOSED default regime end-to-end
+      * ([[referenceRegime]], `run.py:24-31` + `model.py:296-310`):
+      * minibatch Adam + periodic eval + the append-mode
+      * `B_matrix_loss_sqrtn.txt` artifact, reproduced line-for-line.
+      * This query runs the regime at exactly 1/10 the reference's
+      * constants (100/20/50 vs `run.py`'s 1000/200/500 — same
+      * structure: two artifact blocks, five evals, artifact cadence
+      * NOT a multiple of eval cadence) so it is bench-speed at test
+      * SFs; `lr` stays the engine's head-scaled 0.05 (`run.py:27`'s
+      * 1e-3 is tuned for the 2.4k-param joint model). Output is the
+      * artifact's lines verbatim — rows-only (training floats aren't
+      * SQL-expressible); RetainArtifactSpec pins the exact format.
+      */
+    QueryDef.noOracle("q224_reference_regime") { (s, d) =>
+      import s.implicits._
+      val p = java.nio.file.Paths.get(Scratch.root, "B_matrix_loss_sqrtn.txt")
+      val lines = referenceRegime(s, d, totalIter = 100, checkIter = 20,
+        artifactEvery = 50, minibatch = 128, lr = 0.05, artifactPath = p)
+      lines.zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }
+        .toDF("line_no", "line").orderBy("line_no")
     }
   )
 
