@@ -40,6 +40,39 @@ object RetainGrad {
       s"RetainGrad supports the LSTM cell only, got ${other.getClass.getSimpleName}")
   }
 
+  /** Flat layout for GRU-cell weight sets (eval-side only — training is
+    * LSTM-only): V | αGRU(wxG|whG|bG|wxC|whC|bC) | βGRU(same) | wα | bα
+    * | Wβ | bβ | heads | headB. Consumed by RetainOracleSql's q203
+    * oracle, which indexes this layout from SQL.
+    */
+  val GruCellSz: Int = 2 * (H * 2 * H) + 2 * H + 2 * (H * H) + H
+  val GruDim: Int = F * H + 2 * GruCellSz + H + 1 + H * H + H + K * H + K
+  def packGru(w: RetainWeights): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    for (i <- 0 until F; j <- 0 until H) out += w.v(i)(j)
+    def packCell(c: RnnCell): Unit = c match {
+      case g: GruCell =>
+        for (i <- 0 until H; j <- 0 until 2 * H) out += g.wxG(i)(j)
+        for (i <- 0 until H; j <- 0 until 2 * H) out += g.whG(i)(j)
+        for (j <- 0 until 2 * H) out += g.bG(j)
+        for (i <- 0 until H; j <- 0 until H) out += g.wxC(i)(j)
+        for (i <- 0 until H; j <- 0 until H) out += g.whC(i)(j)
+        for (j <- 0 until H) out += g.bC(j)
+      case other => throw new IllegalArgumentException(
+        s"packGru expects GRU cells, got ${other.getClass.getSimpleName}")
+    }
+    packCell(w.alphaCell)
+    packCell(w.betaCell)
+    for (j <- 0 until H) out += w.wAlpha(j)
+    out += w.bAlpha
+    for (i <- 0 until H; j <- 0 until H) out += w.wBeta(i)(j)
+    for (j <- 0 until H) out += w.bBeta(j)
+    for (k <- 0 until K; j <- 0 until H) out += w.heads(k)(j)
+    for (k <- 0 until K) out += w.headB(k)
+    require(out.length == GruDim, s"packGru produced ${out.length}, expected $GruDim")
+    out.toArray
+  }
+
   /** Pack weights into the flat layout (for Adam on the driver). */
   def pack(w: RetainWeights): Array[Double] = {
     val out = new Array[Double](Dim)

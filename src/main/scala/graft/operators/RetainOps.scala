@@ -435,13 +435,31 @@ object RetainOps {
     (bMat, params, lastLoss, history.toSeq) // base RDD stays cached for the session
   }
 
+  /** Weight checkpoint shared by the q76/q77/q78 oracles: the flat
+    * (idx,value) parquet the generated DuckDB SQL reads back, written
+    * at most once per JVM (all three queries call this; Verify may run
+    * any subset). Path is Scratch-rooted so the driver's DuckDB pass —
+    * which runs after this JVM exits — reads exactly what it wrote.
+    */
+  private val ckptWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def oracleCkptDir(s: SparkSession): String = {
+    val dir = s"${Scratch.root}/graft_retain_w"
+    if (ckptWritten.add(s"${s.sparkContext.hashCode()}|$dir"))
+      graft.functions.RetainCheckpoint.save(s, Retain.defaultWeights, dir)
+    dir
+  }
+  private def ckptGlob: String = s"${Scratch.root}/graft_retain_w/*.parquet"
+
   val defs: Seq[QueryDef] = Seq(
 
     /** RETAIN risk scores per entity (reference entry point semantics,
       * `model.py:153-154`): deterministic eval-mode forward pass under
-      * broadcast seed-42 weights. Rows-only driver check (no SQL form).
+      * broadcast seed-42 weights. Hash-verified since round 7 against
+      * [[RetainOracleSql]]'s unrolled-recurrence DuckDB oracle over the
+      * checkpointed weights.
       */
-    QueryDef.noOracle("q76_retain_score") { (s, d) =>
+    QueryDef("q76_retain_score", RetainOracleSql.q76(ckptGlob)) { (s, d) =>
+      oracleCkptDir(s)
       scored(s, d, Retain.defaultWeights)
         .select(col("user_id"),
           round(col("p0"), 6).as("p0"),
@@ -504,11 +522,20 @@ object RetainOps {
 
     /** q76 under the GRU fallback cell (reference `use_lstm=False`,
       * `model.py:110-111`): same eval-mode forward, α/β recurrences run
-      * the GRU under its own deterministic weight lineage. Rows-only
-      * (RNG-free but no SQL form); RetainSpec pins the cell semantics
-      * against a hand-rolled recurrence.
+      * the GRU under its own deterministic weight lineage. Hash-verified
+      * since round 7 (the oracle unrolls the GRU recurrence over the
+      * packGru flat checkpoint); RetainSpec additionally pins the cell
+      * semantics against a hand-rolled recurrence.
       */
-    QueryDef.noOracle("q203_retain_score_gru") { (s, d) =>
+    QueryDef("q203_retain_score_gru",
+        RetainOracleSql.q203(s"${Scratch.root}/graft_retain_gru_w/*.parquet")) { (s, d) =>
+      val dir = s"${Scratch.root}/graft_retain_gru_w"
+      if (ckptWritten.add(s"${s.sparkContext.hashCode()}|$dir")) {
+        import s.implicits._
+        graft.functions.RetainGrad.packGru(Retain.defaultGruWeights)
+          .toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+          .toDF("idx", "value").coalesce(1).write.mode("overwrite").parquet(dir)
+      }
       scored(s, d, Retain.defaultGruWeights)
         .select(col("user_id"),
           round(col("p0"), 6).as("p0"),
@@ -518,9 +545,12 @@ object RetainOps {
     },
 
     /** RETAIN attention explanation (R13's α, the reference's
-      * interpretability output): top-weight step per user + entropy.
+      * interpretability output): top-weight step per user. Hash-verified
+      * since round 7 (argmax over the oracle's recomputed α sequence;
+      * both sides tie-break to the earliest step).
       */
-    QueryDef.noOracle("q77_retain_attention") { (s, d) =>
+    QueryDef("q77_retain_attention", RetainOracleSql.q77(ckptGlob)) { (s, d) =>
+      oracleCkptDir(s)
       val sc = scored(s, d, Retain.defaultWeights)
       sc.select(col("user_id"), posexplode(col("alpha")).as(Seq("step", "a")))
         .withColumn("rn", row_number().over(
@@ -533,8 +563,11 @@ object RetainOps {
     /** Per-task eval metrics of the RETAIN scores — the reference's
       * eval loop (R18/R19/R20, `model.py:157-159`): accuracy@0.5, mean
       * CE, and exact mid-rank AUC per task, one row per task.
+      * Hash-verified since round 7 (the oracle recomputes the metrics
+      * with the q20/q21 formulas over its own recomputed scores).
       */
-    QueryDef.noOracle("q78_retain_eval") { (s, d) =>
+    QueryDef("q78_retain_eval", RetainOracleSql.q78(ckptGlob)) { (s, d) =>
+      oracleCkptDir(s)
       val sc = scored(s, d, Retain.defaultWeights).cache()
       val perTask = (0 until numTasks).map { k =>
         val p = col(s"p$k"); val y = col(s"y$k")
