@@ -422,6 +422,92 @@ object CurriculumOps {
         .orderBy("band")
     },
 
+    /** The LSH dedup loop CLOSED end to end, fully oracled (round 7):
+      * q220's portable MinHash banding → within-bucket candidate pairs
+      * → exact-Jaccard verification → confirmed near-dup pairs
+      * (J ≥ 0.5). This is the 100 TB deliverable the occupancy
+      * histogram (q220) and the salted brute verify (q62) each show
+      * half of: candidates are generated ONLY inside band buckets (a
+      * self equi-join on (band, key) — work is Σ bucket², never n²),
+      * deduped across the 4 bands, then verified by one doc_id-keyed
+      * join back to the sorted token-hash sets with the codegen
+      * merge-intersect. Jaccard is a ratio of small integers, so both
+      * engines compute bit-identical doubles and the hash compare is
+      * exact.
+      */
+    QueryDef(
+      "q225_lsh_candidate_pairs", {
+        val mins = (0 until 8).map(si =>
+          s"min(('0x' || substr(md5(w || '#$si'), 1, 15))::BIGINT) AS mh$si")
+          .mkString(",\n        |    ")
+        val keys = (0 until 4).map(b =>
+          s"mh${2 * b} || '_' || mh${2 * b + 1}").mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_filter(string_split(text,' '), w -> w != '')) AS ws
+           |  FROM documents),
+           |wrd AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM wrd GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, band, key FROM mh, LATERAL (
+           |    SELECT unnest([0, 1, 2, 3]) AS band,
+           |           unnest([$keys]) AS key)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |scoredp AS (
+           |  SELECT c.a_id, c.b_id,
+           |    len(list_intersect(ta.ws, tb.ws))::DOUBLE
+           |      / (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))) AS j
+           |  FROM cand c
+           |  JOIN tok ta ON ta.doc_id = c.a_id
+           |  JOIN tok tb ON tb.doc_id = c.b_id)
+           |SELECT a_id, b_id, round(j, 6) AS jaccard
+           |FROM scoredp WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin
+      }) { (s, d) =>
+      graft.functions.SortedIntersectCount.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
+      val tokArr = docs.select(col("doc_id"),
+        array_sort(transform(col("wset"), w => xxhash64(w))).as("ws"))
+      val mh = docs.select(col("doc_id"), explode(col("wset")).as("w"))
+        .groupBy("doc_id")
+        .agg(
+          min(conv(substring(md5(concat(col("w"), lit("#0"))), 1, 15), 16, 10)
+            .cast("long")).as("mh0"),
+          (1 until 8).map(si =>
+            min(conv(substring(md5(concat(col("w"), lit(s"#$si"))), 1, 15), 16, 10)
+              .cast("long")).as(s"mh$si")): _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat(col(s"mh${2 * b}").cast("string"), lit("_"),
+            col(s"mh${2 * b + 1}").cast("string")).as("key"))
+      }
+      val bands = mh.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(tokArr.select(col("doc_id").as("a_id"), col("ws").as("aw")), "a_id")
+        .join(tokArr.select(col("doc_id").as("b_id"), col("ws").as("bw")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("sorted_intersect_count(aw, bw)").cast("double").as("inter"),
+          size(col("aw")).as("na"), size(col("bw")).as("nb"))
+        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("j") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
     /** End-to-end curation pipeline in ONE declarative plan — exact
       * dedup (md5, keep-first) → quality gate (≥200 chars) → 50-token
       * chunk accounting → 2048-token pack estimate, rolled up per

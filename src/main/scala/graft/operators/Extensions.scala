@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{AucHistogram, Kernels, SigmoidCE}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 import org.apache.spark.sql.types._
@@ -27,6 +28,15 @@ object Extensions {
   // for the plane-count scale knob; 8 = the demo/oracle-pinned width)
   private val planes: Array[Array[Double]] = Lsh.hyperplanes(8)
   private val qvec: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+
+  /** q226's eval query set: 12 deterministic vectors (q=0 is q90's
+    * qvec; the q·13 shift walks the residues mod 19, so all 12 are
+    * distinct). Small enough to broadcast — the recall eval's scale
+    * contract.
+    */
+  private val recallQueries: Seq[(Int, Array[Double])] =
+    (0 until 12).map(q =>
+      (q, Array.tabulate(64)(i => (((q * 13 + i * 37) % 19) - 9) / 10.0)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -403,6 +413,99 @@ object Extensions {
         .orderBy(col("cosF").desc, col("vec_id"))
         .limit(5)
         .select(col("vec_id"), col("label"), r6(col("cosF")).as("cos"))
+    },
+
+    /** ANN QUALITY READOUT (round 7): recall@10 of the LSH-bucketed
+      * search against the exact top-10, per query vector and per probe
+      * count (1 = the query's own cell, 9 = + its 8 Hamming-1
+      * neighbors) — the reference's measure-everything eval ethos
+      * (`model.py:157-159`) applied to the ANN index itself. 12
+      * deterministic query vectors; recall is hits/10, a small
+      * rational, so the hash compare is exact.
+      *
+      * Scale shape: the query set is O(12) and BROADCAST; the corpus is
+      * scanned ONCE with per-(query, vec) cosine + bucket computed
+      * map-side, and every top-10 is a rank()<=k window that
+      * WindowTopKRewrite lowers to the bounded-heap TopKPerGroup
+      * operator — partial heaps shuffle ≤ k rows per (query, mode)
+      * group, never the corpus. Exact ground truth is the one
+      * full-scan term (that is what "exact recall eval" costs, paid
+      * once per eval batch); the probed paths prune by bucket first.
+      */
+    QueryDef(
+      "q226_ann_recall", {
+        val corpusBucket = Lsh.bucketSql(planes, i => s"e.embedding[${i + 1}]::DOUBLE")
+        val qRows = recallQueries.map { case (qid, qv) =>
+          val qb = Lsh.bucketOf(qv, planes).toInt
+          val probes9 = (qb +: planes.indices.map(pi => qb ^ (1 << pi))).mkString(", ")
+          s"($qid, ${qv.mkString("[", ", ", "]")}::DOUBLE[], $qb, [$probes9])"
+        }.mkString(",\n           |    ")
+        s"""WITH q AS (
+           |  SELECT * FROM (VALUES
+           |    $qRows) t(q_id, qv, qb, probes)),
+           |scored AS (
+           |  SELECT q.q_id, q.qb, q.probes, e.vec_id,
+           |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos,
+           |    ($corpusBucket) AS bucket
+           |  FROM embeddings e CROSS JOIN q),
+           |exact AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |    FROM scored) WHERE rn <= 10),
+           |ann AS (
+           |  SELECT q_id, vec_id, 1 AS n_probes FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |    FROM scored WHERE bucket = qb) WHERE rn <= 10
+           |  UNION ALL
+           |  SELECT q_id, vec_id, 9 AS n_probes FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |    FROM scored WHERE list_contains(probes, bucket)) WHERE rn <= 10),
+           |hits AS (
+           |  SELECT a.q_id, a.n_probes, CAST(count(e.vec_id) AS BIGINT) AS hits
+           |  FROM ann a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           |  GROUP BY a.q_id, a.n_probes)
+           |SELECT qm.q_id, qm.n_probes,
+           |  coalesce(h.hits, 0) AS hits,
+           |  round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+           |FROM (SELECT q_id, unnest([1, 9]) AS n_probes FROM q) qm
+           |LEFT JOIN hits h ON h.q_id = qm.q_id AND h.n_probes = qm.n_probes
+           |ORDER BY qm.q_id, qm.n_probes""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val qDf = broadcast(recallQueries.map { case (qid, qv) =>
+        val qb = Lsh.bucketOf(qv, planes).toInt
+        (qid, qv.toSeq, qb, (qb +: planes.indices.map(pi => qb ^ (1 << pi))).toSeq)
+      }.toDF("q_id", "qv", "qb", "probes"))
+      val emb = col("embedding").cast("array<double>")
+      val scoredAll = Tables.embeddings(s, d)
+        .select(col("vec_id"), emb.as("emb"),
+          Lsh.bucketColumn(emb, planes).as("bucket"))
+        .crossJoin(qDf)
+        .select(col("q_id"), col("qb"), col("probes"), col("vec_id"), col("bucket"),
+          Kernels.cosine(col("emb"), col("qv")).as("cos"))
+        .cache()
+      def top10(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .where(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id"))
+      val exact = top10(scoredAll)
+      val ann = top10(scoredAll.where(col("bucket") === col("qb")))
+          .withColumn("n_probes", lit(1))
+        .unionByName(top10(scoredAll.where(array_contains(col("probes"), col("bucket"))))
+          .withColumn("n_probes", lit(9)))
+      val hitCounts = ann.join(exact, Seq("q_id", "vec_id"))
+        .groupBy("q_id", "n_probes").agg(count(lit(1)).as("hits"))
+      qDf.select(col("q_id")).crossJoin(
+          broadcast(Seq(1, 9).toDF("n_probes")))
+        .join(hitCounts, Seq("q_id", "n_probes"), "left")
+        .select(col("q_id"), col("n_probes"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          r6(coalesce(col("hits"), lit(0L)) / 10.0).as("recall"))
+        .orderBy("q_id", "n_probes")
     }
   )
 }

@@ -91,6 +91,23 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q226 recall@10: multiprobe >= single-probe for every query, all in [0,1]") {
+    val rows = SparkEntry.queries("q226_ann_recall")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val qids = rows.keys.map(_._1).toSeq.distinct.sorted
+    assert(qids.size == 12, s"expected 12 query vectors, got ${qids.size}")
+    qids.foreach { q =>
+      val r1 = rows((q, 1)); val r9 = rows((q, 9))
+      assert(r1 >= 0.0 && r9 <= 1.0, s"recall out of range for q$q: $r1 / $r9")
+      assert(r9 >= r1, s"q$q: multiprobe recall $r9 below single-probe $r1")
+    }
+    // the probe widening must actually BUY something somewhere, or the
+    // readout is vacuous on this corpus
+    assert(qids.exists(q => rows((q, 9)) > rows((q, 1)))
+      || qids.forall(q => rows((q, 1)) == 1.0),
+      "multiprobe never improved recall and single-probe is not perfect")
+  }
+
   test("bucketOf mirrors the query-side bucketing expression (q66)") {
     // q66's output is the occupancy histogram under b=8; recomputing it
     // driver-side from the same vectors must agree exactly
