@@ -32,6 +32,7 @@ object SparkEntry {
       operators.SearchOps.defs ++
       operators.DialectOps.defs ++
       operators.MLOps.defs ++
+      operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
 

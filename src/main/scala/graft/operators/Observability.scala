@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.QueryDef
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle/skew OBSERVABILITY (round 7, VERDICT #8): a SparkListener-
+  * backed stage profiler that turns "the plan is the one you'd want at
+  * scale" from a docstring claim into a queryable artifact. For every
+  * stage an action runs, it captures per-task shuffle read/write
+  * records, input records, spill bytes, and duration, and reduces them
+  * to the numbers a 100 TB design review asks for: how many tasks, how
+  * much shuffle, and what share of the stage's shuffle-read the
+  * heaviest task carried (the skew number salting exists to bound).
+  *
+  * Record counts — not bytes or millis — carry the skew assertion:
+  * they are a pure function of the partitioning (codec and timing
+  * noise-free), so ObservabilitySpec can assert that q93's salted
+  * shuffle spreads the hot key while the PLAIN event_type shuffle
+  * concentrates it (q221's top-1 key share is the lower bound for the
+  * hot task's share in the unsalted shape).
+  *
+  * The profiler is driver-side O(stages × tasks) bookkeeping over an
+  * async listener — zero cost on the measured job itself beyond normal
+  * metric collection Spark already does.
+  */
+object Observability {
+
+  private final case class TaskObs(readRec: Long, writeRec: Long,
+      inputRec: Long, spillBytes: Long, durMs: Long)
+
+  /** One profiled stage, in stage-id (submission) order. */
+  final case class StageObs(
+      stageId: Int,
+      nTasks: Long,
+      inputRecords: Long,
+      shuffleReadRecords: Long,
+      shuffleWriteRecords: Long,
+      spillBytes: Long,
+      maxTaskDurMs: Long,
+      sumTaskDurMs: Long,
+      /** heaviest task's share of the stage's shuffle-read records;
+        * 0.0 for stages that read no shuffle */
+      maxTaskReadShare: Double)
+
+  /** Run `action` under a task-metrics listener and return one
+    * [[StageObs]] per stage it executed. The listener bus is drained
+    * before the snapshot, so the last task's metrics are included.
+    */
+  def profile(s: SparkSession)(action: => Unit): Seq[StageObs] = {
+    val byStage = new ConcurrentHashMap[Int, ArrayBuffer[TaskObs]]()
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val buf = byStage.computeIfAbsent(e.stageId, _ => ArrayBuffer[TaskObs]())
+          buf.synchronized {
+            buf += TaskObs(
+              m.shuffleReadMetrics.recordsRead,
+              m.shuffleWriteMetrics.recordsWritten,
+              m.inputMetrics.recordsRead,
+              m.memoryBytesSpilled + m.diskBytesSpilled,
+              m.executorRunTime)
+          }
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try action finally {
+      GraftBridge.drainListenerBus(s.sparkContext)
+      s.sparkContext.removeSparkListener(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    byStage.asScala.toSeq.sortBy(_._1).map { case (sid, buf) =>
+      val ts = buf.synchronized(buf.toVector)
+      val readTotal = ts.map(_.readRec).sum
+      StageObs(sid, ts.size.toLong,
+        ts.map(_.inputRec).sum, readTotal, ts.map(_.writeRec).sum,
+        ts.map(_.spillBytes).sum, if (ts.isEmpty) 0L else ts.map(_.durMs).max,
+        ts.map(_.durMs).sum,
+        if (readTotal == 0L) 0.0
+        else ts.map(_.readRec).max.toDouble / readTotal)
+    }
+  }
+
+  /** [[profile]] as a DataFrame in the engine's output shape. */
+  def profileDf(s: SparkSession)(action: => Unit): DataFrame = {
+    import s.implicits._
+    profile(s)(action).zipWithIndex.map { case (o, i) =>
+      (i.toLong, o.nTasks, o.inputRecords, o.shuffleReadRecords,
+        o.shuffleWriteRecords, o.spillBytes,
+        math.rint(o.maxTaskReadShare * 1e6) / 1e6)
+    }.toDF("stage_ord", "n_tasks", "input_records", "shuffle_read_records",
+      "shuffle_write_records", "spill_bytes", "max_task_read_share")
+      .orderBy("stage_ord")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Stage profile of q93_salted_join's execution — the design-audit
+      * artifact for the suite's canonical skew-spreading plan: per
+      * stage, its task count, input/shuffle record volumes, spill, and
+      * the heaviest task's shuffle-read share. Rows-only (stage split
+      * and AQE coalescing are runtime decisions, not SQL semantics);
+      * ObservabilitySpec pins the part that IS deterministic — record
+      * conservation and the salted-vs-plain max-task-share ordering.
+      * SparkEntry.queries is referenced lazily inside the closure (it
+      * aggregates THIS registry at init).
+      */
+    QueryDef.noOracle("q227_stage_profile") { (s, d) =>
+      profileDf(s) {
+        graft.SparkEntry.queries("q93_salted_join")(s, d).collect()
+        ()
+      }
+    }
+  )
+}

@@ -84,7 +84,7 @@ object Streaming {
   def withStreamConf[A](s: SparkSession)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "8"))
     try start finally s.conf.set(key, prev)
   }
 

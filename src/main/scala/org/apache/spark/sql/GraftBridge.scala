@@ -30,6 +30,14 @@ object GraftBridge {
     q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
       .streamingQuery.lastExecution.executedPlan
 
+  /** Block until the listener bus has delivered every queued event —
+    * the `private[spark]` drain the stage-profile operator needs so a
+    * profile snapshot taken right after an action includes the last
+    * task's metrics (listener delivery is async).
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000)
+
   /** Test-only: a physical scan over raw (possibly non-Unsafe)
     * InternalRows, for driving custom execs the way an arbitrary child
     * SparkPlan would — SparkPlan.execute() guarantees only InternalRow.
