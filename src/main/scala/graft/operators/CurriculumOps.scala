@@ -434,6 +434,17 @@ object CurriculumOps {
       * merge-intersect. Jaccard is a ratio of small integers, so both
       * engines compute bit-identical doubles and the hash compare is
       * exact.
+      *
+      * Buckets larger than 64 docs are EXCLUDED from pair generation —
+      * the standard production cap: an over-common band key is a
+      * degenerate candidate generator (this corpus has a template
+      * cluster whose bucket holds 3165 docs at sf0.1 → 20.7M pairs,
+      * 99.9% of the work for near-exact duplicates that the exact-dedup
+      * (q60) and cluster-resolution (q135) paths already handle as
+      * clusters, not pairwise). The cap is a window count over the
+      * SAME (band, key) shuffle the self-join uses, so it costs no
+      * extra exchange, and it is what makes Σ bucket² a bound the
+      * planner can trust at any SF.
       */
     QueryDef(
       "q225_lsh_candidate_pairs", {
@@ -451,10 +462,13 @@ object CurriculumOps {
            |  SELECT doc_id,
            |    $mins
            |  FROM wrd GROUP BY doc_id),
-           |bands AS (
+           |bands0 AS (
            |  SELECT doc_id, band, key FROM mh, LATERAL (
            |    SELECT unnest([0, 1, 2, 3]) AS band,
            |           unnest([$keys]) AS key)),
+           |bands AS (
+           |  SELECT doc_id, band, key FROM bands0
+           |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 64),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |  FROM bands a JOIN bands b
@@ -490,6 +504,10 @@ object CurriculumOps {
       val bands = mh.select(col("doc_id"),
           explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key"))))
+        .where(col("bn") <= 64)
+        .drop("bn")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key")

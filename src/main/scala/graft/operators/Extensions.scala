@@ -487,10 +487,14 @@ object Extensions {
         .select(col("q_id"), col("qb"), col("probes"), col("vec_id"), col("bucket"),
           Kernels.cosine(col("emb"), col("qv")).as("cos"))
         .cache()
+      // the explicit bounded-heap operator (not the window idiom): the
+      // rank()<=k AUTO-rewrite needs the spark.sql.extensions session
+      // wiring, and the engine's queries must plan the scale shape in
+      // ANY session — partial per-partition heaps, ≤k rows shuffled per
+      // (query, mode) group
       def top10(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        df.withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-          .where(col("rn") <= 10)
+        graft.plans.TopKPerGroupOps.topKPerGroup(s, df,
+            Seq(col("q_id")), Seq(col("cos").desc, col("vec_id")), 10)
           .select(col("q_id"), col("vec_id"))
       val exact = top10(scoredAll)
       val ann = top10(scoredAll.where(col("bucket") === col("qb")))

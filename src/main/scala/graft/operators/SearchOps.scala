@@ -18,6 +18,11 @@ object SearchOps {
   private def words(c: org.apache.spark.sql.Column) =
     graft.functions.Text.wordsCol(c)
 
+  /** q228's deterministic query vector (distinct lineage from the LSH
+    * family's qvec so the two ANN paths probe different geometry). */
+  private val pqQueryVec: Array[Double] =
+    Array.tabulate(64)(i => (((i * 29 + 7) % 23) - 11) / 12.0)
+
   /** ONE SQL text run verbatim by both engines (like q144): the
     * correlated-scalar-subquery idiom. Spark decorrelates the per-row
     * aggregate lookup into a grouped aggregate + join — the rewrite this
@@ -357,6 +362,118 @@ object SearchOps {
           round(sum(col("recon").cast("decimal(28,12)")).cast("double") /
             count(lit(1)), 6).as("mse"))
         .orderBy("code1", "code2")
+    },
+
+    /** IVF-PQ search COMPOSED end to end (round 7): the ANN
+      * architecture a 100 TB vector index actually runs, as one oracled
+      * query. Coarse stage: every vector is assigned to its nearest of
+      * 10 IVF cells (corpus vectors 8-17 as fixed cell centers — a
+      * trained quantizer ships with a real index; using stored vectors
+      * keeps both engines' centroids BIT-identical, no avg() ulp risk).
+      * The query probes its 2 nearest cells, pruning ~80% of the corpus
+      * before any fine ranking. Fine stage: 64 dims split into 8
+      * subspaces of 8; each subspace PQ-encoded against an 8-entry
+      * codebook (vectors 0-7), and the query-to-vector distance is the
+      * ADC approximation Σ_s ‖q_s − cb[code_s]‖² — computed by joining
+      * the 8-bit codes back to the tiny codebook, never touching the
+      * raw corpus vector again. Top-10 by (adc, vec_id).
+      *
+      * Determinism: every distance is a fixed left-associative sum of
+      * squared diffs over identical doubles (parquet values + literal
+      * query), argmins tie-break on id, so the hash compare is exact.
+      * Scale shape: codebooks and cell centers are O(K) broadcast
+      * literals; assignment + encoding are map-side; the only shuffle
+      * is the global bounded top-10.
+      */
+    QueryDef(
+      "q228_ivfpq_search", {
+        val q = pqQueryVec
+        val qCell = (1 to 64).map(i => s"(${q(i - 1)} - c.x$i)*(${q(i - 1)} - c.x$i)").mkString(" + ")
+        def vCell = (1 to 64).map(i => s"(v.x$i - g.x$i)*(v.x$i - g.x$i)").mkString(" + ")
+        def subDist(s0: Int) = {
+          val lo = s0 * 8 + 1
+          (lo until lo + 8).map(i => s"(v.x$i - c.x$i)*(v.x$i - c.x$i)").mkString(" + ")
+        }
+        s"""WITH v AS (
+           |  SELECT vec_id, ${(1 to 64).map(i => s"CAST(embedding[$i] AS DOUBLE) AS x$i").mkString(", ")}
+           |  FROM embeddings),
+           |cb AS (SELECT * FROM v WHERE vec_id < 8),
+           |cells AS (SELECT * FROM v WHERE vec_id BETWEEN 8 AND 17),
+           |probe AS (
+           |  SELECT vec_id AS cell FROM (
+           |    SELECT c.vec_id, row_number() OVER (ORDER BY $qCell, c.vec_id) AS r
+           |    FROM cells c) WHERE r <= 2),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, g.vec_id AS cell,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $vCell, g.vec_id) AS r
+           |    FROM v CROSS JOIN cells g) WHERE r = 1),
+           |kept AS (
+           |  SELECT v.* FROM v JOIN assigned a ON v.vec_id = a.vec_id
+           |  JOIN probe p ON a.cell = p.cell),
+           |dists AS (
+           |  SELECT v.vec_id, c.vec_id AS c,
+           |    ${(0 until 8).map(s0 => s"${subDist(s0)} AS d$s0").mkString(",\n           |    ")}
+           |  FROM kept v CROSS JOIN cb c),
+           |rk AS (
+           |  SELECT vec_id, c,
+           |    ${(0 until 8).map(s0 =>
+                 s"row_number() OVER (PARTITION BY vec_id ORDER BY d$s0, c) AS r$s0").mkString(",\n           |    ")}
+           |  FROM dists),
+           |enc AS (
+           |  SELECT vec_id,
+           |    ${(0 until 8).map(s0 =>
+                 s"max(CASE WHEN r$s0 = 1 THEN c END) AS code$s0").mkString(",\n           |    ")}
+           |  FROM rk GROUP BY vec_id),
+           |adc AS (
+           |  SELECT e.vec_id, a.cell,
+           |    ${(0 until 8).map { s0 =>
+                 val lo = s0 * 8 + 1
+                 val d = (lo until lo + 8).map(i => s"(${q(i - 1)} - c$s0.x$i)*(${q(i - 1)} - c$s0.x$i)").mkString(" + ")
+                 s"($d)"
+               }.mkString(" +\n           |    ")} AS dist
+           |  FROM enc e
+           |  JOIN assigned a ON a.vec_id = e.vec_id
+           |  ${(0 until 8).map(s0 => s"JOIN cb c$s0 ON c$s0.vec_id = e.code$s0").mkString("\n           |  ")})
+           |SELECT vec_id, cell, round(dist, 6) AS adc
+           |FROM adc ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      val q = pqQueryVec
+      val v = Tables.embeddings(s, d).select(col("vec_id") +:
+        (1 to 64).map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      // codebook (8) + cell centers (10): O(K) rows collected once —
+      // the "quantizer ships with the index" contract
+      val cb = v.where(col("vec_id") < 8).orderBy("vec_id").collect()
+      val cells = v.where(col("vec_id").between(8, 17)).orderBy("vec_id").collect()
+      def l2(r: org.apache.spark.sql.Row, lo: Int, n: Int) =
+        (lo until lo + n).map(i =>
+          (col(s"x$i") - r.getDouble(i)) * (col(s"x$i") - r.getDouble(i)))
+          .reduce(_ + _)
+      def l2q(r: org.apache.spark.sql.Row, lo: Int, n: Int): Double =
+        (lo until lo + n).map(i => {
+          val dd = q(i - 1) - r.getDouble(i); dd * dd
+        }).sum
+      // probe: the query's 2 nearest cells (driver-side, O(cells))
+      val probed = cells.sortBy(r => (l2q(r, 1, 64), r.getLong(0))).take(2)
+        .map(_.getLong(0)).toSeq
+      val cellAssign = least(cells.map(r =>
+        struct(l2(r, 1, 64).as("d"), lit(r.getLong(0)).as("c"))): _*)("c")
+      def code(s0: Int) = least(cb.map(r =>
+        struct(l2(r, s0 * 8 + 1, 8).as("d"), lit(r.getLong(0)).as("c"))): _*)("c")
+      // ADC lookup tables: query-to-codebook distances as an 8-slot
+      // array literal indexed by code (codes ARE vec_ids 0-7)
+      def adcLut(s0: Int, codeCol: org.apache.spark.sql.Column) =
+        element_at(array(cb.map(r => lit(l2q(r, s0 * 8 + 1, 8))): _*),
+          (codeCol + 1).cast("int"))
+      v.withColumn("cell", cellAssign)
+        .where(col("cell").isin(probed: _*))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until 8).map(s0 => code(s0).as(s"code$s0")): _*)
+        .select(col("vec_id"), col("cell"),
+          (0 until 8).map(s0 => adcLut(s0, col(s"code$s0"))).reduce(_ + _).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("cell"), round(col("dist"), 6).as("adc"))
     }
   )
+
 }

@@ -390,4 +390,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
       "expected the salted shuffled hash join")
   }
+
+  test("q225 candidate generation is band-bucketed: no cartesian/nested-loop pair join") {
+    // pairs may only come from the (band, key) equi self-join; an
+    // all-pairs shape (cartesian or broadcast nested loop over a
+    // documents side) is exactly what LSH banding exists to avoid
+    val plan = finalPlan(SparkEntry.queries("q225_lsh_candidate_pairs")(spark, sf))
+    val nodes = allNodes(plan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "cartesian product in the candidate path")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "broadcast nested-loop join in the candidate path")
+  }
+
+  test("q226 top-10s run on the bounded-heap TopKPerGroup operator, not a window") {
+    // every top-10 in the recall readout must leave the generic window
+    // path, or at scale each (query, mode) group sorts its full
+    // candidate list in one task; q226 plans the explicit operator so
+    // the shape holds in ANY session, not just extensions-wired ones
+    val plan = finalPlan(SparkEntry.queries("q226_ann_recall")(spark, sf))
+    val topks = allNodes(plan).filter(
+      _.getClass.getSimpleName.contains("TopKPerGroup"))
+    assert(topks.nonEmpty, "no TopKPerGroupExec in the q226 plan")
+    assert(!allNodes(plan).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "a top-10 stayed on the generic window path")
+  }
 }
