@@ -383,7 +383,13 @@ object SearchOps {
       * query), argmins tie-break on id, so the hash compare is exact.
       * Scale shape: codebooks and cell centers are O(K) broadcast
       * literals; assignment + encoding are map-side; the only shuffle
-      * is the global bounded top-10.
+      * is the global bounded top-10. The literal-expanded distance
+      * expressions cost a few seconds of one-time driver
+      * planning/codegen (measured via Observability.profile: ~2.7s of
+      * task time inside an 11s first run at sf0.1) — a CONSTANT,
+      * data-independent price that is the whole bench entry at test SF
+      * and noise at 100 TB, where the same codegen'd kernel streams
+      * through every partition.
       */
     QueryDef(
       "q228_ivfpq_search", {
