@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * (V | αcell | βcell | wα bα | Wβ bβ | heads headB) written as
   * (idx, value) parquet — order-independent on disk, restored by idx,
   * so a restore is exact to the last bit regardless of task/partition
-  * scheduling. LSTM-only, like training (the GRU fallback is an
-  * eval-time cell with no persisted training state).
+  * scheduling. Both cell kinds: [[save]]/[[load]] carry the LSTM
+  * training layout, [[saveGru]]/[[loadGru]] the GRU fallback's
+  * (packGru) layout; the differing flat sizes make cross-loading fail
+  * loudly.
   */
 object RetainCheckpoint {
   /** Write `w` to `path` (overwrites). One ~2.4k-row parquet file. */
@@ -32,5 +34,24 @@ object RetainCheckpoint {
     val flat = new Array[Double](RetainGrad.Dim)
     rows.foreach(r => flat(r.getInt(0)) = r.getDouble(1))
     RetainGrad.unpack(flat)
+  }
+
+  /** GRU-cell variant of [[save]] — the `use_lstm=False` fallback's
+    * checkpoint (packGru layout; also what q203's oracle reads). */
+  def saveGru(spark: SparkSession, w: Retain.RetainWeights, path: String): Unit = {
+    import spark.implicits._
+    RetainGrad.packGru(w).toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore the exact GRU weights written by [[saveGru]]. */
+  def loadGru(spark: SparkSession, path: String): Retain.RetainWeights = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == RetainGrad.GruDim,
+      s"GRU checkpoint at $path has ${rows.length} params, expected ${RetainGrad.GruDim}")
+    val flat = new Array[Double](RetainGrad.GruDim)
+    rows.foreach(r => flat(r.getInt(0)) = r.getDouble(1))
+    RetainGrad.unpackGru(flat)
   }
 }

@@ -73,6 +73,34 @@ object RetainGrad {
     out.toArray
   }
 
+  /** Inverse of [[packGru]] — restores a GRU-cell weight set bit-exactly. */
+  def unpackGru(p: Array[Double]): RetainWeights = {
+    require(p.length == GruDim, s"expected $GruDim GRU params, got ${p.length}")
+    def mat(base: Int, r: Int, c: Int) = Array.tabulate(r, c)((i, j) => p(base + i * c + j))
+    def vec(base: Int, n: Int) = Array.tabulate(n)(j => p(base + j))
+    def cell(base: Int) = GruCell(
+      mat(base, H, 2 * H),
+      mat(base + H * 2 * H, H, 2 * H),
+      vec(base + 2 * H * 2 * H, 2 * H),
+      mat(base + 2 * H * 2 * H + 2 * H, H, H),
+      mat(base + 2 * H * 2 * H + 2 * H + H * H, H, H),
+      vec(base + 2 * H * 2 * H + 2 * H + 2 * H * H, H))
+    val offA = F * H; val offB = offA + GruCellSz
+    val offWAlpha = offB + GruCellSz; val offBAlpha = offWAlpha + H
+    val offWBeta = offBAlpha + 1; val offBBeta = offWBeta + H * H
+    val offHeads = offBBeta + H; val offHeadB = offHeads + K * H
+    RetainWeights(
+      v = mat(0, F, H),
+      alphaCell = cell(offA),
+      betaCell = cell(offB),
+      wAlpha = vec(offWAlpha, H),
+      bAlpha = p(offBAlpha),
+      wBeta = mat(offWBeta, H, H),
+      bBeta = vec(offBBeta, H),
+      heads = mat(offHeads, K, H),
+      headB = vec(offHeadB, K))
+  }
+
   /** Pack weights into the flat layout (for Adam on the driver). */
   def pack(w: RetainWeights): Array[Double] = {
     val out = new Array[Double](Dim)

@@ -530,12 +530,8 @@ object RetainOps {
     QueryDef("q203_retain_score_gru",
         RetainOracleSql.q203(s"${Scratch.root}/graft_retain_gru_w/*.parquet")) { (s, d) =>
       val dir = s"${Scratch.root}/graft_retain_gru_w"
-      if (ckptWritten.add(s"${s.sparkContext.hashCode()}|$dir")) {
-        import s.implicits._
-        graft.functions.RetainGrad.packGru(Retain.defaultGruWeights)
-          .toSeq.zipWithIndex.map { case (v, i) => (i, v) }
-          .toDF("idx", "value").coalesce(1).write.mode("overwrite").parquet(dir)
-      }
+      if (ckptWritten.add(s"${s.sparkContext.hashCode()}|$dir"))
+        graft.functions.RetainCheckpoint.saveGru(s, Retain.defaultGruWeights, dir)
       scored(s, d, Retain.defaultGruWeights)
         .select(col("user_id"),
           round(col("p0"), 6).as("p0"),

@@ -75,4 +75,29 @@ class TrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
       RetainCheckpoint.load(spark, s"$dir/bad")
     }
   }
+
+  test("GRU checkpoint round-trips bit-exactly and guards against the LSTM layout") {
+    import graft.functions.{Retain, RetainCheckpoint, RetainGrad}
+    val w = Retain.defaultGruWeights
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-gru-spec").toString
+    RetainCheckpoint.saveGru(spark, w, s"$dir/w")
+    val restored = RetainCheckpoint.loadGru(spark, s"$dir/w")
+    assert(RetainGrad.packGru(restored).sameElements(RetainGrad.packGru(w)),
+      "restored GRU flat vector differs from the saved one")
+    // scoring under the restored weights must be IDENTICAL (the q205
+    // zero-divergence contract, GRU cell kind)
+    val a = RetainOps.scored(spark, sf, w).select("user_id", "p0", "p1", "p2")
+      .collect().map(_.toString).sorted
+    val b = RetainOps.scored(spark, sf, restored).select("user_id", "p0", "p1", "p2")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "restored GRU weights score differently")
+    // the two flat layouts have different sizes: loading a GRU file as
+    // LSTM (or vice versa) must fail loudly
+    intercept[IllegalArgumentException] {
+      RetainCheckpoint.load(spark, s"$dir/w")
+    }
+    intercept[IllegalArgumentException] {
+      RetainGrad.packGru(Retain.defaultWeights) // LSTM cells into packGru
+    }
+  }
 }
