@@ -480,13 +480,20 @@ object Extensions {
         (qid, qv.toSeq, qb, (qb +: planes.indices.map(pi => qb ^ (1 << pi))).toSeq)
       }.toDF("q_id", "qv", "qb", "probes"))
       val emb = col("embedding").cast("array<double>")
+      // shared by the exact + both probed rankings: ONE pass computes
+      // cosine and bucket per (query, vec); the persisted intermediate
+      // DROPS the embedding column, so it is O(Q·N) small scalars (a
+      // few % of corpus bytes), disk-spillable — not a 12× corpus
+      // cache. The fully fused alternative (one 3-heap Aggregator per
+      // q_id) saves the re-reads at the cost of a custom aggregate;
+      // persist+reuse is the standard eval-batch trade.
       val scoredAll = Tables.embeddings(s, d)
         .select(col("vec_id"), emb.as("emb"),
           Lsh.bucketColumn(emb, planes).as("bucket"))
         .crossJoin(qDf)
         .select(col("q_id"), col("qb"), col("probes"), col("vec_id"), col("bucket"),
           Kernels.cosine(col("emb"), col("qv")).as("cos"))
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the explicit bounded-heap operator (not the window idiom): the
       // rank()<=k AUTO-rewrite needs the spark.sql.extensions session
       // wiring, and the engine's queries must plan the scale shape in
