@@ -28,6 +28,7 @@ object SparkEntry {
       operators.CurriculumOps.defs ++
       operators.TemporalOps.defs ++
       operators.RobustOps.defs ++
+      operators.CausalOps.defs ++
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
       operators.DialectOps.defs ++

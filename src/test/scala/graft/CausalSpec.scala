@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.CausalOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the mathematical invariants of the q229/q230 causality pair:
+  * a correlogram entry is a correlation (|xcorr| ≤ 1, and lag 0 is
+  * symmetric — corr(a,b) = corr(b,a) on the identical aligned grid),
+  * and the Granger gain is a nested-model variance reduction (adding a
+  * regressor to the exactly-solved OLS can only shrink SSE, so
+  * gain ∈ [0,1], and ar1_r2 ≤ 1). The oracle pins the values; these
+  * pin why the values are shaped like causality evidence.
+  */
+class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  private def byName(n: String) = CausalOps.defs.find(_.name == n).get.fn
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("causal-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q229 correlogram entries are correlations: |xcorr| <= 1 over all 20 pairs x 4 lags") {
+    val rows = byName("q229_lead_lag_corr")(spark, sf).collect()
+    assert(rows.length == 80, s"expected 20 directed pairs x 4 lags, got ${rows.length}")
+    rows.foreach { r =>
+      val c = r.getAs[java.lang.Double]("xcorr")
+      assert(c != null && math.abs(c) <= 1.0 + 1e-9, s"$r")
+      assert(r.getAs[Long]("n_days") >= 2)
+    }
+  }
+
+  test("q229 lag-0 cross-correlation is symmetric in the pair") {
+    val m = byName("q229_lead_lag_corr")(spark, sf)
+      .where("lag = 0").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("xcorr")).toMap
+    m.foreach { case ((a, b), c) =>
+      assert(math.abs(m((b, a)) - c) <= 1e-6, s"asym at ($a,$b): $c vs ${m((b, a))}")
+    }
+  }
+
+  test("q230 granger gain is a nested-model variance reduction: 0 <= gain <= 1, ar1_r2 <= 1") {
+    val rows = byName("q230_granger_lite")(spark, sf).collect()
+    assert(rows.length == 20, s"expected 20 directed pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val gain = r.getAs[java.lang.Double]("granger_gain")
+      val r2 = r.getAs[java.lang.Double]("ar1_r2")
+      assert(gain != null && gain >= -1e-9 && gain <= 1.0 + 1e-9, s"$r")
+      assert(r2 != null && r2 <= 1.0 + 1e-9, s"$r")
+    }
+  }
+}
