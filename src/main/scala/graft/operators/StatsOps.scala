@@ -184,6 +184,105 @@ object StatsOps {
       tri.agg(count(lit(1)).as("n_triangles"))
         .crossJoin(links.agg(count(lit(1)).as("n_edges")))
         .select(col("n_triangles"), col("n_edges"))
+    },
+
+    /** Count-min sketch (round 7) — the point-query counting sketch that
+      * completes the family next to HLL (q106, distinct) and Misra-Gries
+      * (q196, heavy hitters). d=4 portable md5-salted hash rows × w=64
+      * buckets: the build is ONE map-side-combined aggregate that
+      * reduces any input to ≤256 cells (the partial aggregates ARE the
+      * sketch merge — mergeability for free), and a point estimate is
+      * min over the key's d cells, never below the true count. Probing
+      * the 10 heaviest users demonstrates the bound: est_n ≥ true_n,
+      * with the overestimate coming from collisions in 64 buckets.
+      * RNG-free salted hashing keeps the sketch hash-verifiable.
+      */
+    QueryDef(
+      "q231_count_min",
+      """WITH rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS r(j)),
+        |cells AS (
+        |  SELECT r.j,
+        |    ('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':cms' || CAST(r.j AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+        |    count(*) AS n
+        |  FROM events e CROSS JOIN rows_ r
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1),
+        |probes AS (SELECT user_id, true_n FROM truth ORDER BY true_n DESC, user_id LIMIT 10),
+        |est AS (
+        |  SELECT p.user_id, p.true_n, min(c.n) AS est_n
+        |  FROM probes p CROSS JOIN rows_ r
+        |  JOIN cells c ON c.j = r.j
+        |    AND c.bucket = ('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || ':cms' || CAST(r.j AS VARCHAR)), 1, 15))::BIGINT % 64
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(true_n AS BIGINT) AS true_n, CAST(est_n AS BIGINT) AS est_n
+        |FROM est ORDER BY true_n DESC, user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      def bucket(key: Column, j: Column): Column =
+        conv(substring(md5(concat(key.cast("string"), lit(":cms"), j.cast("string"))),
+          1, 15), 16, 10).cast("long") % 64
+      val e = Tables.events(s, d)
+      val rowsJ = Seq(0, 1, 2, 3).toDF("j")
+      val cells = e.crossJoin(broadcast(rowsJ))
+        .groupBy(col("j"), bucket(col("user_id"), col("j")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val truth = e.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+      val probes = truth.orderBy(col("true_n").desc, col("user_id")).limit(10)
+      val cellsR = cells.withColumnRenamed("j", "cj")
+      probes.crossJoin(broadcast(rowsJ))
+        .withColumn("pb", bucket(col("user_id"), col("j")))
+        .join(broadcast(cellsR), col("j") === col("cj") && col("pb") === col("bucket"))
+        .groupBy(col("user_id"), col("true_n"))
+        .agg(min(col("n")).as("est_n"))
+        .orderBy(col("true_n").desc, col("user_id"))
+    },
+
+    /** First/last-touch attribution (round 7): each purchase is credited
+      * to the user's earliest (first-touch) and latest (last-touch)
+      * preceding click/view, via IGNORE-NULLS first/last over the
+      * strictly-preceding frame — the funnel-credit assignment every
+      * events warehouse runs. One user_id shuffle for the sequence
+      * window (the same exchange shape as q155/q222), then a 5-group
+      * aggregate; purchases with no prior touch report as 'none'.
+      */
+    QueryDef(
+      "q232_attribution",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER w AS last_t,
+        |    first_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER w AS first_t
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sel AS (
+        |  SELECT coalesce(last_t, 'none') AS last_t, coalesce(first_t, 'none') AS first_t, value
+        |  FROM seq WHERE event_type = 'purchase')
+        |SELECT model, touch, CAST(n AS BIGINT) AS n, amount FROM (
+        |  SELECT 'last' AS model, last_t AS touch, count(*) AS n,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE), 2) AS amount
+        |  FROM sel GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'first' AS model, first_t AS touch, count(*) AS n,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE), 2) AS amount
+        |  FROM sel GROUP BY 2)
+        |ORDER BY model, touch""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+      val sel = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          last(touch, ignoreNulls = true).over(w).as("last_t"),
+          first(touch, ignoreNulls = true).over(w).as("first_t"))
+        .where(col("event_type") === "purchase")
+        .select(coalesce(col("last_t"), lit("none")).as("last_t"),
+          coalesce(col("first_t"), lit("none")).as("first_t"), col("value"))
+      def agg(model: String, c: String) = sel.groupBy(col(c).as("touch"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,3)")).cast("double"), 2).as("amount"))
+        .select(lit(model).as("model"), col("touch"), col("n"), col("amount"))
+      agg("last", "last_t").unionAll(agg("first", "first_t"))
+        .orderBy("model", "touch")
     }
   )
 }

@@ -78,4 +78,21 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(mass - 1.0) < 1e-4, s"row mass $mass")
     }
   }
+
+  test("q231 count-min never underestimates: est_n >= true_n on every probe") {
+    val rows = SparkEntry.queries("q231_count_min")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"), s"$r")
+    }
+  }
+
+  test("q232 both attribution models credit every purchase exactly once") {
+    val rows = SparkEntry.queries("q232_attribution")(spark, sf).collect()
+    val purchases = Tables.events(spark, sf).where("event_type = 'purchase'").count()
+    Seq("first", "last").foreach { model =>
+      val n = rows.filter(_.getString(0) == model).map(_.getAs[Long]("n")).sum
+      assert(n == purchases, s"$model credits $n of $purchases purchases")
+    }
+  }
 }
