@@ -168,6 +168,75 @@ object CausalOps {
           r6((col("sse_r") - (col("cyy") - col("b1") * col("c1y") - col("b2") * col("c2y"))) /
             nullif(col("sse_r"), lit(0.0))).as("granger_gain"))
         .orderBy("src", "dst")
+    },
+
+    /** CUSUM changepoint detection per element (round 7): the "when did
+      * this element's behavior shift" readout that complements q229/
+      * q230's "which element leads which". Standardized cumulative sums
+      * S_t = Σ_{i≤t}(v_i − μ)/σ over each element's daily series; the
+      * changepoint is argmax|S_t| (ties → earliest day), the classic
+      * offline CUSUM estimate of a mean shift. Also reports the
+      * before/after mean shift at the split. Everything past the one
+      * grid shuffle is windows and aggregates over O(P·T) rows; μ and
+      * σ come from decimal moment sums, the cumsum runs over the
+      * deterministic (el, di) order, so both engines agree bit-exactly.
+      */
+    QueryDef(
+      "q233_cusum_changepoint",
+      s"""WITH $dailySql,
+        |st AS (
+        |  SELECT el, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(v*v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+        |  FROM daily GROUP BY 1),
+        |z AS (
+        |  SELECT d.el, d.di,
+        |    sum((d.v - s.sv/s.n) / sqrt(s.svv/s.n - (s.sv/s.n)*(s.sv/s.n)))
+        |      OVER (PARTITION BY d.el ORDER BY d.di) AS cusum
+        |  FROM daily d JOIN st s ON d.el = s.el),
+        |cp AS (
+        |  SELECT el, di AS cp_di, cusum FROM (
+        |    SELECT el, di, cusum,
+        |      row_number() OVER (PARTITION BY el ORDER BY abs(cusum) DESC, di) AS r
+        |    FROM z) WHERE r = 1),
+        |shift AS (
+        |  SELECT d.el,
+        |    CAST(sum(CASE WHEN d.di > c.cp_di THEN CAST(d.v AS DECIMAL(38,12)) END) AS DOUBLE)
+        |      / nullif(count_if(d.di > c.cp_di), 0)
+        |    - CAST(sum(CASE WHEN d.di <= c.cp_di THEN CAST(d.v AS DECIMAL(38,12)) END) AS DOUBLE)
+        |      / nullif(count_if(d.di <= c.cp_di), 0) AS mean_shift
+        |  FROM daily d JOIN cp c ON d.el = c.el GROUP BY 1)
+        |SELECT c.el, c.cp_di, round(abs(c.cusum), 6) AS cusum_max,
+        |  round(s.mean_shift, 6) AS mean_shift
+        |FROM cp c JOIN shift s ON c.el = s.el ORDER BY c.el""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = daily(s, d)
+      val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
+        dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
+      val mu = col("sv") / col("n")
+      val sig = sqrt(col("svv") / col("n") - mu * mu)
+      val wc = Window.partitionBy(col("el")).orderBy(col("di"))
+      val z = g.join(st, col("el") === col("sel"))
+        .select(col("el"), col("di"),
+          sum((col("v") - mu) / sig).over(wc).as("cusum"))
+      val wr = Window.partitionBy(col("el")).orderBy(abs(col("cusum")).desc, col("di"))
+      val cp = z.select(col("el"), col("di"), col("cusum"),
+          row_number().over(wr).as("r"))
+        .where(col("r") === 1)
+        .select(col("el").as("cel"), col("di").as("cp_di"), col("cusum"))
+      def sideMean(cond: Column) =
+        sum(when(cond, col("v").cast("decimal(38,12)"))).cast("double") /
+          nullif(count_if(cond), lit(0L))
+      val shift = g.join(broadcast(cp), col("el") === col("cel"))
+        .groupBy(col("el"))
+        .agg((sideMean(col("di") > col("cp_di")) -
+          sideMean(col("di") <= col("cp_di"))).as("mean_shift"))
+        .select(col("el").as("shel"), col("mean_shift"))
+      cp.join(shift, col("cel") === col("shel"))
+        .select(col("cel").as("el"), col("cp_di"),
+          r6(abs(col("cusum"))).as("cusum_max"),
+          r6(col("mean_shift")).as("mean_shift"))
+        .orderBy("el")
     }
   )
 }

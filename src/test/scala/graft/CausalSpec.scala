@@ -58,4 +58,20 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r2 != null && r2 <= 1.0 + 1e-9, s"$r")
     }
   }
+
+  test("q233 finds one changepoint per element, inside the observed day range") {
+    import org.apache.spark.sql.functions._
+    val rows = byName("q233_cusum_changepoint")(spark, sf).collect()
+    assert(rows.length == 5, s"one row per event_type, got ${rows.length}")
+    val Array(lo, hi) = Tables.events(spark, sf)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+      .agg(min("di"), max("di")).collect()(0).toSeq.map(_.asInstanceOf[Int]).toArray
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cusum_max") >= 0.0)
+      val cp = r.getAs[Int]("cp_di")
+      // argmax|S| over a zero-sum walk is never the final point unless T=1
+      assert(cp >= lo && cp < hi, s"changepoint $cp outside [$lo,$hi)")
+      assert(r.getAs[java.lang.Double]("mean_shift") != null)
+    }
+  }
 }
