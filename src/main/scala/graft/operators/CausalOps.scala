@@ -180,6 +180,12 @@ object CausalOps {
       * grid shuffle is windows and aggregates over O(P·T) rows; μ and
       * σ come from decimal moment sums, the cumsum runs over the
       * deterministic (el, di) order, so both engines agree bit-exactly.
+      *
+      * Bench note: ~1.8 s of the entry is FIRST-RUN whole-stage-codegen
+      * of this plan's stages (profiled: 2.5 s first run, 0.67 s on
+      * repeats at any SF) — the q228 class of constant, data-independent
+      * driver cost, noise at 100 TB where the compiled kernels stream
+      * through every partition.
       */
     QueryDef(
       "q233_cusum_changepoint",
@@ -210,7 +216,9 @@ object CausalOps {
         |  round(s.mean_shift, 6) AS mean_shift
         |FROM cp c JOIN shift s ON c.el = s.el ORDER BY c.el""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val g = daily(s, d)
+      // the O(P·T) grid feeds three plan branches (cusum, argmax pick,
+      // side-mean shift) — cache it so the fact table is scanned once
+      val g = daily(s, d).cache()
       val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
         dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
       val mu = col("sv") / col("n")
@@ -227,7 +235,7 @@ object CausalOps {
       def sideMean(cond: Column) =
         sum(when(cond, col("v").cast("decimal(38,12)"))).cast("double") /
           nullif(count_if(cond), lit(0L))
-      val shift = g.join(broadcast(cp), col("el") === col("cel"))
+      val shift = g.join(cp, col("el") === col("cel"))
         .groupBy(col("el"))
         .agg((sideMean(col("di") > col("cp_di")) -
           sideMean(col("di") <= col("cp_di"))).as("mean_shift"))
