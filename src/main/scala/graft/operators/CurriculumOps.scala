@@ -656,6 +656,49 @@ object CurriculumOps {
             .otherwise("").as("first_target"))
         .where(col("doc_id") < 20)
         .orderBy("doc_id")
+    },
+
+    /** Small-file compaction planner (round 7) — the table-maintenance
+      * pass that turns a write-amplified layout (here: a deliberately
+      * over-split 16-file snapshot) into a bounded compaction plan:
+      * files ordered by name, sequentially bin-packed until each output
+      * group reaches the row budget (120). The plan is computed from
+      * file-manifest metadata only — rows-per-file via `_metadata.
+      * file_path` (one read-back scan whose aggregate is O(#files)),
+      * never from data content — which is why the same shape works when
+      * the manifest has millions of entries: the planning window runs
+      * per partition-dir over O(files-in-dir) rows (q160's range-offset
+      * form is the global fallback). The deterministic hash split keeps
+      * rows-per-file, and therefore the plan, hash-verifiable.
+      */
+    QueryDef(
+      "q234_compaction_plan",
+      s"""WITH f AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname, count(*) AS n_rows
+        |  FROM read_parquet('${Scratch.root}/graft_compact/*.parquet', filename=true)
+        |  GROUP BY 1),
+        |pl AS (
+        |  SELECT fname, n_rows,
+        |    CAST(floor((sum(n_rows) OVER (ORDER BY fname) - n_rows) / 120.0) AS BIGINT) AS grp
+        |  FROM f)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total
+        |FROM pl GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+      val base = s"${Scratch.root}/graft_compact"
+      Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars")
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(base)
+      val f = s.read.parquet(base)
+        .groupBy(regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+          .as("fname"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy(col("fname"))
+      f.select(col("fname"), col("n_rows"),
+          floor((sum(col("n_rows")).over(w) - col("n_rows")) / lit(120.0)).as("grp"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("rows_total"))
+        .orderBy("grp")
     }
   )
 }

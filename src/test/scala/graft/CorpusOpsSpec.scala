@@ -112,4 +112,24 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq,
       "file counts must be stable run-over-run")
   }
+
+  test("q234 compaction plan conserves the snapshot and bounds each group's overshoot") {
+    val rows = SparkEntry.queries("q234_compaction_plan")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_files")).sum == 16L, "plan must cover all 16 files")
+    assert(rows.map(_.getAs[Long]("rows_total")).sum == nDocs, "plan must cover every row")
+    val grps = rows.map(_.getAs[Long]("grp")).sorted
+    assert(grps.head == 0L && grps.sameElements(grps.indices.map(_.toLong)),
+      "group ids must be contiguous from 0")
+    // every group except the last must have REACHED the budget boundary:
+    // its cumulative start is below a 120 multiple its end is at-or-past
+    val sorted = rows.sortBy(_.getAs[Long]("grp"))
+    var cum = 0L
+    sorted.init.foreach { r =>
+      val end = cum + r.getAs[Long]("rows_total")
+      assert(end >= 120L * (r.getAs[Long]("grp") + 1),
+        s"group ${r.getAs[Long]("grp")} ends at $end before its budget boundary")
+      cum = end
+    }
+  }
 }
