@@ -482,6 +482,43 @@ object RelationalMore {
           min(col("k")).as("k_min"),
           max(col("k")).as("k_max"))
         .orderBy("k_mod")
+    },
+
+    /** Keyset (seek) pagination (round 7): page 3 of the lineitem feed
+      * ordered by (l_orderkey, l_linenumber), fetched by the composite
+      * seek predicate `k > anchor` rather than OFFSET. The anchor (last
+      * key of page 2) comes from a bounded top-100 (TakeOrdered — a
+      * heap, not a global sort); in production it's the client's page
+      * token and costs nothing. With a literal token the seek predicate
+      * is a pushable scan filter (here, composed self-contained, it
+      * evaluates right after the 1-row broadcast — still one streamed
+      * pass + a bounded heap), so page N of 100 TB reads O(page) rows where
+      * ORDER BY + OFFSET re-sorts and discards N·page rows every call —
+      * the difference between pagination that survives scale and one
+      * that dies by page 1000. Both engines evaluate the identical
+      * expanded tuple comparison.
+      */
+    QueryDef(
+      "q236_keyset_page",
+      """WITH anchor AS (
+        |  SELECT l_orderkey AS a1, l_linenumber AS a2
+        |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1 OFFSET 99)
+        |SELECT l.l_orderkey, l.l_linenumber, round(l.l_extendedprice, 2) AS price
+        |FROM lineitem l, anchor a
+        |WHERE l.l_orderkey > a.a1
+        |   OR (l.l_orderkey = a.a1 AND l.l_linenumber > a.a2)
+        |ORDER BY l.l_orderkey, l.l_linenumber LIMIT 50""".stripMargin) { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+      val anchor = li.select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(99).limit(1)
+        .select(col("l_orderkey").as("a1"), col("l_linenumber").as("a2"))
+      li.crossJoin(broadcast(anchor))
+        .where(col("l_orderkey") > col("a1") ||
+          (col("l_orderkey") === col("a1") && col("l_linenumber") > col("a2")))
+        .orderBy("l_orderkey", "l_linenumber").limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
     }
   )
 }

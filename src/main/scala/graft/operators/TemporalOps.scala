@@ -370,6 +370,57 @@ object TemporalOps {
           count(lit(1)).as("island_len"))
         .drop("g")
         .orderBy("island_start").limit(20)
+    },
+
+    /** Snapshot diff — the change-data-feed producer that inverts q170's
+      * MERGE consumer: given two table versions, classify every key as
+      * insert / update / delete / unchanged and emit the changeset
+      * summary. v2 is a deterministic mutation of the documents
+      * snapshot (every 17th id deleted, every 5th updated, every 23rd
+      * re-inserted under a new id). ONE co-partitioned full-outer join
+      * on the key does the whole classification map-side after the
+      * shuffle — at 100 TB this is the standard "diff two snapshots
+      * without a CDC log" pass (both sides bucket-able on the same key).
+      */
+    QueryDef(
+      "q235_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, n_chars FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, n_chars FROM documents WHERE doc_id % 23 = 0),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'insert'
+        |         WHEN v2.doc_id IS NULL THEN 'delete'
+        |         WHEN v1.n_chars <> v2.n_chars THEN 'update'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+        |FROM d GROUP BY 1 ORDER BY change""".stripMargin) { (s, d) =>
+      val doc = Tables.documents(s, d)
+      val v1 = doc.select(col("doc_id"), col("n_chars"))
+      val v2 = doc.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 7)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .unionAll(doc.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")))
+      val j = v1.select(col("doc_id").as("id1"), col("n_chars").as("c1"))
+        .join(v2.select(col("doc_id").as("id2"), col("n_chars").as("c2")),
+          col("id1") === col("id2"), "full_outer")
+      j.select(coalesce(col("id1"), col("id2")).as("id"),
+          when(col("id1").isNull, "insert")
+            .when(col("id2").isNull, "delete")
+            .when(col("c1") =!= col("c2"), "update")
+            .otherwise("unchanged").as("change"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy("change")
     }
   )
 
