@@ -273,6 +273,85 @@ object TimeSeries {
           round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
           round(col("l") + col("b"), 6).as("forecast"))
         .orderBy("event_type")
+    },
+
+    /** OHLC bar resampling (round 7): the candle every irregular tick
+      * stream gets rolled into — per (element, day): open = first value
+      * in (ts, event_id) order, close = last, high/low = max/min, plus
+      * volume. One (el, day) shuffle; open/close come from ascending and
+      * descending row_numbers inside the same window pass (no
+      * struct-keyed argmin, which the oracle dialect lacks, and no
+      * second shuffle). Restricted to the first week to keep the output
+      * a readable 35 bars.
+      */
+    QueryDef(
+      "q237_ohlc_bars",
+      """WITH w AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08')
+        |SELECT event_type, day,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high, round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+        |  CAST(count(*) AS BIGINT) AS volume
+        |FROM w GROUP BY event_type, day ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val day = col("ts").cast("date")
+      val wa = Window.partitionBy(col("event_type"), day).orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), day)
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .where(day < lit("2024-01-08").cast("date"))
+        .select(col("event_type"), date_format(day, "yyyy-MM-dd").as("day"), col("value"),
+          row_number().over(wa).as("ra"), row_number().over(wd).as("rd"))
+        .groupBy("event_type", "day")
+        .agg(round(max(when(col("ra") === 1, col("value"))), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(max(when(col("rd") === 1, col("value"))), 2).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy("event_type", "day")
+    },
+
+    /** Time-weighted average (round 7): the unbiased mean for IRREGULAR
+      * series — each observation weighted by how long it was current
+      * (micros until the next event in its (element, day) bar; the
+      * day's last event carries no weight). Burst-heavy elements make
+      * the naive mean overweight bursts; TWAP fixes it. The weight is
+      * an exact integer micros span and value·w sums as an exact
+      * decimal product, so both engines agree bit-exactly. Same single
+      * (el, day) exchange as q237 — lead() and the aggregate share it.
+      */
+    QueryDef(
+      "q238_time_weighted_avg",
+      """WITH w AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS wt
+        |  FROM events)
+        |SELECT event_type, day,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,3)) * wt) AS DOUBLE)
+        |    / sum(wt), 6) AS twap,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) / count(*), 6) AS naive_mean,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE wt IS NOT NULL
+        |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val day = col("ts").cast("date")
+      val wl = Window.partitionBy(col("event_type"), day).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), date_format(day, "yyyy-MM-dd").as("day"), col("value"),
+          (unix_micros(lead(col("ts"), 1).over(wl)) - unix_micros(col("ts"))).as("wt"))
+        .where(col("wt").isNotNull)
+        .groupBy("event_type", "day")
+        .agg(round(sum(col("value").cast("decimal(18,3)") * col("wt")).cast("double") /
+            sum(col("wt")), 6).as("twap"),
+          round(sum(col("value").cast("decimal(18,3)")).cast("double") /
+            count(lit(1)), 6).as("naive_mean"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "day")
     }
   )
 }
