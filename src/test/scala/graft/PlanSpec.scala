@@ -418,4 +418,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.execution.window.WindowExec]),
       "a top-10 stayed on the generic window path")
   }
+
+  test("q233 changepoint windows are element-partitioned, never global") {
+    // cusum + argmax both run per element over the O(P·T) grid; a
+    // single-partition window here would serialize the whole grid
+    def deep(p: SparkPlan): Seq[SparkPlan] = allNodes(p).flatMap {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: (s.relation.cachedPlan match {
+          case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+          case cp => deep(cp)
+        })
+      case other => Seq(other)
+    }
+    val nodes = deep(finalPlan(SparkEntry.queries("q233_cusum_changepoint")(spark, sf)))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the cusum/argmax windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"global window found: ${windows.filter(_.partitionSpec.isEmpty)}")
+  }
+
+  test("q236 keyset page plans bounded heaps, no global sort materialization") {
+    // both the anchor (top-100) and the page (top-50 past the seek
+    // predicate) must be TakeOrdered heaps — a global SortExec would
+    // sort 100 TB to serve a 50-row page
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q236_keyset_page")(spark, sf)))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject for the page fetch")
+    val globalSorts = nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s }
+    assert(globalSorts.isEmpty,
+      s"global sort in the pagination plan: ${globalSorts.map(_.nodeName)}")
+  }
 }
