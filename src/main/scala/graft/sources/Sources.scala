@@ -285,6 +285,42 @@ object Sources {
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
           col("length"), sha2(col("content"), 256).as("sha256"))
         .orderBy("name")
+    },
+
+    /** JSONL (newline-delimited JSON) source round-trip (round 7): the
+      * semi-structured ingestion format every event-log pipeline
+      * actually receives. A 4-file JSONL snapshot of the fact columns is
+      * written to scratch, then read back through an EXPLICIT schema
+      * (schema-on-read without inference — an inference pass over
+      * 100 TB of JSON is a full extra scan) and aggregated. The oracle
+      * reads the very same files with typed columns, so the round-trip
+      * fidelity of longs, strings, and shortest-repr doubles through
+      * JSON text IS the hash check. Decimal-cast value sums after the
+      * parse on both sides keep the aggregate exact.
+      */
+    QueryDef(
+      "q239_jsonl_roundtrip",
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(event_id) AS BIGINT) AS min_id, CAST(max(event_id) AS BIGINT) AS max_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE), 3) AS total
+        |FROM read_json('${graft.Scratch.root}/graft_jsonl/*.json',
+        |  format='newline_delimited',
+        |  columns={'event_id':'BIGINT','user_id':'BIGINT',
+        |           'event_type':'VARCHAR','value':'DOUBLE'})
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val base = s"${graft.Scratch.root}/graft_jsonl"
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").json(base)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          round(sum(col("value").cast("decimal(18,3)")).cast("double"), 3).as("total"))
+        .orderBy("event_type")
     }
   )
 }
