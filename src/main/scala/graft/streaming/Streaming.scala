@@ -955,6 +955,36 @@ object Streaming {
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    /** The causal daily grid maintained INCREMENTALLY (round 7): the
+      * exact (element, day-index, exact-decimal daily mean) grid that
+      * q229/q230/q233 analyze, produced by a watermarked streaming
+      * aggregation instead of a batch scan — so the correlogram/
+      * Granger/changepoint layer can refresh per micro-batch at the
+      * cost of one day-window state row per (element, day). Decimal
+      * sums and counts are the streaming state (both merge exactly);
+      * the mean is derived at emit. Finite stream ⇒ equals the batch
+      * grid, which is the oracle — the same determinism contract as
+      * every other streaming==batch pin.
+      */
+    QueryDef(
+      "q240_stream_causal_grid",
+      """SELECT event_type AS el,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) / count(*), 6) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY el, di""".stripMargin) { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "40 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("el"))
+        .agg(sum(col("value").cast("decimal(18,3)")).as("sv"),
+          count(lit(1)).as("n"))
+      drain(s, agg, "graft_stream_causal_grid", "complete")
+        .select(col("el"),
+          datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
+            .as("di"),
+          round(col("sv").cast("double") / col("n"), 6).as("v"))
+        .orderBy("el", "di")
     }
   )
 }
