@@ -283,6 +283,64 @@ object StatsOps {
         .select(lit(model).as("model"), col("touch"), col("n"), col("amount"))
       agg("last", "last_t").unionAll(agg("first", "first_t"))
         .orderBy("model", "touch")
+    },
+
+    /** Spearman rank correlation (round 7): does a user's click volume
+      * RANK-predict their purchase spend? Average-rank tie handling
+      * (rank + (ties−1)/2 — the textbook definition, exact under the
+      * heavy tie mass of count data, where the n(n²−1)/6 shortcut is
+      * wrong), then Pearson over the ranks from exact decimal moment
+      * sums. Ranks are integers+halves, so the moment sums are exact
+      * and both engines agree bit-for-bit. The rank windows run over
+      * the AGGREGATED entity space (O(users) rows after one shuffle);
+      * past driver-window scale the q174 two-phase range-partition
+      * form applies unchanged.
+      */
+    QueryDef(
+      "q241_spearman_rank",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(count_if(event_type = 'click') AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,3)) ELSE 0 END) AS DOUBLE) AS y
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT
+        |    rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS ax,
+        |    rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ay
+        |  FROM u),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(ax AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ay AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(ax * ay AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(ax * ax AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ay * ay AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  round((n*sxy - sx*sy)
+        |    / nullif(sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 0), 6) AS spearman_rho
+        |FROM m""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(count_if(col("event_type") === "click").as("x"),
+          sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,3)"))
+            .otherwise(lit(0).cast("decimal(18,3)"))).cast("double").as("y"))
+      def avgRank(c: String) =
+        rank().over(Window.orderBy(col(c))) +
+          (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / lit(2.0)
+      val r = u.select(avgRank("x").as("ax"), avgRank("y").as("ay"))
+      def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+      val m = r.agg(count(lit(1)).as("n"),
+        dsum(col("ax")).as("sx"), dsum(col("ay")).as("sy"),
+        dsum(col("ax") * col("ay")).as("sxy"),
+        dsum(col("ax") * col("ax")).as("sxx"),
+        dsum(col("ay") * col("ay")).as("syy"))
+      m.select(col("n").as("n_users"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)), 6)
+          .as("spearman_rho"))
     }
   )
 }
