@@ -341,6 +341,96 @@ object StatsOps {
           nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
             (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)), 6)
           .as("spearman_rho"))
+    },
+
+    /** Weighted median (round 7): the activity-weighted middle user —
+      * per element, the user-level mean value at which the cumulative
+      * event-count weight crosses half the total. Classic
+      * "median income weighted by population" shape: aggregate to the
+      * entity grain first (one shuffle), then a per-element running
+      * weight window finds the crossing; min(v) over the qualifying
+      * side IS the crossing value, so no second pass. Exact decimal
+      * user means keep the crossing comparison bit-identical.
+      */
+    QueryDef(
+      "q242_weighted_median",
+      """WITH u AS (
+        |  SELECT event_type, user_id, count(*) AS wt,
+        |    CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v, wt,
+        |    sum(wt) OVER (PARTITION BY event_type ORDER BY v, user_id) AS cw,
+        |    sum(wt) OVER (PARTITION BY event_type) AS tw
+        |  FROM u)
+        |SELECT event_type, round(min(v), 6) AS weighted_median,
+        |  CAST(count(*) AS BIGINT) AS n_above_half
+        |FROM c WHERE 2*cw >= tw GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("wt"),
+          (sum(col("value").cast("decimal(18,3)")).cast("double") /
+            count(lit(1))).as("v"))
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("v"), col("user_id"))
+      val wt = Window.partitionBy(col("event_type"))
+      u.select(col("event_type"), col("v"),
+          sum(col("wt")).over(wr).as("cw"), sum(col("wt")).over(wt).as("tw"))
+        .where(lit(2) * col("cw") >= col("tw"))
+        .groupBy("event_type")
+        .agg(round(min(col("v")), 6).as("weighted_median"),
+          count(lit(1)).as("n_above_half"))
+        .orderBy("event_type")
+    },
+
+    /** Bitmap-index retention intersection (round 7): day-over-day
+      * retained users counted WITHOUT ever shuffling user sets. Each
+      * day's audience compresses 63:1 into (word_idx, 63-bit presence
+      * word) rows via bit_or (bit 63 stays clear — the sign bit is
+      * engine-portability poison); distinct counts are word popcounts
+      * and the day-1 ∩ day-2 audience is popcount(word AND word) over a
+      * word-aligned join. The COUNT(DISTINCT)-intersection that
+      * explodes at 100 TB becomes an O(|users|/63) bitmap join — the
+      * hand-rolled form of a roaring-bitmap index.
+      */
+    QueryDef(
+      "q243_bitmap_retention",
+      """WITH b AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id // 63 AS w_idx,
+        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |     OR CAST(ts AS DATE) = DATE '2024-01-12'
+        |  GROUP BY 1, 2),
+        |d1 AS (SELECT w_idx, word FROM b WHERE day = DATE '2024-01-05'),
+        |d2 AS (SELECT w_idx, word FROM b WHERE day = DATE '2024-01-12'),
+        |j AS (
+        |  SELECT CAST(coalesce(sum(bit_count(d1.word & d2.word)), 0) AS BIGINT) AS n_both
+        |  FROM d1 JOIN d2 USING (w_idx))
+        |SELECT
+        |  (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM d1) AS n_day1,
+        |  (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM d2) AS n_day2,
+        |  n_both,
+        |  round(n_both / (SELECT CAST(sum(bit_count(word)) AS DOUBLE) FROM d1), 6)
+        |    AS retention
+        |FROM j""".stripMargin) { (s, d) =>
+      val day = col("ts").cast("date")
+      val b = Tables.events(s, d)
+        .where(day === lit("2024-01-05").cast("date") ||
+          day === lit("2024-01-12").cast("date"))
+        .groupBy(day.as("day"), expr("user_id DIV 63").as("w_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+          .as("word"))
+      val d1 = b.where(col("day") === lit("2024-01-05").cast("date"))
+        .select(col("w_idx"), col("word").as("w1"))
+      val d2 = b.where(col("day") === lit("2024-01-12").cast("date"))
+        .select(col("w_idx").as("w_idx2"), col("word").as("w2"))
+      val n1 = d1.agg(sum(expr("bit_count(w1)")).cast("long").as("n_day1"))
+      val n2 = d2.agg(sum(expr("bit_count(w2)")).cast("long").as("n_day2"))
+      val both = d1.join(d2, col("w_idx") === col("w_idx2"))
+        .agg(coalesce(sum(expr("bit_count(w1 & w2)")), lit(0L)).cast("long")
+          .as("n_both"))
+      n1.crossJoin(n2).crossJoin(both)
+        .select(col("n_day1"), col("n_day2"), col("n_both"),
+          round(col("n_both") / col("n_day1").cast("double"), 6).as("retention"))
     }
   )
 }
