@@ -431,6 +431,94 @@ object StatsOps {
       n1.crossJoin(n2).crossJoin(both)
         .select(col("n_day1"), col("n_day2"), col("n_both"),
           round(col("n_both") / col("n_day1").cast("double"), 6).as("retention"))
+    },
+
+    /** Audience concentration (round 7): per element, the Gini
+      * coefficient of user spend plus the top-20% share — the Lorenz
+      * readout behind "how 80/20 is this audience". User totals stay
+      * exact DECIMAL through the rank-weighted sums (rank·value
+      * products are integer×decimal, exact), so only the two final
+      * divisions are floating — both engines agree bit-for-bit. The
+      * rank windows run per element over the aggregated user grain,
+      * one shuffle total.
+      */
+    QueryDef(
+      "q244_gini_concentration",
+      """WITH u AS (
+        |  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, user_id) AS i,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v DESC, user_id DESC) AS rd,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM u),
+        |a AS (
+        |  SELECT event_type, max(n) AS n,
+        |    CAST(sum(i * v) AS DOUBLE) AS siv,
+        |    CAST(sum(v) AS DOUBLE) AS sv,
+        |    CAST(sum(CASE WHEN rd <= ceil(n/5.0) THEN v
+        |             ELSE CAST(0 AS DECIMAL(18,3)) END) AS DOUBLE) AS topv
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+        |  round((2*siv - (n+1)*sv) / (n*sv), 6) AS gini,
+        |  round(topv / sv, 6) AS top20_share
+        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast("decimal(18,3)")).as("v"))
+      val wa = Window.partitionBy(col("event_type")).orderBy(col("v"), col("user_id"))
+      val wd = Window.partitionBy(col("event_type"))
+        .orderBy(col("v").desc, col("user_id").desc)
+      val wn = Window.partitionBy(col("event_type"))
+      val r = u.select(col("event_type"), col("v"),
+        row_number().over(wa).as("i"), row_number().over(wd).as("rd"),
+        count(lit(1)).over(wn).as("n"))
+      val a = r.groupBy("event_type").agg(max(col("n")).as("n"),
+        sum(col("i") * col("v")).cast("double").as("siv"),
+        sum(col("v")).cast("double").as("sv"),
+        sum(when(col("rd") <= ceil(col("n") / lit(5.0)), col("v"))
+          .otherwise(lit(0).cast("decimal(18,3)"))).cast("double").as("topv"))
+      a.select(col("event_type"), col("n").as("n_users"),
+          round((lit(2) * col("siv") - (col("n") + 1) * col("sv")) /
+            (col("n") * col("sv")), 6).as("gini"),
+          round(col("topv") / col("sv"), 6).as("top20_share"))
+        .orderBy("event_type")
+    },
+
+    /** Time-to-convert distribution (round 7): exact interpolated p50/
+      * p90 of the click→purchase latency, reusing q222's running-max
+      * precedence window (one user shuffle, no self-join lookback).
+      * Deltas are exact integer micros scaled to seconds; both engines
+      * run the same linear-interpolation percentile over identical
+      * doubles. At 100 TB the drop-in is approx_percentile with the
+      * same plan shape (the docstringed q168 trade).
+      */
+    QueryDef(
+      "q245_time_to_convert",
+      """WITH w AS (
+        |  SELECT event_type, ts,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM events),
+        |c AS (
+        |  SELECT (epoch_us(ts) - last_click) / 1e6 AS dt
+        |  FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+        |  round(quantile_cont(dt, 0.5), 3) AS p50_sec,
+        |  round(quantile_cont(dt, 0.9), 3) AS p90_sec
+        |FROM c""".stripMargin) { (s, d) =>
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).over(wp))
+        .where(col("event_type") === "purchase" && col("last_click").isNotNull)
+        .select(((unix_micros(col("ts")) - col("last_click")) / lit(1e6)).as("dt"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(expr("percentile(dt, 0.5)"), 3).as("p50_sec"),
+          round(expr("percentile(dt, 0.9)"), 3).as("p90_sec"))
     }
   )
 }
