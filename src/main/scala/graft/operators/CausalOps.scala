@@ -245,6 +245,234 @@ object CausalOps {
           r6(abs(col("cusum"))).as("cusum_max"),
           r6(col("mean_shift")).as("mean_shift"))
         .orderBy("el")
+    },
+
+    /** Mutual information between element pairs (round 7): the
+      * NONLINEAR dependence readout q229's correlation misses (corr
+      * only sees linear association; MI sees any). Each element's
+      * daily series is discretized into quartile bins (ntile over the
+      * unique (v, di) order, identical in both engines), the joint
+      * histogram per unordered pair comes from one grouped count, and
+      * the marginals fall out of window sums over that same tiny cell
+      * table — no second pass. mi = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) and
+      * the marginal entropies reduce to the SAME cell-weighted sums
+      * (Σ_cells p·ln(nt/cx) telescopes to H(X)), so everything is one
+      * decimal-exact sum of deterministic double terms — order-free,
+      * hash-identical. nmi normalizes by min(H) for comparability.
+      * 100 TB: the only fact-table work is the q229 grid shuffle;
+      * pairs/cells are O(P²·16) rows.
+      */
+    QueryDef(
+      "q246_mutual_information",
+      s"""WITH $dailySql,
+        |b AS (
+        |  SELECT el, di, ntile(4) OVER (PARTITION BY el ORDER BY v, di) AS bin
+        |  FROM daily),
+        |cells AS (
+        |  SELECT x.el AS src, y.el AS dst, x.bin AS ba, y.bin AS bb,
+        |    count(*) AS n
+        |  FROM b x JOIN b y ON x.el < y.el AND x.di = y.di
+        |  GROUP BY 1, 2, 3, 4),
+        |w AS (
+        |  SELECT src, dst, n,
+        |    sum(n) OVER (PARTITION BY src, dst, ba) AS cx,
+        |    sum(n) OVER (PARTITION BY src, dst, bb) AS cy,
+        |    sum(n) OVER (PARTITION BY src, dst) AS nt
+        |  FROM cells),
+        |agg AS (
+        |  SELECT src, dst, CAST(max(nt) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(CAST((CAST(n AS DOUBLE)/nt) *
+        |      ln(CAST(n*nt AS DOUBLE)/CAST(cx*cy AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS mi,
+        |    CAST(sum(CAST((CAST(n AS DOUBLE)/nt) *
+        |      ln(CAST(nt AS DOUBLE)/CAST(cx AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS hx,
+        |    CAST(sum(CAST((CAST(n AS DOUBLE)/nt) *
+        |      ln(CAST(nt AS DOUBLE)/CAST(cy AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS hy
+        |  FROM w GROUP BY 1, 2)
+        |SELECT src, dst, n_days, n_cells, round(mi, 6) AS mi,
+        |  round(mi / nullif(least(hx, hy), 0), 6) AS nmi
+        |FROM agg ORDER BY src, dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wb = Window.partitionBy(col("el")).orderBy(col("v"), col("di"))
+      val b = daily(s, d).select(col("el"), col("di"),
+        ntile(4).over(wb).as("bin"))
+      val x = b.select(col("el").as("src"), col("di"), col("bin").as("ba"))
+      val y = b.select(col("el").as("dst"), col("di").as("diy"), col("bin").as("bb"))
+      val cells = x.join(y, col("src") < col("dst") && col("di") === col("diy"))
+        .groupBy("src", "dst", "ba", "bb").agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("src"), col("dst"))
+      val w = cells.select(col("src"), col("dst"), col("n"),
+        sum(col("n")).over(wp.partitionBy(col("src"), col("dst"), col("ba"))).as("cx"),
+        sum(col("n")).over(wp.partitionBy(col("src"), col("dst"), col("bb"))).as("cy"),
+        sum(col("n")).over(wp).as("nt"))
+      def plogTerm(den: Column): Column =
+        (col("n").cast("double") / col("nt")) *
+          log((col("n") * col("nt")).cast("double") / den.cast("double"))
+      def hTerm(cm: Column): Column =
+        (col("n").cast("double") / col("nt")) *
+          log(col("nt").cast("double") / cm.cast("double"))
+      val agg = w.groupBy("src", "dst").agg(
+        max(col("nt")).cast("long").as("n_days"),
+        count(lit(1)).cast("long").as("n_cells"),
+        dsum(plogTerm(col("cx") * col("cy"))).as("mi"),
+        dsum(hTerm(col("cx"))).as("hx"),
+        dsum(hTerm(col("cy"))).as("hy"))
+      agg.select(col("src"), col("dst"), col("n_days"), col("n_cells"),
+          r6(col("mi")).as("mi"),
+          r6(col("mi") / nullif(least(col("hx"), col("hy")), lit(0.0))).as("nmi"))
+        .orderBy("src", "dst")
+    },
+
+    /** Transfer entropy TE(src→dst) (round 7): the DIRECTED,
+      * model-free causality score — how much does knowing src's state
+      * yesterday reduce uncertainty about dst's move today, beyond
+      * dst's own yesterday? Unlike q230's Granger gain (linear AR),
+      * TE is distribution-level: states are binary (day above the
+      * element's own long-run mean), the (y_t, y_{t-1}, x_{t-1})
+      * triple histogram is one grouped count over a 3-way self-join of
+      * the tiny grid, and the three conditional marginals are window
+      * sums over those ≤8 cells per pair. te = Σ p(y1,y0,x0)·
+      * ln(n(y1,y0,x0)·n(y0) / (n(y0,x0)·n(y1,y0))) — a decimal-exact
+      * sum of integer-ratio logs, bit-identical across engines. The
+      * asymmetry te(a→b) vs te(b→a) is the reference's B[i][j] vs
+      * B[j][i] question answered without training a model.
+      */
+    QueryDef(
+      "q247_transfer_entropy",
+      s"""WITH $dailySql,
+        |am AS (
+        |  SELECT el, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        |  FROM daily GROUP BY 1),
+        |b AS (
+        |  SELECT d.el, d.di, CASE WHEN d.v > a.mu THEN 1 ELSE 0 END AS bit
+        |  FROM daily d JOIN am a ON d.el = a.el),
+        |tri AS (
+        |  SELECT x.el AS src, y1.el AS dst,
+        |    y1.bit AS b1, y0.bit AS b0, x.bit AS bx, count(*) AS n
+        |  FROM b y1
+        |  JOIN b y0 ON y0.el = y1.el AND y0.di = y1.di - 1
+        |  JOIN b x ON x.el <> y1.el AND x.di = y1.di - 1
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |w AS (
+        |  SELECT src, dst, n,
+        |    sum(n) OVER (PARTITION BY src, dst, b0) AS ny0,
+        |    sum(n) OVER (PARTITION BY src, dst, b0, bx) AS ny0x,
+        |    sum(n) OVER (PARTITION BY src, dst, b1, b0) AS ny1y0,
+        |    sum(n) OVER (PARTITION BY src, dst) AS nt
+        |  FROM tri)
+        |SELECT src, dst, CAST(max(nt) AS BIGINT) AS n_trans,
+        |  round(CAST(sum(CAST((CAST(n AS DOUBLE)/nt) *
+        |    ln(CAST(n*ny0 AS DOUBLE)/CAST(ny0x*ny1y0 AS DOUBLE))
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS te
+        |FROM w GROUP BY 1, 2 ORDER BY src, dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = daily(s, d)
+      val am = g.groupBy(col("el").as("ael"))
+        .agg((dsum(col("v")) / count(lit(1))).as("mu"))
+      val b = g.join(am, col("el") === col("ael"))
+        .select(col("el"), col("di"),
+          when(col("v") > col("mu"), lit(1)).otherwise(lit(0)).as("bit"))
+      val y1 = b.select(col("el").as("dst"), col("di"), col("bit").as("b1"))
+      val y0 = b.select(col("el").as("e0"), col("di").as("di0"), col("bit").as("b0"))
+      val x = b.select(col("el").as("src"), col("di").as("dix"), col("bit").as("bx"))
+      val tri = y1
+        .join(y0, col("e0") === col("dst") && col("di0") === col("di") - 1)
+        .join(x, col("src") =!= col("dst") && col("dix") === col("di") - 1)
+        .groupBy("src", "dst", "b1", "b0", "bx").agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("src"), col("dst"))
+      val w = tri.select(col("src"), col("dst"), col("n"),
+        sum(col("n")).over(wp.partitionBy(col("src"), col("dst"), col("b0"))).as("ny0"),
+        sum(col("n")).over(wp.partitionBy(col("src"), col("dst"), col("b0"), col("bx"))).as("ny0x"),
+        sum(col("n")).over(wp.partitionBy(col("src"), col("dst"), col("b1"), col("b0"))).as("ny1y0"),
+        sum(col("n")).over(wp).as("nt"))
+      val term = (col("n").cast("double") / col("nt")) *
+        log((col("n") * col("ny0")).cast("double") /
+          (col("ny0x") * col("ny1y0")).cast("double"))
+      w.groupBy("src", "dst")
+        .agg(max(col("nt")).cast("long").as("n_trans"),
+          r6(dsum(term)).as("te"))
+        .orderBy("src", "dst")
+    },
+
+    /** Market-adjusted partial correlation (round 7): is the q229
+      * association between two elements REAL, or just both following
+      * the overall market? Controls each pair's correlation for the
+      * cross-element mean series m: r_xy·m = (r_xy − r_xm·r_ym) /
+      * √((1−r_xm²)(1−r_ym²)) — the one-confounder partial-correlation
+      * closed form, the first rung of the PC-algorithm ladder toward
+      * the reference's causal graph. All three raw correlations come
+      * from ONE grouped aggregate of ten decimal moment sums over the
+      * (pair, day) aligned grid; confound_drop = r_raw − r_partial
+      * quantifies how much of the apparent link the market explains.
+      */
+    QueryDef(
+      "q248_partial_corr",
+      s"""WITH $dailySql,
+        |mkt AS (
+        |  SELECT di, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mv
+        |  FROM daily GROUP BY 1),
+        |g AS (
+        |  SELECT x.el AS src, y.el AS dst, x.v AS xv, y.v AS yv, k.mv
+        |  FROM daily x
+        |  JOIN daily y ON x.el < y.el AND y.di = x.di
+        |  JOIN mkt k ON k.di = x.di),
+        |m AS (
+        |  SELECT src, dst, count(*) AS n,
+        |    CAST(sum(CAST(xv AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(yv AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(mv AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(xv*xv AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(yv*yv AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(mv*mv AS DECIMAL(38,12))) AS DOUBLE) AS smm,
+        |    CAST(sum(CAST(xv*yv AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(xv*mv AS DECIMAL(38,12))) AS DOUBLE) AS sxm,
+        |    CAST(sum(CAST(yv*mv AS DECIMAL(38,12))) AS DOUBLE) AS sym
+        |  FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT src, dst, n,
+        |    (n*sxy - sx*sy) / nullif(sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 0) AS rxy,
+        |    (n*sxm - sx*sm) / nullif(sqrt((n*sxx - sx*sx)*(n*smm - sm*sm)), 0) AS rxm,
+        |    (n*sym - sy*sm) / nullif(sqrt((n*syy - sy*sy)*(n*smm - sm*sm)), 0) AS rym
+        |  FROM m)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n_days, round(rxy, 6) AS r_raw,
+        |  round((rxy - rxm*rym) / nullif(sqrt((1 - rxm*rxm)*(1 - rym*rym)), 0), 6)
+        |    AS r_partial,
+        |  round(rxy - (rxy - rxm*rym) / nullif(sqrt((1 - rxm*rxm)*(1 - rym*rym)), 0), 6)
+        |    AS confound_drop
+        |FROM r ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val g0 = daily(s, d)
+      val mkt = g0.groupBy(col("di").as("dik"))
+        .agg((dsum(col("v")) / count(lit(1))).as("mv"))
+      val x = g0.select(col("el").as("src"), col("di"), col("v").as("xv"))
+      val y = g0.select(col("el").as("dst"), col("di").as("diy"), col("v").as("yv"))
+      val g = x.join(y, col("src") < col("dst") && col("diy") === col("di"))
+        .join(mkt, col("dik") === col("di"))
+      val m = g.groupBy("src", "dst").agg(count(lit(1)).as("n"),
+        dsum(col("xv")).as("sx"), dsum(col("yv")).as("sy"), dsum(col("mv")).as("sm"),
+        dsum(col("xv") * col("xv")).as("sxx"),
+        dsum(col("yv") * col("yv")).as("syy"),
+        dsum(col("mv") * col("mv")).as("smm"),
+        dsum(col("xv") * col("yv")).as("sxy"),
+        dsum(col("xv") * col("mv")).as("sxm"),
+        dsum(col("yv") * col("mv")).as("sym"))
+      def corr2(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+        (col("n") * sab - sa * sb) /
+          nullif(sqrt((col("n") * saa - sa * sa) * (col("n") * sbb - sb * sb)), lit(0.0))
+      val r = m.select(col("src"), col("dst"), col("n"),
+        corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("rxy"),
+        corr2(col("sxm"), col("sx"), col("sm"), col("sxx"), col("smm")).as("rxm"),
+        corr2(col("sym"), col("sy"), col("sm"), col("syy"), col("smm")).as("rym"))
+      val partial = (col("rxy") - col("rxm") * col("rym")) /
+        nullif(sqrt((lit(1.0) - col("rxm") * col("rxm")) *
+          (lit(1.0) - col("rym") * col("rym"))), lit(0.0))
+      r.select(col("src"), col("dst"), col("n").cast("long").as("n_days"),
+          r6(col("rxy")).as("r_raw"),
+          r6(partial).as("r_partial"),
+          r6(col("rxy") - partial).as("confound_drop"))
+        .orderBy("src", "dst")
     }
   )
 }

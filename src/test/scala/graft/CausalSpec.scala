@@ -74,4 +74,43 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[java.lang.Double]("mean_shift") != null)
     }
   }
+
+  test("q246 mutual information is a KL divergence: mi >= 0 and 0 <= nmi <= 1 over all 10 pairs") {
+    val rows = byName("q246_mutual_information")(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 unordered pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val mi = r.getAs[java.lang.Double]("mi")
+      val nmi = r.getAs[java.lang.Double]("nmi")
+      assert(mi != null && mi >= -1e-9, s"$r")
+      assert(nmi != null && nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"$r")
+      // 4x4 quartile grid: at most 16 joint cells, at least 4 occupied
+      val cells = r.getAs[Long]("n_cells")
+      assert(cells >= 4 && cells <= 16, s"$r")
+    }
+  }
+
+  test("q247 transfer entropy is a conditional KL: te >= 0, and the pair set is directed") {
+    val rows = byName("q247_transfer_entropy")(spark, sf).collect()
+    assert(rows.length == 20, s"expected 20 directed pairs, got ${rows.length}")
+    val keys = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    keys.foreach { case (a, b) => assert(keys((b, a)), s"missing reverse of ($a,$b)") }
+    rows.foreach { r =>
+      val te = r.getAs[java.lang.Double]("te")
+      assert(te != null && te >= -1e-9, s"$r")
+      assert(r.getAs[Long]("n_trans") >= 2)
+    }
+  }
+
+  test("q248 partial correlation stays a correlation (|r| <= 1) and drops toward 0 vs raw on market-driven pairs") {
+    val rows = byName("q248_partial_corr")(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 unordered pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val raw = r.getAs[java.lang.Double]("r_raw")
+      val part = r.getAs[java.lang.Double]("r_partial")
+      val drop = r.getAs[java.lang.Double]("confound_drop")
+      assert(raw != null && math.abs(raw) <= 1.0 + 1e-9, s"$r")
+      assert(part != null && math.abs(part) <= 1.0 + 1e-9, s"$r")
+      assert(drop != null && math.abs(raw - part - drop) <= 2e-6, s"$r")
+    }
+  }
 }
