@@ -37,3 +37,29 @@ object Scratch {
     s"$tmp/graft_scratch_${ProcessHandle.current().pid()}"
   }
 }
+
+/** Idempotent per-(session, key) persisted intermediates.
+  *
+  * Queries that cache a small derived table (the causal daily grid, a
+  * filtered purchase subset, an eval scoring pass) previously called
+  * `.cache()` on a FRESH DataFrame each invocation, so repeated
+  * verify/bench runs in one session accumulated duplicate cache entries
+  * that nothing ever unpersisted (round-7 ADVICE). Routing the persist
+  * through this registry makes it idempotent: the first invocation
+  * builds and persists, every later invocation in the same session
+  * reuses the SAME DataFrame (and therefore the same single cache
+  * entry) — bounded memory, and cross-query reuse for free when several
+  * queries share an intermediate. Entries are keyed by session identity
+  * so a stopped session's entries are simply dead references (their
+  * cached blocks die with the context); MEMORY_AND_DISK keeps the
+  * intermediate spillable rather than recompute-on-eviction.
+  */
+object PlanCache {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    entries.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$key",
+      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+}

@@ -113,4 +113,56 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(drop != null && math.abs(raw - part - drop) <= 2e-6, s"$r")
     }
   }
+
+  test("q251 screen prunes: survivors are a strict non-empty subset and keep every pair above tau") {
+    val surv = byName("q251_causal_screen")(spark, sf).collect()
+    val all = byName("q248_partial_corr")(spark, sf).collect() // all 10 unordered pairs
+    assert(surv.nonEmpty && surv.length < all.length,
+      s"screen should drop some of ${all.length} pairs, kept ${surv.length}")
+    // every pair whose |lag-0 r| >= tau must survive via by_tau
+    surv.foreach { r =>
+      val r0 = r.getAs[Double]("r0")
+      val byTau = r.getAs[Int]("by_tau")
+      assert((math.abs(r0) >= operators.CausalOps.ScreenTau - 1e-9) == (byTau == 1), s"$r")
+      assert(byTau == 1 || r.getAs[Int]("by_topm") == 1, s"survivor without reason: $r")
+    }
+  }
+
+  test("q252 pruned MI equals full q246 bit-for-bit on surviving pairs, and covers exactly them") {
+    val surv = byName("q251_causal_screen")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val full = byName("q246_mutual_information")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    val pruned = byName("q252_mi_pruned")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(pruned.keySet == surv, s"pruned pair set ${pruned.keySet} != screen $surv")
+    pruned.foreach { case (k, v) =>
+      assert(full(k) == v, s"pruned row differs from full at $k: $v vs ${full(k)}")
+    }
+  }
+
+  test("q253 pruned TE equals full q247 on both orientations of each surviving pair") {
+    val surv = byName("q251_causal_screen")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = surv ++ surv.map { case (a, b) => (b, a) }
+    val full = byName("q247_transfer_entropy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    val pruned = byName("q253_te_pruned")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(pruned.keySet == expected, s"pruned TE pair set != both orientations of screen")
+    pruned.foreach { case (k, v) =>
+      assert(full(k) == v, s"pruned TE differs from full at $k: $v vs ${full(k)}")
+    }
+  }
+
+  test("full-enumeration paths fail loudly past the element-cardinality guard") {
+    val s = spark
+    import s.implicits._
+    val big = (0 until 3000).map(i => (s"el$i", 0, 1.0)).toDF("el", "di", "v")
+    val e = intercept[IllegalStateException] {
+      operators.CausalOps.guardFullEnum(big, "q247_transfer_entropy")
+    }
+    assert(e.getMessage.contains("q253_te_pruned"), e.getMessage)
+    assert(e.getMessage.contains("P=3000"), e.getMessage)
+  }
 }

@@ -438,6 +438,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global window found: ${windows.filter(_.partitionSpec.isEmpty)}")
   }
 
+  test("q252/q253 pruned causal paths never equi-join on the day column alone; full q246 does") {
+    // the round-7 weak finding: the full pair family joins the grid to
+    // itself keyed on the 365-value day column — a skewed O(P²·T) blowup
+    // at large P. The pruned path must key every equi-join on an element
+    // column (day may appear only WITH an element key).
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    def keySets(p: SparkPlan): Seq[Set[String]] = allNodes(p).collect {
+      case j: SortMergeJoinExec =>
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.toSeq.map(_.name)).toSet
+      case j: ShuffledHashJoinExec =>
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.toSeq.map(_.name)).toSet
+      case j: BroadcastHashJoinExec =>
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.toSeq.map(_.name)).toSet
+    }
+    // day-index columns in the causal family are di/diy/di0/dix/dib
+    def dayOnly(ks: Set[String]) = ks.nonEmpty && ks.forall(_.startsWith("di"))
+    val prunedKeys = Seq("q252_mi_pruned", "q253_te_pruned").flatMap(q =>
+      keySets(finalPlan(SparkEntry.queries(q)(spark, sf))))
+    assert(prunedKeys.nonEmpty, "expected equi-joins in the pruned plans")
+    assert(!prunedKeys.exists(dayOnly),
+      s"day-only-keyed join on the pruned path: ${prunedKeys.filter(dayOnly)}")
+    val fullKeys = keySets(finalPlan(
+      SparkEntry.queries("q246_mutual_information")(spark, sf)))
+    assert(fullKeys.exists(dayOnly),
+      "expected the full path's day-keyed pair join (the reason the guard exists)")
+  }
+
   test("q236 keyset page plans bounded heaps, no global sort materialization") {
     // both the anchor (top-100) and the page (top-50 past the seek
     // predicate) must be TakeOrdered heaps — a global SortExec would
