@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.collection.mutable.ArrayBuffer
 
 import graft.QueryDef
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,13 +51,29 @@ object Observability {
   /** Run `action` under a task-metrics listener and return one
     * [[StageObs]] per stage it executed. The listener bus is drained
     * before the snapshot, so the last task's metrics are included.
+    *
+    * Scoping: the action runs inside a unique job group, `onJobStart`
+    * registers ONLY that group's stage ids, and `onTaskEnd` records
+    * nothing else — so stages from concurrently running jobs in the
+    * same session are never attributed to the profiled action (the
+    * listener bus is FIFO, so a stage's JobStart is always processed
+    * before its TaskEnds). The drain is wrapped non-throwing: a bus
+    * TimeoutException in the finally block must not mask the action's
+    * own exception.
     */
   def profile(s: SparkSession)(action: => Unit): Seq[StageObs] = {
+    val tag = s"graft-profile-${java.util.UUID.randomUUID()}"
+    val ownStages = ConcurrentHashMap.newKeySet[Int]()
     val byStage = new ConcurrentHashMap[Int, ArrayBuffer[TaskObs]]()
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val group = Option(e.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (tag == group) e.stageIds.foreach(id => ownStages.add(id))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null) {
+        if (m != null && ownStages.contains(e.stageId)) {
           val buf = byStage.computeIfAbsent(e.stageId, _ => ArrayBuffer[TaskObs]())
           buf.synchronized {
             buf += TaskObs(
@@ -71,8 +87,12 @@ object Observability {
       }
     }
     s.sparkContext.addSparkListener(listener)
+    s.sparkContext.setJobGroup(tag, "graft Observability.profile",
+      interruptOnCancel = false)
     try action finally {
-      GraftBridge.drainListenerBus(s.sparkContext)
+      s.sparkContext.clearJobGroup()
+      try GraftBridge.drainListenerBus(s.sparkContext)
+      catch { case _: Throwable => () }
       s.sparkContext.removeSparkListener(listener)
     }
     import scala.jdk.CollectionConverters._

@@ -286,8 +286,15 @@ object RetainOps {
     * (`run.py:24-31` + `model.py:187-310`): seeded ~`minibatch`-row
     * Adam steps, a full-set eval every `checkIter` iterations, and —
     * every `artifactEvery` iterations — an APPEND to the reference's
-    * one persistent output, `B_matrix_loss_sqrtn.txt`, reproduced
-    * line-for-line (`model.py:296-310`):
+    * one persistent output, `B_matrix_loss_sqrtn.txt`. File lifecycle
+    * matches the reference exactly: TRUNCATED once at regime start
+    * (`model.py:229` `open('w')`), then appended per dump
+    * (`model.py:297` `open('a')`). The reproduction contract is
+    * BLOCK-STRUCTURE/FORMAT parity (`model.py:296-310`) — every line,
+    * separator, and quirk below — not byte-identical numeric text:
+    * Python 2's `str()` prints floats truncated to 12 significant
+    * digits while Scala prints shortest-roundtrip doubles, a declared
+    * precision-representation divergence (SURVEY §7.4).
     *
     * {{{
     * Step <it>
@@ -317,6 +324,11 @@ object RetainOps {
       artifactPath: java.nio.file.Path): Seq[String] = {
     import java.nio.file.{Files, StandardOpenOption}
     if (artifactPath.getParent != null) Files.createDirectories(artifactPath.getParent)
+    // model.py:229: the reference truncates the artifact once at run
+    // start (`open('w'); close()`), then appends per dump — so a fresh
+    // regime replaces a previous run's file instead of growing it
+    Files.write(artifactPath, Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val written = scala.collection.mutable.ArrayBuffer[String]()
     var lastEval: Array[Double] = null
     trainAmtl(s, d, iters = totalIter, lr = lr, minibatch = minibatch,
@@ -725,8 +737,10 @@ object RetainOps {
 
     /** The reference's COMPOSED default regime end-to-end
       * ([[referenceRegime]], `run.py:24-31` + `model.py:296-310`):
-      * minibatch Adam + periodic eval + the append-mode
-      * `B_matrix_loss_sqrtn.txt` artifact, reproduced line-for-line.
+      * minibatch Adam + periodic eval + the truncate-at-start,
+      * append-per-dump `B_matrix_loss_sqrtn.txt` artifact, reproduced
+      * block-for-block (format parity; numeric text follows Scala's
+      * shortest-roundtrip doubles — see [[referenceRegime]]).
       * This query runs the regime at exactly 1/10 the reference's
       * constants (100/20/50 vs `run.py`'s 1000/200/500 — same
       * structure: two artifact blocks, five evals, artifact cadence

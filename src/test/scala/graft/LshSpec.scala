@@ -108,6 +108,57 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       "multiprobe never improved recall and single-probe is not perfect")
   }
 
+  test("q226 rank-10 cosine margins dwarf cross-engine fp deviation (round-8 ADVICE)") {
+    // q226's top-10 cuts rank on UNROUNDED cosines; the engine computes
+    // dot/(|a||b|) while DuckDB's list_cosine_similarity may order its
+    // internal summation differently (~1e-15 relative deviation). The
+    // cut is therefore only hash-stable if the rank-10→11 cosine gap
+    // dwarfs that deviation — measure it for every (query, ranking
+    // mode) at the driver-gate SF. Measured at sf0.01: min gap
+    // ≈ 2.5e-4 (exact mode), far above the 1e-7 floor asserted here.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+    val sf01 = "/root/testdata/sf0.01"
+    val planes = operators.Lsh.hyperplanes(8)
+    val s2 = spark
+    import s2.implicits._
+    val qDf = (0 until 12).map { q =>
+      val qv = Array.tabulate(64)(i => (((q * 13 + i * 37) % 19) - 9) / 10.0)
+      val qb = operators.Lsh.bucketOf(qv, planes).toInt
+      (q, qv.toSeq, qb, (qb +: planes.indices.map(pi => qb ^ (1 << pi))).toSeq)
+    }.toDF("q_id", "qv", "qb", "probes")
+    val emb = col("embedding").cast("array<double>")
+    val scored = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .select(col("vec_id"), emb.as("emb"),
+        operators.Lsh.bucketColumn(emb, planes).as("bucket"))
+      .crossJoin(broadcast(qDf))
+      .select(col("q_id"), col("qb"), col("probes"), col("vec_id"), col("bucket"),
+        functions.Kernels.cosine(col("emb"), col("qv")).as("cos"))
+      .cache()
+    try {
+      def minGap(df: DataFrame): Option[Double] = {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        val gaps = df.withColumn("rn", row_number().over(w))
+          .where(col("rn").isin(10, 11))
+          .groupBy("q_id")
+          .agg((max(when(col("rn") === 10, col("cos"))) -
+            max(when(col("rn") === 11, col("cos")))).as("gap"))
+          .where(col("gap").isNotNull) // <11 candidates → no cut → no risk
+        gaps.agg(min(col("gap"))).collect().headOption
+          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      }
+      val modes = Seq(
+        "exact" -> minGap(scored),
+        "bucket" -> minGap(scored.where(col("bucket") === col("qb"))),
+        "probes" -> minGap(scored.where(array_contains(col("probes"), col("bucket")))))
+      modes.foreach { case (mode, g) =>
+        g.foreach(v => assert(v > 1e-7,
+          s"$mode rank-10 cosine gap $v is within fp-deviation range of the oracle"))
+      }
+      assert(modes.exists(_._2.isDefined), "no mode produced a rank-10/11 cut to measure")
+    } finally scored.unpersist()
+  }
+
   test("bucketOf mirrors the query-side bucketing expression (q66)") {
     // q66's output is the occupancy histogram under b=8; recomputing it
     // driver-side from the same vectors must agree exactly

@@ -75,14 +75,17 @@ class RetainArtifactSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(parts.sum - sum) < 1e-9, s"per-task losses ${parts} don't sum to $sum")
   }
 
-  test("file is append-mode: a second regime run adds blocks, keeps old ones") {
+  test("file lifecycle matches the reference: truncate at run start, append per dump") {
+    // model.py:229 opens 'w' once at training start, model.py:297
+    // appends per 500-iter dump — so a SECOND run replaces the file
+    // (it does not grow), while blocks within one run accumulate.
     val p = freshPath()
     val first = RetainOps.referenceRegime(spark, sf, totalIter = 10,
       checkIter = 5, artifactEvery = 10, minibatch = 64, lr = 0.05, artifactPath = p)
     val second = RetainOps.referenceRegime(spark, sf, totalIter = 10,
       checkIter = 5, artifactEvery = 10, minibatch = 64, lr = 0.05, artifactPath = p)
     val onDisk = Files.readAllLines(p).toArray.toSeq
-    assert(onDisk == first ++ second, "second run must APPEND (model.py:297 open 'a')")
+    assert(onDisk == second, "second run must TRUNCATE then append (model.py:229 open 'w')")
     assert(first == second, "seeded regime must be deterministic run-over-run")
   }
 
