@@ -985,6 +985,53 @@ object Streaming {
             .as("di"),
           round(col("sv").cast("double") / col("n"), 6).as("v"))
         .orderBy("el", "di")
+    },
+
+    /** The causal READOUT maintained incrementally (round 8, VERDICT
+      * #3): q240 keeps the (element, day) grid under streaming; this
+      * query closes the loop by recomputing q229's full lead-lag
+      * correlogram INSIDE foreachBatch on every micro-batch — the
+      * refreshable causality readout that is the reference's whole
+      * point (`model.py:296-310` re-dumps B every 500 iterations,
+      * here: re-derived per arriving micro-batch). Scale split: the
+      * fact-table work is the incremental watermarked aggregation
+      * (decimal-sum + count state per (element, day) — exact, merge-
+      * order-free); the correlogram recompute runs on the O(P·T)
+      * aggregated grid only, so its per-batch cost is independent of
+      * raw event volume. On the finite stream the last refresh has
+      * seen every event, and because the per-batch readout calls the
+      * SAME [[graft.operators.CausalOps.leadLagFromGrid]] expression
+      * tree over bit-identical grid values, the final result hash-
+      * matches the batch q229 oracle exactly (streaming == batch, the
+      * suite's standing contract).
+      */
+    QueryDef(
+      "q249_stream_leadlag",
+      graft.operators.CausalOps.defs.find(_.name == "q229_lead_lag_corr").get
+        .oracle.get) { (s, d) =>
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "40 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("el"))
+        .agg(sum(col("value").cast("decimal(18,3)")).as("sv"),
+          count(lit(1)).as("n"))
+      val latest = new java.util.concurrent.atomic.AtomicReference[
+        (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+      val q = withStreamConf(s) {
+        agg.writeStream.outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val grid = b.select(col("el"),
+              datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
+                .as("di"),
+              (col("sv").cast("double") / col("n")).as("v"))
+            val readout = graft.operators.CausalOps.leadLagFromGrid(s, grid)
+            // O(P²·L) rows — the per-batch refreshed artifact
+            latest.set((readout.schema, readout.collect()))
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val (schema, rows) = latest.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("src", "dst", "lag")
     }
   )
 }

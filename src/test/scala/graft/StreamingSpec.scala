@@ -209,4 +209,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(stream.sameElements(batch))
   }
+
+  test("q249 per-micro-batch lead-lag readout ends exactly at the batch q229 correlogram") {
+    // the final refresh has seen every event, and the streaming grid's
+    // decimal sums are merge-order-free — so equality is EXACT, not
+    // tolerance-based (the same leadLagFromGrid tree on identical values)
+    val stream = SparkEntry.queries("q249_stream_leadlag")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("q229_lead_lag_corr")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq,
+      s"streaming readout diverged from batch: ${stream.take(3)} vs ${batch.take(3)}")
+  }
 }
