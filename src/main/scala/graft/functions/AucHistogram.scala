@@ -24,15 +24,19 @@ object AucHistogram {
   val Bins = 1000
 
   /** (p, y) rows in, (posCounts ++ negCounts) buffer,
-    * (AUC, nPos, nNeg) out.
+    * (AUC, nPos, nNeg) out. `bins` is the resolution knob: q87 runs
+    * the engine default (1000); q254 runs 200 — `tf.metrics.auc`'s
+    * own `num_thresholds` default (`model.py:157`) — to state the
+    * approximation error of the reference's estimator against the
+    * exact mid-rank AUC.
     */
-  val agg: Aggregator[(Double, Double), Array[Long], (Double, Long, Long)] =
+  def aggWith(bins: Int): Aggregator[(Double, Double), Array[Long], (Double, Long, Long)] =
     new Aggregator[(Double, Double), Array[Long], (Double, Long, Long)] {
-      def zero: Array[Long] = new Array[Long](2 * Bins)
+      def zero: Array[Long] = new Array[Long](2 * bins)
       def reduce(b: Array[Long], row: (Double, Double)): Array[Long] = {
         val (p, y) = row
-        val bin = math.min((p * Bins).toInt, Bins - 1)
-        if (y == 1.0) b(bin) += 1 else b(Bins + bin) += 1
+        val bin = math.min((p * bins).toInt, bins - 1)
+        if (y == 1.0) b(bin) += 1 else b(bins + bin) += 1
         b
       }
       def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -43,13 +47,13 @@ object AucHistogram {
       def finish(b: Array[Long]): (Double, Long, Long) = {
         var pTot = 0L; var nTot = 0L
         var i = 0
-        while (i < Bins) { pTot += b(i); nTot += b(Bins + i); i += 1 }
+        while (i < bins) { pTot += b(i); nTot += b(bins + i); i += 1 }
         if (pTot == 0 || nTot == 0) return (Double.NaN, pTot, nTot)
         var cumNeg = 0L
         var num = 0.0
         i = 0
-        while (i < Bins) {
-          val pos = b(i); val neg = b(Bins + i)
+        while (i < bins) {
+          val pos = b(i); val neg = b(bins + i)
           num += pos.toDouble * cumNeg + 0.5 * pos.toDouble * neg
           cumNeg += neg
           i += 1
@@ -60,4 +64,7 @@ object AucHistogram {
       def outputEncoder: Encoder[(Double, Long, Long)] =
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
     }
+
+  val agg: Aggregator[(Double, Double), Array[Long], (Double, Long, Long)] =
+    aggWith(Bins)
 }

@@ -101,6 +101,15 @@ object RetainOps {
     })
   }
 
+  /** [[scored]] under the default eval weights, persisted once per
+    * (session, sf-dir) via PlanCache — q78 and q254 share the scoring
+    * pass, and repeated bench/verify invocations reuse ONE cache entry
+    * instead of stacking fresh ones.
+    */
+  private def scoredCached(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.cached(s, s"retain_scored_default|$d")(
+      scored(s, d, Retain.defaultWeights))
+
   /** Score every user with the broadcast weights; returns
     * (user_id, p0..p2, alpha array, context array, y0..y2). A narrow
     * map over [[featurized]] — no shuffle of its own.
@@ -576,7 +585,7 @@ object RetainOps {
       */
     QueryDef("q78_retain_eval", RetainOracleSql.q78(ckptGlob)) { (s, d) =>
       oracleCkptDir(s)
-      val sc = scored(s, d, Retain.defaultWeights).cache()
+      val sc = scoredCached(s, d)
       val perTask = (0 until numTasks).map { k =>
         val p = col(s"p$k"); val y = col(s"y$k")
         val z = -log(lit(1.0) / p - 1.0) // logit back from sigmoid
@@ -589,6 +598,49 @@ object RetainOps {
           round(avg(-(col("y") * log(col("p")) + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("ce"),
           round((sum(when(col("y") === 1.0, col("mr"))) - sum(col("y")) * (sum(col("y")) + 1) / 2) /
             (sum(col("y")) * sum(lit(1.0) - col("y"))), 6).as("auc"))
+      }
+      perTask.reduce(_.unionByName(_)).orderBy("task")
+    },
+
+    /** The reference's AUC APPROXIMATION stated as a query (round 8,
+      * VERDICT #4 — the last observable-behavior delta): per task, the
+      * exact mid-rank AUC next to the 200-bucket histogram AUC
+      * (`tf.metrics.auc`'s default `num_thresholds=200` trapezoid,
+      * `model.py:157`) over the same RETAIN eval scores, plus
+      * |approx − exact|. The bucketed value runs through the SAME
+      * mergeable Aggregator as q87 at bins=200 — one pass, O(bins)
+      * buffer, shuffle-free partial merge (the 100 TB eval shape) —
+      * while the exact value uses q21's global mid-rank form. All
+      * counts and mid-ranks are half-integers (order-free exact double
+      * sums), so both AUCs and the gap hash-match DuckDB bit-for-bit;
+      * PropertySpec asserts the gap ≤ 1/200 and measures the
+      * bin-boundary margin of the unrounded probabilities (the q226
+      * margin discipline — scores sit ≫1e-6 from every p·200 integer
+      * boundary, so the cross-engine ~1e-9 score deviation cannot flip
+      * a bin).
+      */
+    QueryDef("q254_auc_bucketed", RetainOracleSql.q254(ckptGlob, 200)) { (s, d) =>
+      import s.implicits._
+      oracleCkptDir(s)
+      val sc = scoredCached(s, d)
+      val perTask = (0 until numTasks).map { k =>
+        val p = col(s"p$k"); val y = col(s"y$k")
+        val ranked = sc.select(p.as("p"), y.as("y"))
+          .withColumn("mr", rank().over(Window.orderBy(col("p"))) +
+            (count(lit(1)).over(Window.partitionBy(col("p"))) - 1) / 2.0)
+        val exact = ranked.agg(
+          ((sum(when(col("y") === 1.0, col("mr"))) -
+            sum(col("y")) * (sum(col("y")) + 1) / 2) /
+            (sum(col("y")) * sum(lit(1.0) - col("y")))).as("ae"))
+        val bucketed = sc.select(p.as("p"), y.as("y")).as[(Double, Double)]
+          .select(graft.functions.AucHistogram.aggWith(200).toColumn)
+          .toDF("ab", "np", "nn")
+          .select(col("ab"))
+        bucketed.crossJoin(exact).select(
+          lit(k).as("task"),
+          round(col("ae"), 6).as("auc_exact"),
+          round(col("ab"), 6).as("auc_b200"),
+          round(abs(col("ab") - col("ae")), 6).as("approx_err"))
       }
       perTask.reduce(_.unionByName(_)).orderBy("task")
     },

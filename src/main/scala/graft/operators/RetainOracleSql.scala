@@ -254,4 +254,59 @@ object RetainOracleSql {
        |${(0 until K).map(taskSel).mkString("\nUNION ALL\n")}
        |ORDER BY task""".stripMargin
   }
+
+  /** q254: per-task exact mid-rank AUC vs the 200-bucket histogram AUC
+    * (`tf.metrics.auc`'s `num_thresholds` approximation, `model.py:157`)
+    * over the same recomputed scores. Bucket counts and mid-rank sums
+    * are all half-integers (exactly representable, order-free double
+    * sums), so both AUCs — and the |approx − exact| gap — hash-match
+    * the engine bit-for-bit; PropertySpec guards the bin-boundary
+    * margin of the UNROUNDED probabilities.
+    */
+  def q254(ckptGlob: String, bins: Int): String = {
+    val labelCols = Seq("purchase" -> "y0", "error" -> "y1", "signup" -> "y2")
+      .map { case (t, y) =>
+        s"max(CASE WHEN event_type='$t' AND value > 140.0 THEN 1.0 ELSE 0.0 END) AS $y"
+      }.mkString(",\n    ")
+    def taskCtes(k: Int): String =
+      s"""bins$k AS (
+         |  SELECT least(CAST(floor(p$k * $bins) AS INT), ${bins - 1}) AS bin,
+         |    count_if(y$k = 1.0) AS pos, count_if(y$k = 0.0) AS neg
+         |  FROM scoredy GROUP BY 1),
+         |cum$k AS (
+         |  SELECT pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+         |  FROM bins$k),
+         |aucb$k AS (
+         |  SELECT sum(pos*cum_neg + 0.5*pos*neg) / (sum(pos) * sum(neg)) AS ab
+         |  FROM cum$k),
+         |auce$k AS (
+         |  SELECT (sum(CASE WHEN y$k = 1.0 THEN mr$k END) - sum(y$k)*(sum(y$k)+1)/2.0)
+         |    / (sum(y$k)*sum(1.0-y$k)) AS ae
+         |  FROM ranked)""".stripMargin
+    def taskSel(k: Int): String =
+      s"""SELECT $k AS task, round(e.ae, 6) AS auc_exact, round(a.ab, 6) AS auc_b$bins,
+         |  round(abs(a.ab - e.ae), 6) AS approx_err
+         |FROM auce$k e CROSS JOIN aucb$k a""".stripMargin
+    s"""${pipeline(ckptGlob, lstmLay, lstmStepCte)},
+       |probsu AS (
+       |  SELECT user_id, ${(0 until K).map(k => s"${prob(k, lstmLay)} AS p$k").mkString(", ")} FROM ctxt),
+       |labels AS (
+       |  SELECT user_id,
+       |    $labelCols
+       |  FROM events WHERE ts >= TIMESTAMP '2024-01-12 00:00:00' GROUP BY user_id),
+       |scoredy AS (
+       |  SELECT p.user_id, ${(0 until K).map(k => s"p.p$k").mkString(", ")},
+       |    ${(0 until K).map(k => s"coalesce(l.y$k, 0.0) AS y$k").mkString(", ")}
+       |  FROM probsu p LEFT JOIN labels l USING (user_id)),
+       |ranked AS (
+       |  SELECT *,
+       |    ${(0 until K).map(k =>
+           s"rank() OVER (ORDER BY p$k) + (count(*) OVER (PARTITION BY p$k) - 1)/2.0 AS mr$k")
+           .mkString(",\n    ")}
+       |  FROM scoredy),
+       |${(0 until K).map(taskCtes).mkString(",\n")}
+       |${(0 until K).map(taskSel).mkString("\nUNION ALL\n")}
+       |ORDER BY task""".stripMargin
+  }
 }

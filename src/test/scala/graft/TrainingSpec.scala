@@ -100,4 +100,36 @@ class TrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
       RetainGrad.packGru(Retain.defaultWeights) // LSTM cells into packGru
     }
   }
+
+  test("q254: bucketed AUC error obeys the same-bin-mass theorem; bins are margin-safe") {
+    // the TRUE bound for a mid-rank binned AUC: cross-bin pairs rank
+    // identically to the exact form, so |binned − exact| ≤ half the
+    // same-bin (pos·neg) pair mass. (The naive 1/bins intuition is
+    // FALSE on concentrated scores — task 0's 200-bucket error is
+    // ~0.023 at sf0.01, a genuine fidelity statement about
+    // tf.metrics.auc's default that SURVEY §7.4 documents.)
+    val rows = SparkEntry.queries("q254_auc_bucketed")(spark, sf).collect()
+    assert(rows.length == 3)
+    val sc = RetainOps.scored(spark, sf, graft.functions.Retain.defaultWeights)
+      .select("p0", "p1", "p2", "y0", "y1", "y2").collect()
+    for (k <- 0 until 3) {
+      val py = sc.map(r => (r.getDouble(k), r.getDouble(3 + k)))
+      val bins = py.groupBy { case (p, _) => math.min((p * 200).toInt, 199) }
+      val nPos = py.count(_._2 == 1.0).toDouble
+      val nNeg = py.length - nPos
+      val sameBinMass = bins.values.map { g =>
+        val gp = g.count(_._2 == 1.0).toDouble; gp * (g.length - gp)
+      }.sum / (nPos * nNeg)
+      val err = rows(k).getAs[Double]("approx_err")
+      assert(err <= 0.5 * sameBinMass + 1e-9,
+        s"task $k: err $err exceeds same-bin-mass bound ${0.5 * sameBinMass}")
+      // bin-boundary margin: no probability sits within 1e-7 of a
+      // p·200 integer boundary, so the measured ≤1.8e-9 cross-engine
+      // score deviation (RetainOracleSql) cannot flip a bin
+      val margin = py.map { case (p, _) =>
+        val f = p * 200; math.min(f - math.floor(f), math.ceil(f) - f)
+      }.min
+      assert(margin > 1e-7, s"task $k: bin-boundary margin $margin too tight")
+    }
+  }
 }
