@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,8 +21,108 @@ object SearchOps {
 
   /** q228's deterministic query vector (distinct lineage from the LSH
     * family's qvec so the two ANN paths probe different geometry). */
-  private val pqQueryVec: Array[Double] =
+  private[graft] val pqQueryVec: Array[Double] =
     Array.tabulate(64)(i => (((i * 29 + 7) % 23) - 11) / 12.0)
+
+  /** Deterministic driver-side Lloyd: fixed seeds, fixed iteration
+    * count, points visited in ascending-id order with left-associative
+    * double accumulation — bit-reproducible run over run. Used to train
+    * the q250 quantizers on a BOUNDED O(64)-row seed sample (the
+    * production IVF-PQ pattern: codebooks are trained on a sample,
+    * never the corpus; the corpus-side Lloyd derivation itself is
+    * hash-verified by q152). Empty clusters keep their previous
+    * centroid.
+    */
+  private[graft] def lloydTrain(points: Array[Array[Double]],
+      seeds: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    var cents = seeds.map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length, cents(0).length)(0.0)
+      val cnts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.PositiveInfinity
+        var j = 0
+        while (j < cents.length) {
+          val dd = l2(p, cents(j))
+          if (dd < bd) { bd = dd; best = j } // strict < : ties keep lowest id
+          j += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (c, j) =>
+        if (cnts(j) == 0L) c
+        else Array.tabulate(c.length)(i => sums(j)(i) / cnts(j))
+      }
+    }
+    cents
+  }
+
+  /** q250's trained quantizers, one per (session, sf-dir): coarse cells
+    * (K=10, 64-dim, seeded by vectors 8-17) and the 8 per-subspace
+    * residual codebooks (K=8, seeded by the residuals of vectors 0-7),
+    * both Lloyd-trained for 3 iterations on the ≤64-row vec_id<64
+    * sample. The trained doubles are CHECKPOINTED to scratch parquet
+    * (long-form (id, idx, value)) so the DuckDB oracle consumes the
+    * identical bits instead of re-deriving the training — the
+    * RetainOracleSql weight-checkpoint pattern; q152 is where the Lloyd
+    * derivation itself is oracle-verified.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  private[graft] val pqCellsGlob = s"${graft.Scratch.root}/graft_pq_cells/*.parquet"
+  private[graft] val pqRescbGlob = s"${graft.Scratch.root}/graft_pq_rescb/*.parquet"
+
+  private[graft] def pqCodebooks(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    pqCache.computeIfAbsent(s"${System.identityHashCode(s.sparkContext)}|$d", _ => {
+      val rows = Tables.embeddings(s, d)
+        .where(col("vec_id") < 64)
+        .select(col("vec_id") +: (1 to 64).map(i =>
+          element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+        .orderBy("vec_id").collect()
+      val sampleMap = rows.map(r =>
+        r.getLong(0) -> Array.tabulate(64)(i => r.getDouble(i + 1))).toMap
+      val pts = sampleMap.toSeq.sortBy(_._1).map(_._2).toArray
+      val coarseSeeds = (8L to 17L).map(sampleMap).toArray
+      val cells = lloydTrain(pts, coarseSeeds, 3)
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+        acc
+      }
+      def residOf(p: Array[Double]): Array[Double] = {
+        val c = cells(cells.indices.minBy(j => (l2(p, cells(j)), j)))
+        Array.tabulate(64)(i => p(i) - c(i))
+      }
+      val resids = pts.map(residOf)
+      val rcbSeeds = (0L to 7L).map(id => residOf(sampleMap(id)))
+      val rcb = (0 until 8).map { s0 =>
+        lloydTrain(resids.map(_.slice(s0 * 8, s0 * 8 + 8)),
+          rcbSeeds.map(_.slice(s0 * 8, s0 * 8 + 8)).toArray, 3)
+      }.toArray
+      // checkpoint for the oracle (exact doubles through parquet)
+      import s.implicits._
+      cells.zipWithIndex.flatMap { case (c, id) =>
+        (1 to 64).map(i => (id.toLong, i, c(i - 1)))
+      }.toSeq.toDF("cell_id", "idx", "value").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${graft.Scratch.root}/graft_pq_cells")
+      (for {
+        s0 <- 0 until 8; j <- 0 until 8; i <- 1 to 8
+      } yield (s0, j.toLong, i, rcb(s0)(j)(i - 1)))
+        .toDF("s0", "code", "idx", "value").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${graft.Scratch.root}/graft_pq_rescb")
+      (cells, rcb)
+    })
 
   /** ONE SQL text run verbatim by both engines (like q144): the
     * correlated-scalar-subquery idiom. Spark decorrelates the per-row
@@ -475,6 +576,161 @@ object SearchOps {
         .where(col("cell").isin(probed: _*))
         .select(col("vec_id") +: col("cell") +:
           (0 until 8).map(s0 => code(s0).as(s"code$s0")): _*)
+        .select(col("vec_id"), col("cell"),
+          (0 until 8).map(s0 => adcLut(s0, col(s"code$s0"))).reduce(_ + _).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("cell"), round(col("dist"), 6).as("adc"))
+    },
+
+    /** TRUE residual IVF-PQ (round 8, VERDICT #6): q228 quantizes RAW
+      * vectors against an untrained seed codebook; production IVF-PQ
+      * (1) TRAINS its quantizers and (2) encodes each vector's
+      * RESIDUAL r = v − center(cell(v)) after the coarse assignment —
+      * residuals cluster near the origin whatever cell a vector lives
+      * in, so one small shared codebook serves every cell. Both
+      * quantizers here are Lloyd-trained ([[lloydTrain]], 3 iters) on
+      * the BOUNDED vec_id<64 seed sample — the production pattern
+      * (codebooks train on an O(1) sample, never the corpus; the
+      * corpus-scale Lloyd derivation is hash-verified separately by
+      * q152) — and the trained doubles are checkpointed to parquet so
+      * the oracle consumes identical bits (the RetainOracleSql
+      * weight-checkpoint pattern).
+      *
+      * Honesty note (measured, not assumed): with the UNTRAINED seed
+      * codebooks of q228, residual encoding is NOT better on this
+      * corpus (raw 0.3 vs residual 0.0 recall@10 at sf0.01 — the
+      * synthetic embeddings are near-uniform, so residuals w.r.t.
+      * arbitrary seed cells carry no less energy than raw vectors);
+      * with sample-trained quantizers the residual advantage is real:
+      * 0.6 vs 0.3 at sf0.01, 0.5 vs 0.4 at sf0.001. LshSpec pins
+      * exactly that comparison (trained-residual ≥ trained-raw at
+      * equal probe count) and SURVEY §7.4 documents the measurement.
+      *
+      * Determinism: training is driver-side over the ordered sample
+      * with left-associative accumulation; every engine-side distance
+      * is the same left-associative sum of squared diffs over doubles
+      * the oracle reads verbatim from the checkpoint; argmins tie on
+      * the id. Scale shape: identical to q228 — O(K) driver-held
+      * quantizer, map-side assignment/encode/ADC, one bounded top-10
+      * shuffle; the only additions are the residual-subtraction
+      * columns and the per-probed-cell ADC tables (2 cells × 8
+      * subspaces × 8 codes of literal doubles).
+      */
+    QueryDef(
+      "q250_ivfpq_residual", {
+        val q = pqQueryVec
+        val qCell = (1 to 64).map(i => s"(${q(i - 1)} - c.x$i)*(${q(i - 1)} - c.x$i)").mkString(" + ")
+        def vCell = (1 to 64).map(i => s"(v.x$i - g.x$i)*(v.x$i - g.x$i)").mkString(" + ")
+        def residSub(s0: Int) = {
+          val lo = s0 * 8
+          (1 to 8).map(i => s"(r.x${lo + i} - c.y$i)*(r.x${lo + i} - c.y$i)").mkString(" + ")
+        }
+        def qResSub(s0: Int) = {
+          val lo = s0 * 8
+          (1 to 8).map { i =>
+            val t = s"((${q(lo + i - 1)} - g.x${lo + i}) - c.y$i)"
+            s"$t*$t"
+          }.mkString(" + ")
+        }
+        s"""WITH v AS (
+           |  SELECT vec_id, ${(1 to 64).map(i => s"CAST(embedding[$i] AS DOUBLE) AS x$i").mkString(", ")}
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT cell_id, ${(1 to 64).map(i => s"max(CASE WHEN idx = $i THEN value END) AS x$i").mkString(", ")}
+           |  FROM read_parquet('$pqCellsGlob') GROUP BY cell_id),
+           |rcb AS (
+           |  SELECT s0, code, ${(1 to 8).map(i => s"max(CASE WHEN idx = $i THEN value END) AS y$i").mkString(", ")}
+           |  FROM read_parquet('$pqRescbGlob') GROUP BY s0, code),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, g.cell_id AS cell,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $vCell, g.cell_id) AS r
+           |    FROM v CROSS JOIN cells g) WHERE r = 1),
+           |probe AS (
+           |  SELECT cell_id AS cell FROM (
+           |    SELECT c.cell_id, row_number() OVER (ORDER BY $qCell, c.cell_id) AS r
+           |    FROM cells c) WHERE r <= 2),
+           |resid AS (
+           |  SELECT v.vec_id, a.cell, ${(1 to 64).map(i => s"v.x$i - g.x$i AS x$i").mkString(", ")}
+           |  FROM v JOIN assigned a ON v.vec_id = a.vec_id
+           |  JOIN probe p ON a.cell = p.cell
+           |  JOIN cells g ON g.cell_id = a.cell),
+           |dists AS (
+           |  SELECT r.vec_id, c.s0, c.code,
+           |    CASE c.s0 ${(0 until 8).map(s0 => s"WHEN $s0 THEN ${residSub(s0)}").mkString("\n           |    ")}
+           |    END AS dd
+           |  FROM resid r CROSS JOIN rcb c),
+           |enc AS (
+           |  SELECT vec_id, s0, code FROM (
+           |    SELECT vec_id, s0, code,
+           |      row_number() OVER (PARTITION BY vec_id, s0 ORDER BY dd, code) AS rr
+           |    FROM dists) WHERE rr = 1),
+           |lut AS (
+           |  SELECT e.vec_id, e.s0, r.cell,
+           |    CASE e.s0 ${(0 until 8).map(s0 => s"WHEN $s0 THEN ${qResSub(s0)}").mkString("\n           |    ")}
+           |    END AS dsub
+           |  FROM enc e
+           |  JOIN resid r ON r.vec_id = e.vec_id
+           |  JOIN cells g ON g.cell_id = r.cell
+           |  JOIN rcb c ON c.s0 = e.s0 AND c.code = e.code),
+           |adcw AS (
+           |  SELECT vec_id, cell,
+           |    ${(0 until 8).map(s0 => s"max(CASE WHEN s0 = $s0 THEN dsub END) AS d$s0").mkString(",\n           |    ")}
+           |  FROM lut GROUP BY vec_id, cell)
+           |SELECT vec_id, cell, round(${(0 until 8).map(s0 => s"d$s0").mkString(" + ")}, 6) AS adc
+           |FROM adcw
+           |ORDER BY ${(0 until 8).map(s0 => s"d$s0").mkString(" + ")}, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      val q = pqQueryVec
+      val (cellsT, rcbT) = pqCodebooks(s, d)
+      val v = Tables.embeddings(s, d).select(col("vec_id") +:
+        (1 to 64).map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      def l2full(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+        acc
+      }
+      def l2cellCol(c: Array[Double]) =
+        (1 to 64).map(i => (col(s"x$i") - c(i - 1)) * (col(s"x$i") - c(i - 1)))
+          .reduce(_ + _)
+      val cellAssign = least(cellsT.zipWithIndex.map { case (c, id) =>
+        struct(l2cellCol(c).as("d"), lit(id.toLong).as("c"))
+      }: _*)("c")
+      val probed: Seq[Int] =
+        cellsT.indices.sortBy(id => (l2full(q, cellsT(id)), id)).take(2)
+      val p0 = cellsT(probed(0)); val p1 = cellsT(probed(1))
+      val resCols = (1 to 64).map(i =>
+        (col(s"x$i") - when(col("cell") === probed(0).toLong, lit(p0(i - 1)))
+          .otherwise(lit(p1(i - 1)))).as(s"r$i"))
+      def codeRes(s0: Int) = least((0 until 8).map { j =>
+        val cbv = rcbT(s0)(j)
+        val dist = (1 to 8).map(i =>
+          (col(s"r${s0 * 8 + i}") - cbv(i - 1)) * (col(s"r${s0 * 8 + i}") - cbv(i - 1)))
+          .reduce(_ + _)
+        struct(dist.as("d"), lit(j.toLong).as("c"))
+      }: _*)("c")
+      // per-(probed cell, subspace) ADC tables over the 8 codes:
+      // ||(q − center)_s0 − rcb[s0][j]||², left-associative like the SQL
+      def lutVal(center: Array[Double], s0: Int, j: Int): Double = {
+        val cbv = rcbT(s0)(j)
+        var acc = 0.0; var i = 0
+        while (i < 8) {
+          val dd = (q(s0 * 8 + i) - center(s0 * 8 + i)) - cbv(i); acc += dd * dd
+          i += 1
+        }
+        acc
+      }
+      def adcLut(s0: Int, codeCol: org.apache.spark.sql.Column) =
+        element_at(
+          when(col("cell") === probed(0).toLong,
+            array((0 until 8).map(j => lit(lutVal(p0, s0, j))): _*))
+            .otherwise(array((0 until 8).map(j => lit(lutVal(p1, s0, j))): _*)),
+          (codeCol + 1).cast("int"))
+      v.withColumn("cell", cellAssign)
+        .where(col("cell").isin(probed.map(_.toLong): _*))
+        .select(col("vec_id") +: col("cell") +: resCols: _*)
+        .select(col("vec_id") +: col("cell") +:
+          (0 until 8).map(s0 => codeRes(s0).as(s"code$s0")): _*)
         .select(col("vec_id"), col("cell"),
           (0 until 8).map(s0 => adcLut(s0, col(s"code$s0"))).reduce(_ + _).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)
