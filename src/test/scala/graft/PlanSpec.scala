@@ -465,6 +465,69 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected the full path's day-keyed pair join (the reason the guard exists)")
   }
 
+  test("q255 CBO: ANALYZE column stats shrink the filter estimate and flip the join to broadcast") {
+    // the proof VERDICT #5 asked for: statistics being COMPUTED (q156)
+    // is worthless unless the optimizer consumes them. Without CBO, a
+    // Filter's size estimate passes through its child; with
+    // cbo.enabled + ANALYZE'd column stats the o_orderpriority
+    // equality gets a rowCount/ndv selectivity. Pick a broadcast
+    // threshold strictly between the two estimates → the physical join
+    // strategy flips from sort-merge to broadcast-hash. Self-
+    // calibrating: both estimates are read from the optimized plan, so
+    // the pin holds at any SF.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val db = operators.Extensions.cboTables(spark, sf)
+    // equality on the high-NDV o_custkey: CBO estimates ~rowCount/ndv
+    // ≈ 1 row; size-only mode keeps the (column-pruned) file-size
+    // estimate — orders of magnitude apart, so the calibrated
+    // threshold splits them at any SF
+    // calibrate and inspect the SAME plan (column pruning changes the
+    // size estimates, so the aggregate must be part of both)
+    def query = spark.table(s"$db.orders")
+      .where(col("o_custkey") === 1L)
+      .join(spark.table(s"$db.lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy().count()
+    def ordersSideStats(cbo: Boolean) = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      val j = query.queryExecution.optimizedPlan
+        .collect { case jn: LJoin => jn }.head
+      Seq(j.left, j.right)
+        .find(_.collect { case f: LFilter => f }.nonEmpty).get.stats
+    }
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // inspect the static plan
+      val noCbo = ordersSideStats(cbo = false)
+      val withCbo = ordersSideStats(cbo = true)
+      // size-only mode has NO row estimate; CBO derives rowCount/ndv
+      assert(noCbo.rowCount.isEmpty, s"expected no row estimate without CBO: $noCbo")
+      val totalRows = spark.table(s"$db.orders").count()
+      assert(withCbo.rowCount.exists(_ * 3 <= totalRows),
+        s"CBO row estimate ${withCbo.rowCount} not meaningfully below $totalRows")
+      val without = noCbo.sizeInBytes
+      val withStats = withCbo.sizeInBytes
+      assert(withStats * 3 <= without,
+        s"stats-based join-side estimate $withStats not meaningfully below $without")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((withStats + without) / 2).toString)
+      def plan(cbo: Boolean) = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        query.queryExecution.sparkPlan
+      }
+      assert(plan(cbo = false).collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"without stats the join should sort-merge at this threshold; got:\n${plan(cbo = false)}")
+      assert(plan(cbo = true).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty, "with CBO stats the filtered side should broadcast")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q236 keyset page plans bounded heaps, no global sort materialization") {
     // both the anchor (top-100) and the page (top-50 past the seek
     // predicate) must be TakeOrdered heaps — a global SortExec would
