@@ -97,6 +97,79 @@ object CausalOps {
       .orderBy("src", "dst", "lag")
   }
 
+  /** q230's Granger-lite computed from any (el, di, v) grid — shared by
+    * the batch query and q256's streaming refresh (identical trees ⇒
+    * bit-identical doubles).
+    */
+  private[graft] def grangerFromGrid(g0: DataFrame): DataFrame = {
+    val y = g0.select(col("el").as("dst"), col("di"), col("v").as("yt"))
+    val yl = g0.select(col("el").as("ell"), col("di").as("dil"), col("v").as("yl1"))
+    val x = g0.select(col("el").as("src"), col("di").as("dix"), col("v").as("xl1"))
+    val grid = y
+      .join(yl, col("ell") === col("dst") && col("dil") === col("di") - 1)
+      .join(x, col("src") =!= col("dst") && col("dix") === col("di") - 1)
+    val m = grid.groupBy("src", "dst").agg(count(lit(1)).as("n"),
+      dsum(col("yt")).as("sy"), dsum(col("yl1")).as("s1"), dsum(col("xl1")).as("s2"),
+      dsum(col("yt") * col("yt")).as("syy"),
+      dsum(col("yl1") * col("yl1")).as("s11"),
+      dsum(col("xl1") * col("xl1")).as("s22"),
+      dsum(col("yl1") * col("xl1")).as("s12"),
+      dsum(col("yl1") * col("yt")).as("s1y"),
+      dsum(col("xl1") * col("yt")).as("s2y"))
+    val c = m.select(col("src"), col("dst"), col("n"),
+      (col("syy") - col("sy") * col("sy") / col("n")).as("cyy"),
+      (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+      (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+      (col("s12") - col("s1") * col("s2") / col("n")).as("c12"),
+      (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
+      (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"))
+    val det = col("c11") * col("c22") - col("c12") * col("c12")
+    val f = c.select(col("src"), col("dst"), col("n"), col("cyy"), col("c1y"), col("c2y"),
+      (col("cyy") - col("c1y") * col("c1y") / nullif(col("c11"), lit(0.0))).as("sse_r"),
+      ((col("c1y") * col("c22") - col("c2y") * col("c12")) / nullif(det, lit(0.0))).as("b1"),
+      ((col("c2y") * col("c11") - col("c1y") * col("c12")) / nullif(det, lit(0.0))).as("b2"))
+    f.select(col("src"), col("dst"), col("n").as("n_days"),
+        r6(lit(1.0) - col("sse_r") / nullif(col("cyy"), lit(0.0))).as("ar1_r2"),
+        r6((col("sse_r") - (col("cyy") - col("b1") * col("c1y") - col("b2") * col("c2y"))) /
+          nullif(col("sse_r"), lit(0.0))).as("granger_gain"))
+      .orderBy("src", "dst")
+  }
+
+  /** q248's market-adjusted partial correlation from any (el, di, v)
+    * grid — shared by the batch query and q257's streaming refresh.
+    */
+  private[graft] def partialCorrFromGrid(g0: DataFrame): DataFrame = {
+      val mkt = g0.groupBy(col("di").as("dik"))
+        .agg((dsum(col("v")) / count(lit(1))).as("mv"))
+      val x = g0.select(col("el").as("src"), col("di"), col("v").as("xv"))
+      val y = g0.select(col("el").as("dst"), col("di").as("diy"), col("v").as("yv"))
+      val g = x.join(y, col("src") < col("dst") && col("diy") === col("di"))
+        .join(mkt, col("dik") === col("di"))
+      val m = g.groupBy("src", "dst").agg(count(lit(1)).as("n"),
+        dsum(col("xv")).as("sx"), dsum(col("yv")).as("sy"), dsum(col("mv")).as("sm"),
+        dsum(col("xv") * col("xv")).as("sxx"),
+        dsum(col("yv") * col("yv")).as("syy"),
+        dsum(col("mv") * col("mv")).as("smm"),
+        dsum(col("xv") * col("yv")).as("sxy"),
+        dsum(col("xv") * col("mv")).as("sxm"),
+        dsum(col("yv") * col("mv")).as("sym"))
+      def corr2(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+        (col("n") * sab - sa * sb) /
+          nullif(sqrt((col("n") * saa - sa * sa) * (col("n") * sbb - sb * sb)), lit(0.0))
+      val r = m.select(col("src"), col("dst"), col("n"),
+        corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("rxy"),
+        corr2(col("sxm"), col("sx"), col("sm"), col("sxx"), col("smm")).as("rxm"),
+        corr2(col("sym"), col("sy"), col("sm"), col("syy"), col("smm")).as("rym"))
+      val partial = (col("rxy") - col("rxm") * col("rym")) /
+        nullif(sqrt((lit(1.0) - col("rxm") * col("rxm")) *
+          (lit(1.0) - col("rym") * col("rym"))), lit(0.0))
+      r.select(col("src"), col("dst"), col("n").cast("long").as("n_days"),
+          r6(col("rxy")).as("r_raw"),
+          r6(partial).as("r_partial"),
+          r6(col("rxy") - partial).as("confound_drop"))
+        .orderBy("src", "dst")
+  }
+
   /** Quartile-binned grid — q246 (full) and q252 (pruned) share the
     * identical expression tree, so the pruned MI rows equal the full
     * rows bit-for-bit on surviving pairs. */
@@ -356,37 +429,7 @@ object CausalOps {
         |FROM f ORDER BY src, dst""".stripMargin) { (s, d) =>
       val g0 = daily(s, d)
       guardFullEnum(g0, "q230_granger_lite")
-      val y = g0.select(col("el").as("dst"), col("di"), col("v").as("yt"))
-      val yl = g0.select(col("el").as("ell"), col("di").as("dil"), col("v").as("yl1"))
-      val x = g0.select(col("el").as("src"), col("di").as("dix"), col("v").as("xl1"))
-      val grid = y
-        .join(yl, col("ell") === col("dst") && col("dil") === col("di") - 1)
-        .join(x, col("src") =!= col("dst") && col("dix") === col("di") - 1)
-      val m = grid.groupBy("src", "dst").agg(count(lit(1)).as("n"),
-        dsum(col("yt")).as("sy"), dsum(col("yl1")).as("s1"), dsum(col("xl1")).as("s2"),
-        dsum(col("yt") * col("yt")).as("syy"),
-        dsum(col("yl1") * col("yl1")).as("s11"),
-        dsum(col("xl1") * col("xl1")).as("s22"),
-        dsum(col("yl1") * col("xl1")).as("s12"),
-        dsum(col("yl1") * col("yt")).as("s1y"),
-        dsum(col("xl1") * col("yt")).as("s2y"))
-      val c = m.select(col("src"), col("dst"), col("n"),
-        (col("syy") - col("sy") * col("sy") / col("n")).as("cyy"),
-        (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
-        (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
-        (col("s12") - col("s1") * col("s2") / col("n")).as("c12"),
-        (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
-        (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"))
-      val det = col("c11") * col("c22") - col("c12") * col("c12")
-      val f = c.select(col("src"), col("dst"), col("n"), col("cyy"), col("c1y"), col("c2y"),
-        (col("cyy") - col("c1y") * col("c1y") / nullif(col("c11"), lit(0.0))).as("sse_r"),
-        ((col("c1y") * col("c22") - col("c2y") * col("c12")) / nullif(det, lit(0.0))).as("b1"),
-        ((col("c2y") * col("c11") - col("c1y") * col("c12")) / nullif(det, lit(0.0))).as("b2"))
-      f.select(col("src"), col("dst"), col("n").as("n_days"),
-          r6(lit(1.0) - col("sse_r") / nullif(col("cyy"), lit(0.0))).as("ar1_r2"),
-          r6((col("sse_r") - (col("cyy") - col("b1") * col("c1y") - col("b2") * col("c2y"))) /
-            nullif(col("sse_r"), lit(0.0))).as("granger_gain"))
-        .orderBy("src", "dst")
+      grangerFromGrid(g0)
     },
 
     /** CUSUM changepoint detection per element (round 7): the "when did
@@ -627,35 +670,7 @@ object CausalOps {
         |FROM r ORDER BY src, dst""".stripMargin) { (s, d) =>
       val g0 = daily(s, d)
       guardFullEnum(g0, "q248_partial_corr")
-      val mkt = g0.groupBy(col("di").as("dik"))
-        .agg((dsum(col("v")) / count(lit(1))).as("mv"))
-      val x = g0.select(col("el").as("src"), col("di"), col("v").as("xv"))
-      val y = g0.select(col("el").as("dst"), col("di").as("diy"), col("v").as("yv"))
-      val g = x.join(y, col("src") < col("dst") && col("diy") === col("di"))
-        .join(mkt, col("dik") === col("di"))
-      val m = g.groupBy("src", "dst").agg(count(lit(1)).as("n"),
-        dsum(col("xv")).as("sx"), dsum(col("yv")).as("sy"), dsum(col("mv")).as("sm"),
-        dsum(col("xv") * col("xv")).as("sxx"),
-        dsum(col("yv") * col("yv")).as("syy"),
-        dsum(col("mv") * col("mv")).as("smm"),
-        dsum(col("xv") * col("yv")).as("sxy"),
-        dsum(col("xv") * col("mv")).as("sxm"),
-        dsum(col("yv") * col("mv")).as("sym"))
-      def corr2(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
-        (col("n") * sab - sa * sb) /
-          nullif(sqrt((col("n") * saa - sa * sa) * (col("n") * sbb - sb * sb)), lit(0.0))
-      val r = m.select(col("src"), col("dst"), col("n"),
-        corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("rxy"),
-        corr2(col("sxm"), col("sx"), col("sm"), col("sxx"), col("smm")).as("rxm"),
-        corr2(col("sym"), col("sy"), col("sm"), col("syy"), col("smm")).as("rym"))
-      val partial = (col("rxy") - col("rxm") * col("rym")) /
-        nullif(sqrt((lit(1.0) - col("rxm") * col("rxm")) *
-          (lit(1.0) - col("rym") * col("rym"))), lit(0.0))
-      r.select(col("src"), col("dst"), col("n").cast("long").as("n_days"),
-          r6(col("rxy")).as("r_raw"),
-          r6(partial).as("r_partial"),
-          r6(col("rxy") - partial).as("confound_drop"))
-        .orderBy("src", "dst")
+      partialCorrFromGrid(g0)
     },
 
     /** Candidate screen for the pairwise causal family (round 8,

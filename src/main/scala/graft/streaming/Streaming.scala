@@ -1009,29 +1009,76 @@ object Streaming {
       "q249_stream_leadlag",
       graft.operators.CausalOps.defs.find(_.name == "q229_lead_lag_corr").get
         .oracle.get) { (s, d) =>
-      val agg = eventStream(s, d)
-        .withWatermark("ts", "40 days")
-        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("el"))
-        .agg(sum(col("value").cast("decimal(18,3)")).as("sv"),
-          count(lit(1)).as("n"))
-      val latest = new java.util.concurrent.atomic.AtomicReference[
-        (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
-      val q = withStreamConf(s) {
-        agg.writeStream.outputMode("complete")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            val grid = b.select(col("el"),
-              datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
-                .as("di"),
-              (col("sv").cast("double") / col("n")).as("v"))
-            val readout = graft.operators.CausalOps.leadLagFromGrid(s, grid)
-            // O(P²·L) rows — the per-batch refreshed artifact
-            latest.set((readout.schema, readout.collect()))
-          }.start()
-      }
-      try q.processAllAvailable() finally q.stop()
-      val (schema, rows) = latest.get()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy("src", "dst", "lag")
+      causalRefresh(s, d, grid =>
+        graft.operators.CausalOps.leadLagFromGrid(s, grid),
+        Seq("src", "dst", "lag"))
+    },
+
+    /** q230's Granger-lite as a per-micro-batch refreshed view (round
+      * 8): same [[causalRefresh]] harness as q249 — the incrementally
+      * maintained grid feeds the full closed-form two-regressor OLS on
+      * every micro-batch, so the "does src's lag improve the AR(1) fit
+      * of dst" readout is live. Final refresh == batch q230 oracle,
+      * bit-for-bit (shared grangerFromGrid tree over exact decimal
+      * grid state).
+      */
+    QueryDef(
+      "q256_stream_granger",
+      graft.operators.CausalOps.defs.find(_.name == "q230_granger_lite").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.CausalOps.grangerFromGrid, Seq("src", "dst"))
+    },
+
+    /** q248's market-adjusted partial correlation as a per-micro-batch
+      * refreshed view (round 8): the confound-controlled pair readout
+      * updates live from the same grid state. Final refresh == batch
+      * q248 oracle, bit-for-bit.
+      */
+    QueryDef(
+      "q257_stream_partial_corr",
+      graft.operators.CausalOps.defs.find(_.name == "q248_partial_corr").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.CausalOps.partialCorrFromGrid, Seq("src", "dst"))
     }
   )
+
+  /** Shared harness for the per-micro-batch causal readouts (q249/
+    * q256/q257): ONE watermarked streaming aggregation maintains the
+    * (element, day) grid as exact decimal-sum + count state; on every
+    * micro-batch the given readout recomputes over the O(P·T) grid
+    * only — per-refresh cost independent of raw event volume — and the
+    * last refresh is returned. Because the grid values are exact
+    * (decimal merges are order-free) and each readout shares its batch
+    * query's expression tree, the final result hash-matches the batch
+    * oracle with zero tolerance (StreamingSpec pins it for q249; the
+    * same state/tree argument covers all three).
+    */
+  private def causalRefresh(s: SparkSession, d: String,
+      readout: DataFrame => DataFrame, sortCols: Seq[String]): DataFrame = {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "40 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("el"))
+      .agg(sum(col("value").cast("decimal(18,3)")).as("sv"),
+        count(lit(1)).as("n"))
+    val latest = new java.util.concurrent.atomic.AtomicReference[
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+    val q = withStreamConf(s) {
+      agg.writeStream.outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val grid = b.select(col("el"),
+            datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
+              .as("di"),
+            (col("sv").cast("double") / col("n")).as("v"))
+          val r = readout(grid)
+          // O(P²) rows — the per-batch refreshed artifact
+          latest.set((r.schema, r.collect()))
+        }.start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val (schema, rows) = latest.get()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy(sortCols.map(col): _*)
+  }
 }

@@ -221,4 +221,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.nonEmpty && stream.toSeq == batch.toSeq,
       s"streaming readout diverged from batch: ${stream.take(3)} vs ${batch.take(3)}")
   }
+
+  test("q256/q257 streaming Granger and partial-corr refreshes end exactly at their batch results") {
+    for ((sq, bq) <- Seq(
+        "q256_stream_granger" -> "q230_granger_lite",
+        "q257_stream_partial_corr" -> "q248_partial_corr")) {
+      val stream = SparkEntry.queries(sq)(spark, sf).collect().map(_.toSeq)
+      val batch = SparkEntry.queries(bq)(spark, sf).collect().map(_.toSeq)
+      assert(stream.nonEmpty && stream.toSeq == batch.toSeq,
+        s"$sq diverged from $bq: ${stream.take(2)} vs ${batch.take(2)}")
+    }
+  }
 }
