@@ -170,6 +170,39 @@ object CausalOps {
         .orderBy("src", "dst")
   }
 
+  /** q233's CUSUM changepoint readout from any (el, di, v) grid —
+    * shared by the batch query and q258's streaming refresh.
+    */
+  private[graft] def cusumFromGrid(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+      val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
+        dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
+      val mu = col("sv") / col("n")
+      val sig = sqrt(col("svv") / col("n") - mu * mu)
+      val wc = Window.partitionBy(col("el")).orderBy(col("di"))
+      val z = g.join(st, col("el") === col("sel"))
+        .select(col("el"), col("di"),
+          sum((col("v") - mu) / sig).over(wc).as("cusum"))
+      val wr = Window.partitionBy(col("el")).orderBy(abs(col("cusum")).desc, col("di"))
+      val cp = z.select(col("el"), col("di"), col("cusum"),
+          row_number().over(wr).as("r"))
+        .where(col("r") === 1)
+        .select(col("el").as("cel"), col("di").as("cp_di"), col("cusum"))
+      def sideMean(cond: Column) =
+        sum(when(cond, col("v").cast("decimal(38,12)"))).cast("double") /
+          nullif(count_if(cond), lit(0L))
+      val shift = g.join(cp, col("el") === col("cel"))
+        .groupBy(col("el"))
+        .agg((sideMean(col("di") > col("cp_di")) -
+          sideMean(col("di") <= col("cp_di"))).as("mean_shift"))
+        .select(col("el").as("shel"), col("mean_shift"))
+      cp.join(shift, col("cel") === col("shel"))
+        .select(col("cel").as("el"), col("cp_di"),
+          r6(abs(col("cusum"))).as("cusum_max"),
+          r6(col("mean_shift")).as("mean_shift"))
+        .orderBy("el")
+  }
+
   /** Quartile-binned grid — q246 (full) and q252 (pruned) share the
     * identical expression tree, so the pruned MI rows equal the full
     * rows bit-for-bit on surviving pairs. */
@@ -477,37 +510,10 @@ object CausalOps {
         |SELECT c.el, c.cp_di, round(abs(c.cusum), 6) AS cusum_max,
         |  round(s.mean_shift, 6) AS mean_shift
         |FROM cp c JOIN shift s ON c.el = s.el ORDER BY c.el""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       // the O(P·T) grid feeds three plan branches (cusum, argmax pick,
       // side-mean shift) — daily() is PlanCache-persisted, so the fact
       // table is scanned once and repeated invocations reuse ONE entry
-      val g = daily(s, d)
-      val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
-        dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
-      val mu = col("sv") / col("n")
-      val sig = sqrt(col("svv") / col("n") - mu * mu)
-      val wc = Window.partitionBy(col("el")).orderBy(col("di"))
-      val z = g.join(st, col("el") === col("sel"))
-        .select(col("el"), col("di"),
-          sum((col("v") - mu) / sig).over(wc).as("cusum"))
-      val wr = Window.partitionBy(col("el")).orderBy(abs(col("cusum")).desc, col("di"))
-      val cp = z.select(col("el"), col("di"), col("cusum"),
-          row_number().over(wr).as("r"))
-        .where(col("r") === 1)
-        .select(col("el").as("cel"), col("di").as("cp_di"), col("cusum"))
-      def sideMean(cond: Column) =
-        sum(when(cond, col("v").cast("decimal(38,12)"))).cast("double") /
-          nullif(count_if(cond), lit(0L))
-      val shift = g.join(cp, col("el") === col("cel"))
-        .groupBy(col("el"))
-        .agg((sideMean(col("di") > col("cp_di")) -
-          sideMean(col("di") <= col("cp_di"))).as("mean_shift"))
-        .select(col("el").as("shel"), col("mean_shift"))
-      cp.join(shift, col("cel") === col("shel"))
-        .select(col("cel").as("el"), col("cp_di"),
-          r6(abs(col("cusum"))).as("cusum_max"),
-          r6(col("mean_shift")).as("mean_shift"))
-        .orderBy("el")
+      cusumFromGrid(daily(s, d))
     },
 
     /** Mutual information between element pairs (round 7): the

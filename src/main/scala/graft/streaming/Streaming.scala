@@ -1041,6 +1041,20 @@ object Streaming {
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
         graft.operators.CausalOps.partialCorrFromGrid, Seq("src", "dst"))
+    },
+
+    /** q233's CUSUM changepoint as a per-micro-batch refreshed view
+      * (round 8): completes the live causal dashboard — which element
+      * leads (q249), does its lag improve prediction (q256), is the
+      * link confounded (q257), and WHEN did each element's behavior
+      * shift (this). Final refresh == batch q233 oracle, bit-for-bit.
+      */
+    QueryDef(
+      "q258_stream_cusum",
+      graft.operators.CausalOps.defs.find(_.name == "q233_cusum_changepoint").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.CausalOps.cusumFromGrid, Seq("el"))
     }
   )
 
