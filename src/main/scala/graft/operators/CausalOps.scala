@@ -297,8 +297,11 @@ object CausalOps {
     * z-normalized series vectors — which composes in front of this
     * screen without changing its contract.
     */
-  private def pairCorr(s: SparkSession, d: String): DataFrame = {
-    val sm = daily(s, d).groupBy(col("el"))
+  private def pairCorr(s: SparkSession, d: String): DataFrame =
+    pairCorrOf(daily(s, d))
+
+  private def pairCorrOf(grid: DataFrame): DataFrame = {
+    val sm = grid.groupBy(col("el"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("di"), col("v")))))
         .as("m"))
     val pairs = sm.select(col("el").as("src"), col("m").as("mx"))
@@ -815,6 +818,145 @@ object CausalOps {
           col("b1"), col("b0"), col("bx"))
         .groupBy("src", "dst", "b1", "b0", "bx").agg(count(lit(1)).as("n"))
       teReadout(tri)
+    },
+
+    /** CAUSAL GRAPH SKELETON (round 8 capstone): the PC-algorithm's
+      * order-1 conditional-independence pruning plus a lead-lag
+      * orientation — the model-free construction of the directed graph
+      * the reference LEARNS as its B matrix (`model.py:214-224`). For
+      * every candidate pair (|corr| ≥ τ), the edge survives only if NO
+      * single conditioner — any third element, or the cross-element
+      * market mean as a pseudo-element — explains it away
+      * (|partial corr| < τ); the surviving edges are oriented by
+      * lead-lag asymmetry (which direction's lag-1..3 |xcorr| is
+      * stronger: '->' src leads, '<-' dst leads, '~' tie). Output per
+      * candidate pair: the raw corr, the minimal |partial| and WHICH
+      * conditioner achieved it (the edge's best explanation), the
+      * surviving-edge flag, and the orientation with its lead gap.
+      *
+      * Scale shape: ONE grid shuffle; pair correlations come from the
+      * compact-map [[pairCorrOf]] (no day-keyed join) over the grid
+      * extended with the market pseudo-element; the O(P³) conditioning
+      * pass is pure column math on the O(P²)-row correlation table
+      * (element-keyed self-joins), and the whole path sits behind
+      * [[guardFullEnum]] — at large P, compose the q251 screen in
+      * front so only surviving candidate pairs and top-m conditioners
+      * enter. Determinism: every correlation/partial is the identical
+      * closed form over exact decimal moment sums; the min-conditioner
+      * pick tie-breaks on the conditioner name; orientation compares
+      * round-6 xcorr magnitudes — all bit-identical across engines.
+      */
+    QueryDef(
+      "q259_causal_skeleton",
+      s"""WITH $dailySql,
+        |dailyx AS (
+        |  SELECT el, di, v FROM daily
+        |  UNION ALL
+        |  SELECT '__market' AS el, di,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS v
+        |  FROM daily GROUP BY di),
+        |prx AS (
+        |  SELECT x.el AS src, y.el AS dst, count(*) AS n,
+        |    CAST(sum(CAST(x.v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y.v AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x.v * x.v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM dailyx x JOIN dailyx y ON x.el < y.el AND x.di = y.di
+        |  GROUP BY 1, 2),
+        |pcx AS (
+        |  SELECT src, dst, n,
+        |    (n*sxy - sx*sy) / nullif(sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 0) AS r0
+        |  FROM prx),
+        |sym AS (
+        |  SELECT src, dst, r0 FROM pcx UNION ALL SELECT dst, src, r0 FROM pcx),
+        |cand AS (
+        |  SELECT src, dst, n, r0 FROM pcx
+        |  WHERE src <> '__market' AND dst <> '__market' AND abs(r0) >= $ScreenTau),
+        |tri AS (
+        |  SELECT c.src, c.dst, c.n, c.r0, s1.dst AS z,
+        |    coalesce((c.r0 - s1.r0*s2.r0)
+        |      / nullif(sqrt((1 - s1.r0*s1.r0) * (1 - s2.r0*s2.r0)), 0), 0.0) AS p
+        |  FROM cand c
+        |  JOIN sym s1 ON s1.src = c.src
+        |  JOIN sym s2 ON s2.src = c.dst AND s2.dst = s1.dst
+        |  WHERE s1.dst <> c.src AND s1.dst <> c.dst),
+        |minp AS (
+        |  SELECT src, dst, n, r0, z AS blocker, abs(p) AS map FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY abs(p), z) AS rr
+        |    FROM tri) WHERE rr = 1),
+        |m AS (
+        |  SELECT a.el AS src, b.el AS dst, l.lag, count(*) AS n,
+        |    CAST(sum(CAST(a.v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(b.v AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(a.v * a.v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(b.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM daily a
+        |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS l(lag)
+        |  JOIN daily b ON b.el <> a.el AND b.di = a.di + l.lag
+        |  GROUP BY 1, 2, 3),
+        |xc AS (
+        |  SELECT src, dst, lag,
+        |    round((n*sxy - sx*sy)
+        |      / nullif(sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 0), 6) AS xcorr
+        |  FROM m),
+        |ll AS (
+        |  SELECT src, dst, max(abs(xcorr)) AS fwd FROM xc WHERE lag >= 1
+        |  GROUP BY 1, 2)
+        |SELECT mp.src, mp.dst, CAST(mp.n AS BIGINT) AS n_days,
+        |  round(mp.r0, 6) AS r_raw, round(mp.map, 6) AS min_abs_partial,
+        |  mp.blocker,
+        |  CAST(abs(mp.r0) >= $ScreenTau AND mp.map >= $ScreenTau AS INT) AS edge,
+        |  CASE WHEN f.fwd > r.fwd THEN '->' WHEN r.fwd > f.fwd THEN '<-'
+        |    ELSE '~' END AS orient,
+        |  round(f.fwd - r.fwd, 6) AS lead_gap
+        |FROM minp mp
+        |JOIN ll f ON f.src = mp.src AND f.dst = mp.dst
+        |JOIN ll r ON r.src = mp.dst AND r.dst = mp.src
+        |ORDER BY mp.src, mp.dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = daily(s, d)
+      guardFullEnum(g, "q259_causal_skeleton")
+      val mkt = g.groupBy(col("di"))
+        .agg((dsum(col("v")) / count(lit(1))).as("v"))
+        .select(lit("__market").as("el"), col("di"), col("v"))
+      val ext = g.select(col("el"), col("di"), col("v")).unionByName(mkt)
+      val pcx = pairCorrOf(ext)
+      val sym = pcx.select(col("src"), col("dst"), col("r0"))
+        .unionByName(pcx.select(col("dst").as("src"), col("src").as("dst"), col("r0")))
+      val cand = pcx.where(col("src") =!= "__market" && col("dst") =!= "__market" &&
+        abs(col("r0")) >= ScreenTau)
+      val s1 = sym.select(col("src").as("a1"), col("dst").as("z1"), col("r0").as("raz"))
+      val s2 = sym.select(col("src").as("b2"), col("dst").as("z2"), col("r0").as("rbz"))
+      val tri = cand.join(s1, col("a1") === col("src"))
+        .join(s2, col("b2") === col("dst") && col("z2") === col("z1"))
+        .where(col("z1") =!= col("src") && col("z1") =!= col("dst"))
+        .select(col("src"), col("dst"), col("n"), col("r0"), col("z1").as("z"),
+          coalesce((col("r0") - col("raz") * col("rbz")) /
+            nullif(sqrt((lit(1.0) - col("raz") * col("raz")) *
+              (lit(1.0) - col("rbz") * col("rbz"))), lit(0.0)), lit(0.0)).as("p"))
+      val wmin = Window.partitionBy(col("src"), col("dst"))
+        .orderBy(abs(col("p")), col("z"))
+      val minp = tri.withColumn("rr", row_number().over(wmin)).where(col("rr") === 1)
+        .select(col("src"), col("dst"), col("n"), col("r0"),
+          col("z").as("blocker"), abs(col("p")).as("map"))
+      val ll = leadLagFromGrid(s, g).where(col("lag") >= 1)
+        .groupBy(col("src"), col("dst")).agg(max(abs(col("xcorr"))).as("fwd"))
+      val f = ll.select(col("src").as("fs"), col("dst").as("fd"), col("fwd"))
+      val r = ll.select(col("src").as("rs"), col("dst").as("rd"), col("fwd").as("rev"))
+      minp.join(f, col("fs") === col("src") && col("fd") === col("dst"))
+        .join(r, col("rs") === col("dst") && col("rd") === col("src"))
+        .select(col("src"), col("dst"), col("n").as("n_days"),
+          r6(col("r0")).as("r_raw"), r6(col("map")).as("min_abs_partial"),
+          col("blocker"),
+          when(abs(col("r0")) >= ScreenTau && col("map") >= ScreenTau, lit(1))
+            .otherwise(lit(0)).as("edge"),
+          when(col("fwd") > col("rev"), lit("->"))
+            .when(col("rev") > col("fwd"), lit("<-"))
+            .otherwise(lit("~")).as("orient"),
+          r6(col("fwd") - col("rev")).as("lead_gap"))
+        .orderBy("src", "dst")
     }
   )
 }

@@ -155,6 +155,26 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q259 skeleton: PC order-1 pruning fires on the fixture and orientation matches the lead gap") {
+    val rows = byName("q259_causal_skeleton")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("r_raw")) >= operators.CausalOps.ScreenTau - 1e-9, s"$r")
+      val edge = r.getAs[Int]("edge")
+      val minp = r.getAs[Double]("min_abs_partial")
+      assert((edge == 1) == (minp >= operators.CausalOps.ScreenTau), s"$r")
+      val gap = r.getAs[Double]("lead_gap")
+      val orient = r.getAs[String]("orient")
+      assert(if (gap > 0) orient == "->" else if (gap < 0) orient == "<-" else orient == "~", s"$r")
+    }
+    // the fixture has a genuinely explained-away pair: error—purchase's
+    // correlation vanishes once click is controlled for (measured)
+    val pruned = rows.filter(_.getAs[Int]("edge") == 0)
+    assert(pruned.nonEmpty, "expected at least one conditioning-pruned edge on the fixture")
+    assert(pruned.exists(r => r.getString(0) == "error" && r.getString(1) == "purchase"
+      && r.getAs[String]("blocker") == "click"), s"unexpected pruned set: ${pruned.toSeq}")
+  }
+
   test("full-enumeration paths fail loudly past the element-cardinality guard") {
     val s = spark
     import s.implicits._
