@@ -4,8 +4,8 @@ import graft.{PlanCache, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 statistical causality operators — the classical-statistics
-  * counterpart of the RETAIN B-matrix (reference `model.py:214-224`
+/** Statistical causality operators (rounds 7-8) — the classical-
+  * statistics counterpart of the RETAIN B-matrix (reference `model.py:214-224`
   * learns "contribution of element j to element i"; these compute the
   * model-free lead-lag evidence for the same question directly from the
   * event series).
@@ -36,9 +36,9 @@ object CausalOps {
 
   /** The (element, day-index, exact daily mean) grid every causal query
     * shares — persisted ONCE per (session, sf-dir) through [[PlanCache]],
-    * so the six-query family scans the fact table once instead of six
-    * times, and repeated bench/verify invocations reuse the same single
-    * cache entry instead of accumulating fresh ones (round-7 ADVICE).
+    * so the whole causal family scans the fact table once, and repeated
+    * bench/verify invocations reuse the same single cache entry instead
+    * of accumulating fresh ones (round-7 ADVICE).
     */
   private def daily(s: SparkSession, d: String): DataFrame =
     PlanCache.cached(s, s"causal_daily|$d") {
