@@ -91,4 +91,19 @@ class ObservabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"salting did not spread the shuffle: salted $saltedShare vs plain $plainShare")
     assert(saltedShare <= 0.5, s"salted share still concentrated: $saltedShare")
   }
+
+  test("causal family reuses the PlanCache grid: q230 after q229 never rescans events") {
+    // the round-8 claim measured, not asserted from the docstring: once
+    // q229 materializes the shared (element, day) grid, a sibling causal
+    // query's profiled input is the tiny cached grid (a few hundred
+    // records), not the fact table
+    SparkEntry.queries("q229_lead_lag_corr")(spark, sf).collect()
+    val obs = Observability.profile(spark) {
+      SparkEntry.queries("q230_granger_lite")(spark, sf).collect(); ()
+    }
+    val input = obs.map(_.inputRecords).sum
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(input < events / 2,
+      s"q230 re-scanned the fact table: profiled input=$input, events=$events")
+  }
 }
