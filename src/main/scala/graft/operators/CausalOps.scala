@@ -300,13 +300,20 @@ object CausalOps {
   private def pairCorr(s: SparkSession, d: String): DataFrame =
     pairCorrOf(daily(s, d))
 
-  private def pairCorrOf(grid: DataFrame): DataFrame = {
-    val sm = grid.groupBy(col("el"))
+  /** Per-element compact series map: el → (di → v), entries in di
+    * order. The causal family's "one row per element" representation. */
+  private def seriesMaps(grid: DataFrame): DataFrame =
+    grid.groupBy(col("el"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("di"), col("v")))))
         .as("m"))
-    val pairs = sm.select(col("el").as("src"), col("m").as("mx"))
-      .crossJoin(sm.select(col("el").as("dst"), col("m").as("my")))
-      .where(col("src") < col("dst"))
+
+  /** Common-day correlation from two compact maps: expects (src, dst,
+    * mx, my) rows and returns (src, dst, n, r0). Moment sums are
+    * DECIMAL(38,12)-accumulator HOFs over the map intersection — exact,
+    * order-free, bit-identical to a day-join decimal-sum formulation.
+    * Shared by the all-pairs screen (q251) and the banded LSH screen
+    * (q260, candidates only). */
+  private def corrFromMaps(pairs: DataFrame): DataFrame = {
     val common = filter(map_entries(col("mx")),
       e => map_contains_key(col("my"), e.getField("key")))
     def dAgg(term: Column => Column): Column =
@@ -326,6 +333,14 @@ object CausalOps {
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
             (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0))).as("r0"))
+  }
+
+  private def pairCorrOf(grid: DataFrame): DataFrame = {
+    val sm = seriesMaps(grid)
+    corrFromMaps(
+      sm.select(col("el").as("src"), col("m").as("mx"))
+        .crossJoin(sm.select(col("el").as("dst"), col("m").as("my")))
+        .where(col("src") < col("dst")))
   }
 
   /** The surviving pairs (src < dst) with their screen evidence:
@@ -956,6 +971,108 @@ object CausalOps {
             .when(col("rev") > col("fwd"), lit("<-"))
             .otherwise(lit("~")).as("orient"),
           r6(col("fwd") - col("rev")).as("lead_gap"))
+        .orderBy("src", "dst")
+    },
+
+    /** BANDED LSH causal screen (round 8): the >10⁴-element composition
+      * the compact-map screen's docstring promised, implemented. Each
+      * element's z-normalized daily series (first 64 days as the sketch
+      * window; exact decimal μ/σ) is sign-sketched against the shared
+      * deterministic hyperplane family (operators/Lsh.scala, 8 planes
+      * over the day dimension), split into 4 bands × 2 bits; candidate
+      * pairs are elements sharing ANY band bucket (the q225 MinHash
+      * OR-construction applied to series space), and ONLY candidates
+      * get the exact common-day correlation via the compact maps. At
+      * large P the pair enumeration is bounded by band-bucket occupancy
+      * instead of P² — and every join is element/bucket-keyed.
+      *
+      * Honesty (measured): on this fixture's weak correlations
+      * (|r| ≈ 0.1–0.2) a banded 4×2 sketch keeps 6 of 10 pairs at
+      * sf0.01 with 5/8 recall of the τ-survivor set (all 10 collide at
+      * sf0.001) — the standard cosine-LSH recall curve near
+      * orthogonality; production buys recall with more bands/tables
+      * (the documented Lsh scale knob). CausalSpec pins the exact
+      * candidate behavior and the bit-equality of candidate r0 with the
+      * full screen. Deterministic end-to-end: z, dots (decimal sums of
+      * exact-binary-fraction plane weights), sign bits, buckets, and
+      * correlations are bit-identical across engines, so even the
+      * candidate SET oracles.
+      */
+    QueryDef(
+      "q260_causal_lsh_screen", {
+        val planes = Lsh.hyperplanes(8, 64)
+        val wRows = (for (p <- 0 until 8; di <- 0 until 64)
+          yield s"($p, $di, ${planes(p)(di)})").mkString(",\n        |    ")
+        s"""WITH $dailySql,
+          |st AS (
+          |  SELECT el, count(*) AS n,
+          |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+          |    CAST(sum(CAST(v*v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+          |  FROM daily GROUP BY 1),
+          |z AS (
+          |  SELECT d.el, d.di,
+          |    (d.v - s.sv/s.n) / sqrt(s.svv/s.n - (s.sv/s.n)*(s.sv/s.n)) AS z
+          |  FROM daily d JOIN st s ON d.el = s.el WHERE d.di < 64),
+          |w AS (SELECT * FROM (VALUES
+          |    $wRows) AS t(p, di, wv)),
+          |dots AS (
+          |  SELECT z.el, w.p,
+          |    CAST(sum(CAST(z.z * CAST(w.wv AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+          |  FROM z JOIN w ON w.di = z.di GROUP BY 1, 2),
+          |bands AS (
+          |  SELECT el, p // 2 AS band,
+          |    sum(CASE WHEN dot > 0 THEN (CASE WHEN p % 2 = 0 THEN 1 ELSE 2 END)
+          |      ELSE 0 END) AS bval
+          |  FROM dots GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT DISTINCT a.el AS src, b.el AS dst
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bval = b.bval AND a.el < b.el),
+          |pr AS (
+          |  SELECT x.el AS src, y.el AS dst, count(*) AS n,
+          |    CAST(sum(CAST(x.v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          |    CAST(sum(CAST(y.v AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          |    CAST(sum(CAST(x.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+          |    CAST(sum(CAST(x.v * x.v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+          |    CAST(sum(CAST(y.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS syy
+          |  FROM daily x JOIN daily y ON x.el < y.el AND x.di = y.di
+          |  JOIN cand c ON c.src = x.el AND c.dst = y.el
+          |  GROUP BY 1, 2)
+          |SELECT src, dst, CAST(n AS BIGINT) AS n_days,
+          |  round((n*sxy - sx*sy)
+          |    / nullif(sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 0), 6) AS r0
+          |FROM pr ORDER BY src, dst""".stripMargin
+      }) { (s, d) =>
+      val planes = Lsh.hyperplanes(8, 64)
+      val g = daily(s, d)
+      val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("cn"),
+        dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
+      val mu = col("sv") / col("cn")
+      val sig = sqrt(col("svv") / col("cn") - mu * mu)
+      val z = g.join(st, col("el") === col("sel")).where(col("di") < 64)
+        .select(col("el"), col("di"), ((col("v") - mu) / sig).as("z"))
+      def dotCol(p: Int) =
+        dsum(col("z") * element_at(array(planes(p).map(lit): _*),
+          (col("di") + 1).cast("int"))).as(s"dot$p")
+      val dots = z.groupBy(col("el")).agg(dotCol(0), (1 until 8).map(dotCol): _*)
+      def bval(b: Int) =
+        when(col(s"dot${2 * b}") > 0, lit(1)).otherwise(lit(0)) +
+          when(col(s"dot${2 * b + 1}") > 0, lit(2)).otherwise(lit(0))
+      val bands = dots.select(col("el"), inline(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), bval(b).as("bval"))): _*)))
+      val cand = bands.select(col("el").as("src"), col("band"), col("bval"))
+        .join(bands.select(col("el").as("dst"), col("band").as("bandb"),
+          col("bval").as("bvalb")),
+          col("band") === col("bandb") && col("bval") === col("bvalb") &&
+            col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val sm = seriesMaps(g)
+      val pairs = cand
+        .join(sm.select(col("el").as("es"), col("m").as("mx")), col("es") === col("src"))
+        .join(sm.select(col("el").as("ed"), col("m").as("my")), col("ed") === col("dst"))
+        .select(col("src"), col("dst"), col("mx"), col("my"))
+      corrFromMaps(pairs)
+        .select(col("src"), col("dst"), col("n").as("n_days"), r6(col("r0")).as("r0"))
         .orderBy("src", "dst")
     }
   )

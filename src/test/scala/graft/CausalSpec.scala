@@ -175,6 +175,28 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
       && r.getAs[String]("blocker") == "click"), s"unexpected pruned set: ${pruned.toSeq}")
   }
 
+  test("q260 banded LSH screen prunes deterministically and agrees bit-for-bit with the full screen") {
+    // sf0.01 is where the sketch genuinely prunes (all 10 pairs collide
+    // at sf0.001); everything is deterministic, so the measured
+    // candidate set and recall are exact fixture facts, not thresholds
+    val sf01 = "/root/testdata/sf0.01"
+    val cands = byName("q260_causal_lsh_screen")(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("r0")).toMap
+    val full = byName("q251_causal_screen")(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("r0")).toMap
+    assert(cands.nonEmpty && cands.size < 10,
+      s"expected band-bucket pruning at sf0.01, got ${cands.size} of 10 pairs")
+    // candidate correlations equal the full screen's exactly where both exist
+    cands.foreach { case (k, r) =>
+      full.get(k).foreach(fr => assert(fr == r, s"$k: lsh $r vs full $fr"))
+    }
+    // measured recall of the full-screen survivor set (5 of 8 on this
+    // fixture's weak correlations — the documented OR-construction curve)
+    val hit = full.keySet.count(cands.contains)
+    assert(hit * 2 >= full.size,
+      s"candidate recall $hit/${full.size} fell below the measured floor")
+  }
+
   test("full-enumeration paths fail loudly past the element-cardinality guard") {
     val s = spark
     import s.implicits._
