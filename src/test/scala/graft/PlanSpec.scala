@@ -528,6 +528,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q250 residual IVF-PQ is join-free and map-side: literal quantizers + one bounded heap") {
+    // the trained codebooks are driver-held literals, so assignment,
+    // residual encode, and ADC must all be map-side expressions over
+    // ONE corpus scan — no join, no window, and the top-10 as a
+    // TakeOrdered heap rather than a global sort
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q250_ivfpq_residual")(spark, sf)))
+    val joins = nodes.filter(n => n.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"unexpected joins in the q250 plan: ${joins.map(_.nodeName)}")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"unexpected windows: ${windows.map(_.nodeName)}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "expected the bounded TakeOrderedAndProject top-10 heap")
+    val globalSorts = nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s }
+    assert(globalSorts.isEmpty, s"global sort in the ADC plan: ${globalSorts.map(_.nodeName)}")
+  }
+
   test("q236 keyset page plans bounded heaps, no global sort materialization") {
     // both the anchor (top-100) and the page (top-50 past the seek
     // predicate) must be TakeOrdered heaps — a global SortExec would
