@@ -21,23 +21,44 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as raw long (legacy conf) and rebuild a
-    * micros-precision TimestampType with integer DIV (no double
-    * round-trip: nanos epochs exceed 2^53, so `/1000` through double
-    * would lose microseconds). DuckDB likewise truncates nanos→micros,
-    * keeping the two engines' views of `ts` identical.
+  /** The driver has shipped `events.ts` under two parquet encodings
+    * across rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as raw long via the legacy conf and rebuild a
+    * micros TimestampType with integer DIV; nanos epochs exceed 2^53,
+    * so a double round-trip would lose microseconds) and, since round 8,
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark infers
+    * as TIMESTAMP_NTZ). The footer schema is the source of truth: probe
+    * it once per (session, dir) and adapt. Both paths end in the same
+    * micros-precision session-TZ TimestampType (session TZ is pinned to
+    * UTC by [[GraftSession]], so the NTZ→TZ cast is wall-clock exact),
+    * and DuckDB sees the identical instants either way.
     *
     * The nanos-as-long flag is SESSION-WIDE (no reader-scoped option
     * exists); [[GraftSession]] sets it at session setup and documents the
     * contract. The set here is an idempotent safety net for
     * driver-supplied sessions that bypassed GraftSession.
     */
+  private val tsLongCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff `$d/events.parquet` stores `ts` as nanos-as-long (the
+    * pre-round-8 encoding). One footer read per (session, dir). */
+  def eventsTsIsLong(s: SparkSession, d: String): Boolean =
+    tsLongCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$d", _ => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(s, d, "events").schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+      })
+
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    if (eventsTsIsLong(s, d))
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      raw.withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

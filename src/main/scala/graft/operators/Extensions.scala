@@ -134,10 +134,7 @@ object Extensions {
       """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val rawSchema = graft.streaming.Streaming.rawSchema(s, d)
       // same staged dir as the other stream sources
       val stage = {
         import java.nio.file.{Files, Paths, StandardCopyOption}

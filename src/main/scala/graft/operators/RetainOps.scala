@@ -656,10 +656,7 @@ object RetainOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
       import org.apache.spark.sql.types._
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val rawSchema = graft.streaming.Streaming.rawSchema(s, d)
       val stage = {
         import java.nio.file.{Files, Paths, StandardCopyOption}
         val dir = Paths.get(s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
@@ -677,7 +674,7 @@ object RetainOps {
       val startMicros = java.time.LocalDate.parse(gridStart)
         .atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
       val scoredStream = s.readStream.schema(rawSchema).parquet(stage)
-        .withColumn("tsm", expr("ts DIV 1000")) // nanos → micros
+        .withColumn("tsm", graft.streaming.Streaming.tsAsMicros(s, d)) // → epoch micros
         .where(col("tsm") < splitMicros)
         .select(col("user_id"), col("tsm"), col("event_type"), col("value"))
         .as[(Long, Long, String, Double)]

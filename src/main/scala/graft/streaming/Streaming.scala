@@ -23,14 +23,31 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Raw parquet schema of events with nanos ts as long. */
-  private val rawSchema = StructType(Seq(
+  /** Raw parquet schema of events for the file-stream source, matching
+    * the dir's physical ts encoding (nanos-as-long pre-round-8, micros
+    * TIMESTAMP_NTZ since — [[graft.Tables.eventsTsIsLong]] probes the
+    * footer; the streaming source needs the schema up front).
+    */
+  private[graft] def rawSchema(s: SparkSession, d: String): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts",
+      if (graft.Tables.eventsTsIsLong(s, d)) LongType
+      else org.apache.spark.sql.types.TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Session-TZ (UTC) micros TimestampType view of the raw `ts` column —
+    * the one expression both encodings normalize through. */
+  private[graft] def tsAsTimestamp(s: SparkSession, d: String): org.apache.spark.sql.Column =
+    if (graft.Tables.eventsTsIsLong(s, d)) timestamp_micros(expr("ts DIV 1000"))
+    else col("ts").cast("timestamp")
+
+  /** Epoch-micros long view of the raw `ts` column (q95's state grid). */
+  private[graft] def tsAsMicros(s: SparkSession, d: String): org.apache.spark.sql.Column =
+    if (graft.Tables.eventsTsIsLong(s, d)) expr("ts DIV 1000")
+    else unix_micros(col("ts").cast("timestamp"))
 
   /** Scratch root for staged stream sources, checkpoints, and sinks:
     * tmpfs when available (the box's block device is burst-throttled —
@@ -57,8 +74,8 @@ object Streaming {
 
   /** File-stream of events with proper event-time column. */
   private[graft] def eventStream(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(rawSchema).parquet(stageDir(d))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    s.readStream.schema(rawSchema(s, d)).parquet(stageDir(d))
+      .withColumn("ts", tsAsTimestamp(s, d))
 
   /** Run a finite streaming DF to a memory sink, return the sink table. */
   private def drain(s: SparkSession, df: DataFrame, name: String,
