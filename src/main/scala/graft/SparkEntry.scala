@@ -31,6 +31,7 @@ object SparkEntry {
       operators.CausalOps.defs ++
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
+      operators.HybridOps.defs ++
       operators.DialectOps.defs ++
       operators.MLOps.defs ++
       operators.Observability.defs ++

@@ -1074,6 +1074,241 @@ object CausalOps {
       corrFromMaps(pairs)
         .select(col("src"), col("dst"), col("n").as("n_days"), r6(col("r0")).as("r0"))
         .orderBy("src", "dst")
+    },
+
+    /** Periodogram: DFT power of each element's (mean-removed) daily
+      * series at the three calendar-candidate periods (7/14/30 days) —
+      * the spectral "is there a weekly cycle" readout that motivates
+      * lag choices in the lead-lag family (q229). Runs on the shared
+      * [[PlanCache]] daily grid: one fact-table scan ever, then O(P·T·3)
+      * map-side cos/sin products reduced by ONE grouped aggregate —
+      * partial aggregation does the heavy lifting, so 100 TB of raw
+      * events still reduce to P·3 output rows with no extra shuffle
+      * beyond the grid's. Decimal moment-sum idiom (cf. q229) keeps the
+      * cross-engine sums exact; cos/sin inputs are identical doubles on
+      * both sides (2·π·di/period with π the same IEEE literal), and the
+      * final round(…,6) absorbs any sub-ULP libm divergence — same
+      * transcendental-parity contract q73 (tanh/exp) and q178 (ln)
+      * already rely on.
+      */
+    QueryDef(
+      "q263_periodogram",
+      s"""WITH $dailySql,
+        |st AS (
+        |  SELECT el AS sel, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+        |  FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT d.el, d.di, d.v - st.mu AS vc, st.n
+        |  FROM daily d JOIN st ON st.sel = d.el),
+        |p AS (
+        |  SELECT el, n, pd,
+        |    CAST(sum(CAST(vc * cos(2 * pi() * di / pd) AS DECIMAL(38,12))) AS DOUBLE) AS ca,
+        |    CAST(sum(CAST(vc * sin(2 * pi() * di / pd) AS DECIMAL(38,12))) AS DOUBLE) AS sb
+        |  FROM t CROSS JOIN (VALUES (7.0), (14.0), (30.0)) pp(pd)
+        |  GROUP BY 1, 2, 3)
+        |SELECT el, CAST(pd AS INT) AS period, CAST(n AS BIGINT) AS n_days,
+        |  round((ca * ca + sb * sb) / (n * n), 6) AS power
+        |FROM p ORDER BY el, period""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val g = daily(s, d)
+      val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
+        (dsum(col("v")) / count(lit(1))).as("mu"))
+      val t = g.join(st, col("el") === col("sel"))
+        .select(col("el"), col("di"), (col("v") - col("mu")).as("vc"), col("n"))
+      val periods = Seq(7.0, 14.0, 30.0).toDF("pd")
+      val ang = lit(2.0) * lit(math.Pi) * col("di") / col("pd")
+      t.crossJoin(broadcast(periods))
+        .groupBy(col("el"), col("n"), col("pd"))
+        .agg(dsum(col("vc") * cos(ang)).as("ca"),
+          dsum(col("vc") * sin(ang)).as("sb"))
+        .select(col("el"), col("pd").cast("int").as("period"),
+          col("n").as("n_days"),
+          r6((col("ca") * col("ca") + col("sb") * col("sb")) /
+            (col("n") * col("n"))).as("power"))
+        .orderBy("el", "period")
+    },
+
+    /** STL-lite seasonal decomposition per element: centered 7-row
+      * moving-average trend over the daily grid, day-of-week seasonal
+      * means of the detrended series, and the per-element seasonal
+      * strength 1 − SS_resid/SS_detrended. Everything runs on the O(P·T)
+      * grid: the trend is an element-partitioned ROWS window (never a
+      * global sort — the q233 discipline), the seasonal means and the
+      * variance readout are two more grouped aggregates on grid-sized
+      * data. Window/group sums use the exact-decimal idiom so both
+      * engines see identical trend/seasonal doubles.
+      */
+    QueryDef(
+      "q264_seasonal_decompose",
+      s"""WITH $dailySql,
+        |tr AS (
+        |  SELECT el, di, v,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) OVER w AS DOUBLE)
+        |      / count(*) OVER w AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY el ORDER BY di
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (
+        |  SELECT el, di % 7 AS dow, count(*) AS n_days,
+        |    CAST(sum(CAST(v - trend AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS seas
+        |  FROM tr GROUP BY 1, 2),
+        |j AS (
+        |  SELECT t.el, t.v, t.trend, s.seas
+        |  FROM tr t JOIN se s ON s.el = t.el AND s.dow = t.di % 7),
+        |vr AS (
+        |  SELECT el,
+        |    CAST(sum(CAST((v - trend) * (v - trend) AS DECIMAL(38,12))) AS DOUBLE) AS ss_detr,
+        |    CAST(sum(CAST((v - trend - seas) * (v - trend - seas) AS DECIMAL(38,12))) AS DOUBLE) AS ss_resid
+        |  FROM j GROUP BY 1)
+        |SELECT s.el, CAST(s.dow AS INT) AS dow, CAST(s.n_days AS BIGINT) AS n_days,
+        |  round(s.seas, 6) AS seas,
+        |  round(1 - vr.ss_resid / nullif(vr.ss_detr, 0), 6) AS seasonal_strength
+        |FROM se s JOIN vr ON vr.el = s.el
+        |ORDER BY s.el, dow""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = daily(s, d)
+      val w = Window.partitionBy(col("el")).orderBy(col("di")).rowsBetween(-3, 3)
+      val tr = g.select(col("el"), col("di"), col("v"),
+        (sum(col("v").cast("decimal(38,12)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("trend"))
+      val se = tr.groupBy(col("el"), (col("di") % 7).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          (dsum(col("v") - col("trend")) / count(lit(1))).as("seas"))
+      val j = tr.join(se.select(col("el").as("sel"), col("dow"), col("seas")),
+        col("sel") === col("el") && col("dow") === col("di") % 7)
+      val vr = j.groupBy(col("el").as("vel")).agg(
+        dsum((col("v") - col("trend")) * (col("v") - col("trend"))).as("ss_detr"),
+        dsum((col("v") - col("trend") - col("seas")) *
+          (col("v") - col("trend") - col("seas"))).as("ss_resid"))
+      se.join(vr, col("vel") === col("el"))
+        .select(col("el"), col("dow").cast("int").as("dow"), col("n_days"),
+          r6(col("seas")).as("seas"),
+          r6(lit(1) - col("ss_resid") / nullif(col("ss_detr"), lit(0.0)))
+            .as("seasonal_strength"))
+        .orderBy("el", "dow")
+    },
+
+    /** Benjamini-Hochberg discovery control over the causal pair family:
+      * Fisher-z p-values for the market-adjusted partial correlations
+      * (q248's moment sums, z = atanh(r)·√(n−4), two-sided normal tail
+      * via the Abramowitz-Stegun 26.2.17 polynomial — both engines
+      * evaluate the IDENTICAL closed form, documented |err| ≤ 7.5e-8,
+      * far inside the round-6 output grid), then the BH step-up at
+      * α = 0.1: rank p ascending, k* = max{i : p_i ≤ α·i/m}, flag the
+      * prefix. The reference dumps EVERY B-matrix cell as causal
+      * evidence (`model.py:296-310`); this is the principled cut a user
+      * applies to that readout before acting on it. Scale shape: p-values
+      * come from the same O(P²)-bounded moment-sum table as q248 (guard
+      * applies), and BH's global rank runs on those O(P²) score rows —
+      * ≤ 4M rows at the guard ceiling, a single-partition sort of a few
+      * MB, nothing like a data-sized global window (the q174 two-phase
+      * pattern applies beyond that).
+      */
+    QueryDef(
+      "q265_causal_fdr",
+      s"""WITH $dailySql,
+        |mkt AS (
+        |  SELECT di, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mv
+        |  FROM daily GROUP BY 1),
+        |g AS (
+        |  SELECT x.el AS src, y.el AS dst, x.v AS xv, y.v AS yv, k.mv
+        |  FROM daily x
+        |  JOIN daily y ON x.el < y.el AND y.di = x.di
+        |  JOIN mkt k ON k.di = x.di),
+        |m AS (
+        |  SELECT src, dst, count(*) AS n,
+        |    CAST(sum(CAST(xv AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(yv AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(mv AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(xv*xv AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(yv*yv AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(mv*mv AS DECIMAL(38,12))) AS DOUBLE) AS smm,
+        |    CAST(sum(CAST(xv*yv AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(xv*mv AS DECIMAL(38,12))) AS DOUBLE) AS sxm,
+        |    CAST(sum(CAST(yv*mv AS DECIMAL(38,12))) AS DOUBLE) AS sym
+        |  FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT src, dst, n,
+        |    (n*sxy - sx*sy) / nullif(sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 0) AS rxy,
+        |    (n*sxm - sx*sm) / nullif(sqrt((n*sxx - sx*sx)*(n*smm - sm*sm)), 0) AS rxm,
+        |    (n*sym - sy*sm) / nullif(sqrt((n*syy - sy*sy)*(n*smm - sm*sm)), 0) AS rym
+        |  FROM m WHERE n > 4),
+        |pc AS (
+        |  SELECT src, dst, n,
+        |    (rxy - rxm*rym) / nullif(sqrt((1 - rxm*rxm)*(1 - rym*rym)), 0) AS rp
+        |  FROM r),
+        |zt AS (
+        |  SELECT src, dst, n, rp,
+        |    abs(0.5 * ln((1 + rp) / (1 - rp)) * sqrt(n - 4.0)) AS az
+        |  FROM pc),
+        |z2 AS (SELECT *, 1 / (1 + 0.2316419 * az) AS tt FROM zt),
+        |pv AS (
+        |  SELECT src, dst, n, rp,
+        |    2 * (exp(-az * az / 2) / sqrt(2 * pi())) *
+        |      (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt
+        |        - 0.356563782) * tt + 0.319381530) * tt) AS p
+        |  FROM z2),
+        |bh AS (
+        |  SELECT *, row_number() OVER (ORDER BY p, src, dst) AS i,
+        |    count(*) OVER () AS m
+        |  FROM pv),
+        |kk AS (
+        |  SELECT coalesce(max(CASE WHEN p <= 0.1 * i / m THEN i END), 0) AS k
+        |  FROM bh)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n_days, round(rp, 6) AS r_partial,
+        |  round(p, 6) AS p_value, CAST(i AS INT) AS p_rank,
+        |  CAST(CASE WHEN i <= kk.k THEN 1 ELSE 0 END AS INT) AS discovery
+        |FROM bh, kk ORDER BY src, dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g0 = daily(s, d)
+      guardFullEnum(g0, "q265_causal_fdr")
+      val mkt = g0.groupBy(col("di").as("dik"))
+        .agg((dsum(col("v")) / count(lit(1))).as("mv"))
+      val x = g0.select(col("el").as("src"), col("di"), col("v").as("xv"))
+      val y = g0.select(col("el").as("dst"), col("di").as("diy"), col("v").as("yv"))
+      val grid = x.join(y, col("src") < col("dst") && col("diy") === col("di"))
+        .join(mkt, col("dik") === col("di"))
+      val m = grid.groupBy("src", "dst").agg(count(lit(1)).as("n"),
+        dsum(col("xv")).as("sx"), dsum(col("yv")).as("sy"), dsum(col("mv")).as("sm"),
+        dsum(col("xv") * col("xv")).as("sxx"),
+        dsum(col("yv") * col("yv")).as("syy"),
+        dsum(col("mv") * col("mv")).as("smm"),
+        dsum(col("xv") * col("yv")).as("sxy"),
+        dsum(col("xv") * col("mv")).as("sxm"),
+        dsum(col("yv") * col("mv")).as("sym"))
+      def corr2(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+        (col("n") * sab - sa * sb) /
+          nullif(sqrt((col("n") * saa - sa * sa) * (col("n") * sbb - sb * sb)), lit(0.0))
+      val r = m.where(col("n") > 4).select(col("src"), col("dst"), col("n"),
+        corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("rxy"),
+        corr2(col("sxm"), col("sx"), col("sm"), col("sxx"), col("smm")).as("rxm"),
+        corr2(col("sym"), col("sy"), col("sm"), col("syy"), col("smm")).as("rym"))
+      val rp = (col("rxy") - col("rxm") * col("rym")) /
+        nullif(sqrt((lit(1) - col("rxm") * col("rxm")) *
+          (lit(1) - col("rym") * col("rym"))), lit(0.0))
+      val pc = r.select(col("src"), col("dst"), col("n"), rp.as("rp"))
+      val az = abs(lit(0.5) * log((lit(1) + col("rp")) / (lit(1) - col("rp"))) *
+        sqrt(col("n") - 4.0))
+      val z2 = pc.withColumn("az", az)
+        .withColumn("tt", lit(1) / (lit(1) + lit(0.2316419) * col("az")))
+      val tt = col("tt")
+      val p = lit(2) * (exp(-col("az") * col("az") / 2) / sqrt(lit(2) * lit(math.Pi))) *
+        (((((lit(1.330274429) * tt - lit(1.821255978)) * tt + lit(1.781477937)) * tt
+          - lit(0.356563782)) * tt + lit(0.319381530)) * tt)
+      val pv = z2.select(col("src"), col("dst"), col("n"), col("rp"), p.as("p"))
+      val bh = pv
+        .withColumn("i", row_number().over(Window.orderBy(col("p"), col("src"), col("dst"))))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      val kk = bh.agg(coalesce(max(when(
+        col("p") <= lit(0.1) * col("i") / col("m"), col("i"))), lit(0L)).as("k"))
+      bh.crossJoin(broadcast(kk))
+        .select(col("src"), col("dst"), col("n").as("n_days"),
+          r6(col("rp")).as("r_partial"), r6(col("p")).as("p_value"),
+          col("i").cast("int").as("p_rank"),
+          when(col("i") <= col("k"), lit(1)).otherwise(lit(0)).cast("int")
+            .as("discovery"))
+        .orderBy("src", "dst")
     }
   )
 }

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 3: hybrid retrieval and cluster-scoped semantic dedup —
+  * the two retrieval-stack compositions a production corpus pipeline
+  * layers on top of the primitives the engine already ships (BM25 q178,
+  * embedding top-k q64, centroid assignment q65, pairwise near-dup q98).
+  *
+  *  - q261: reciprocal-rank fusion of the lexical (BM25) and semantic
+  *    (embedding-cosine) candidate lists — the standard hybrid-search
+  *    merge (Cormack et al., SIGIR'09).
+  *  - q262: SemDeDup-shaped semantic dedup (Abbas et al., 2023): cluster
+  *    the embedding space, then prune near-duplicate pairs ONLY within a
+  *    cluster — O(N²/K) instead of O(N²) pair work.
+  */
+object HybridOps {
+  private def r6(c: Column) = round(c, 6)
+
+  /** q261's fixed query vector — distinct lineage from q64's `qvec` and
+    * q228's `pqQueryVec` so the three retrieval paths probe different
+    * geometry. */
+  private val rrfVec: Array[Double] =
+    Array.tabulate(64)(i => (((i * 17 + 5) % 19) - 9) / 10.0)
+  private def rrfVecLit: Column = array(rrfVec.map(lit): _*)
+  private def rrfVecSql: String = rrfVec.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Cluster-size ceiling for q262's within-cluster pair join. SemDeDup's
+    * contract is that clustering bounds cluster size (K grows with N), so
+    * the pair stage is O(cap²) per cluster; if the clustering ever
+    * degenerates past this bound the engine fails LOUDLY instead of
+    * silently launching a quadratic join (the [[CausalOps]] guard
+    * discipline). */
+  private[graft] val MaxSemCluster = 4096L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Reciprocal-rank fusion (k=60) of two top-100 candidate lists:
+      * lexical BM25 (q178's scoring, identical constants) and semantic
+      * cosine vs [[rrfVec]]. Each list is a GLOBAL top-100 —
+      * `orderBy.limit` plans TakeOrderedAndProject, so every partition
+      * contributes a local heap and only 100 rows reach the driver-side
+      * merge: the 100 TB shape (no global sort, no global window on
+      * data-sized input; the row_number windows below run over the
+      * already-cut 100-row lists). Ranks cut on round-6 scores with
+      * doc_id tie-breaks, so the rank ints — and therefore the fused
+      * 1/(60+r) sums, exact double reciprocal-adds in fixed order — are
+      * engine-identical (the q226 margin discipline). A document missing
+      * from one list contributes 0 from that side (standard RRF).
+      */
+    QueryDef(
+      "q261_hybrid_rrf",
+      s"""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(ws, x -> x = 'join')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(ws, x -> x = 'fast')) AS DOUBLE) AS tf3
+        |  FROM tok),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM tf),
+        |lex AS (
+        |  SELECT doc_id, round(
+        |      ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) *
+        |        (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) +
+        |      ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) *
+        |        (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) +
+        |      ln(1 + (st.n - st.df3 + 0.5) / (st.df3 + 0.5)) *
+        |        (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 6) AS sc
+        |  FROM tf, st WHERE tf1 + tf2 + tf3 > 0),
+        |lexr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rl
+        |  FROM lex ORDER BY sc DESC, doc_id LIMIT 100),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], $rrfVecSql), 6) AS cs
+        |  FROM embeddings),
+        |semr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rs
+        |  FROM sem ORDER BY cs DESC, doc_id LIMIT 100),
+        |f AS (
+        |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60 + l.rl), 0) + coalesce(1.0 / (60 + r.rs), 0) AS rrf,
+        |    coalesce(l.rl, 0) AS lex_rank, coalesce(r.rs, 0) AS sem_rank
+        |  FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
+        |SELECT doc_id, round(rrf, 6) AS rrf,
+        |  CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.functions.{Kernels, Text}
+      // lexical list: q178's BM25 constants, round-6 rank cut
+      def cnt(w: String) = size(filter(col("ws"), x => x === w)).cast("double")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), Text.wordsCol(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+          cnt("spark").as("tf1"), cnt("join").as("tf2"), cnt("fast").as("tf3"))
+      val st = tf.agg(
+        count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).cast("double").as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).cast("double").as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).cast("double").as("df3"))
+      def term(tfc: String, dfc: String) =
+        log(lit(1) + (col("n") - col(dfc) + 0.5) / (col(dfc) + 0.5)) *
+          (col(tfc) * 2.2) /
+          (col(tfc) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val lex = tf.crossJoin(broadcast(st))
+        .where(col("tf1") + col("tf2") + col("tf3") > 0)
+        .select(col("doc_id"),
+          r6(term("tf1", "df1") + term("tf2", "df2") + term("tf3", "df3")).as("sc"))
+      val lexr = lex.orderBy(col("sc").desc, col("doc_id")).limit(100)
+        .withColumn("rl",
+          row_number().over(Window.orderBy(col("sc").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rl"))
+      // semantic list: cosine vs the fixed query vector, round-6 rank cut
+      val sem = Tables.embeddings(s, d)
+        .select(col("vec_id").as("sdoc_id"),
+          r6(Kernels.cosine(col("embedding").cast("array<double>"), rrfVecLit))
+            .as("cs"))
+      val semr = sem.orderBy(col("cs").desc, col("sdoc_id")).limit(100)
+        .withColumn("rs",
+          row_number().over(Window.orderBy(col("cs").desc, col("sdoc_id"))))
+        .select(col("sdoc_id"), col("rs"))
+      lexr.join(semr, col("doc_id") === col("sdoc_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("sdoc_id")).as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0))).as("rrf"),
+          coalesce(col("rl"), lit(0)).cast("int").as("lex_rank"),
+          coalesce(col("rs"), lit(0)).cast("int").as("sem_rank"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), r6(col("rrf")).as("rrf"),
+          col("lex_rank"), col("sem_rank"))
+    },
+
+    /** SemDeDup-shaped semantic dedup: q65's per-label mean centroids
+      * partition the embedding space; each vector joins its argmax-cosine
+      * cluster via the SAME broadcast-fold assignment (zero assignment
+      * shuffle); then near-duplicate pairs (cosine ≥ 0.4) are enumerated
+      * ONLY within a cluster — the join is keyed on the cluster id, so
+      * total pair work is O(Σ cap²·K) = O(N²/K) under the
+      * [[MaxSemCluster]] guard (fails loudly if the clustering ever
+      * degenerates), never the all-pairs O(N²). Keep-first: the
+      * smaller vec_id of each near-dup pair survives, so `n_pruned`
+      * counts distinct larger-side ids — the dedup family's q60/q122
+      * retention rule applied in embedding space. Output is the
+      * per-cluster readout (members, duplicate pairs, pruned count,
+      * max within-cluster cosine).
+      */
+    QueryDef(
+      "q262_semdedup",
+      """WITH pos AS (
+        |  SELECT label, unnest(list_transform(embedding::DOUBLE[],
+        |    (x, i) -> {'x': x, 'i': i}), recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, i, avg(x) AS cx FROM pos GROUP BY 1, 2),
+        |centv AS (
+        |  SELECT clabel, list(cx ORDER BY i) AS cvec FROM cent GROUP BY clabel),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |               c.clabel) AS rn
+        |  FROM embeddings e CROSS JOIN centv c),
+        |a AS (SELECT vec_id, emb, clabel FROM assigned WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.clabel, x.vec_id AS keep_id, y.vec_id AS prune_id,
+        |    list_cosine_similarity(x.emb, y.emb) AS cos
+        |  FROM a x JOIN a y ON x.clabel = y.clabel AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4),
+        |mem AS (SELECT clabel, count(*) AS n_members FROM a GROUP BY 1)
+        |SELECT m.clabel AS cluster, m.n_members,
+        |  CAST(coalesce(count(p.prune_id), 0) AS BIGINT) AS n_dup_pairs,
+        |  CAST(coalesce(count(DISTINCT p.prune_id), 0) AS BIGINT) AS n_pruned,
+        |  round(coalesce(max(p.cos), -1), 6) AS max_cos
+        |FROM mem m LEFT JOIN pairs p ON p.clabel = m.clabel
+        |GROUP BY 1, 2 ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      val cent = e
+        .select(col("label").as("clabel"),
+          posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("clabel", "i").agg(avg(col("x")).as("cx"))
+        .groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          st => st.getField("cx")).as("cvec"))
+      val cents = cent
+        .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
+          .as("cents"))
+      // q65's broadcast-fold argmax assignment — map-side, no shuffle
+      val a = e.crossJoin(broadcast(cents))
+        .withColumn("best",
+          aggregate(col("cents"),
+            struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
+            (acc, c) => {
+              val rawCos = Kernels.cosine(col("emb"), c.getField("cvec"))
+              val cos = when(rawCos.isNull || isnan(rawCos), lit(-2.0))
+                .otherwise(rawCos)
+              when(cos > acc.getField("cos"),
+                struct(cos.as("cos"), c.getField("clabel").as("clabel")))
+                .otherwise(acc)
+            }))
+        .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"))
+      // loud guard: the pair join below is quadratic IN CLUSTER SIZE
+      val maxC = a.groupBy("clabel").count().agg(max(col("count"))).head.getLong(0)
+      if (maxC > MaxSemCluster)
+        throw new IllegalStateException(
+          s"q262_semdedup: largest cluster has $maxC members > " +
+            s"MaxSemCluster=$MaxSemCluster; re-cluster with more centroids " +
+            "(SemDeDup's K must grow with N) before the within-cluster " +
+            "pair join is safe")
+      val x = a.select(col("clabel"), col("vec_id").as("keep_id"), col("emb").as("xe"))
+      val y = a.select(col("clabel").as("cl2"), col("vec_id").as("prune_id"),
+        col("emb").as("ye"))
+      val pairs = x.join(y,
+          col("clabel") === col("cl2") && col("keep_id") < col("prune_id"))
+        .select(col("clabel"), col("prune_id"),
+          Kernels.cosine(col("xe"), col("ye")).as("cos"))
+        .where(col("cos") >= 0.4)
+      val mem = a.groupBy(col("clabel")).agg(count(lit(1)).as("n_members"))
+      mem.join(pairs.withColumnRenamed("clabel", "pcl"),
+          col("pcl") === col("clabel"), "left")
+        .groupBy(col("clabel").as("cluster"), col("n_members"))
+        .agg(coalesce(count(col("prune_id")), lit(0L)).as("n_dup_pairs"),
+          coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
+          r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))
+        .orderBy("cluster")
+    }
+  )
+}

@@ -207,4 +207,54 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("q253_te_pruned"), e.getMessage)
     assert(e.getMessage.contains("P=3000"), e.getMessage)
   }
+
+  test("q263 periodogram: power is nonnegative at every candidate period, all P x 3 rows present") {
+    val rows = byName("q263_periodogram")(spark, sf).collect()
+    val els = rows.map(_.getString(0)).distinct
+    assert(rows.length == els.length * 3,
+      s"expected ${els.length} elements x 3 periods, got ${rows.length}")
+    rows.foreach { r =>
+      assert(Set(7, 14, 30).contains(r.getAs[Int]("period")), s"$r")
+      assert(r.getAs[Double]("power") >= 0.0, s"negative spectral power: $r")
+      assert(r.getAs[Long]("n_days") >= 2)
+    }
+  }
+
+  test("q264 seasonal decomposition: dow means are a least-squares fit, so strength is in [0,1]") {
+    val rows = byName("q264_seasonal_decompose")(spark, sf).collect()
+    rows.foreach { r =>
+      val dow = r.getAs[Int]("dow")
+      assert(dow >= 0 && dow <= 6, s"$r")
+      val strength = r.getAs[Double]("seasonal_strength")
+      // subtracting per-group means can only shrink SSE (LS projection),
+      // so 1 - SS_resid/SS_detrended is a true R^2
+      assert(strength >= -1e-9 && strength <= 1.0 + 1e-9,
+        s"seasonal strength outside [0,1]: $r")
+    }
+    // every element covers all 7 days-of-week on the ~100-day fixture grid
+    rows.groupBy(_.getString(0)).foreach { case (el, rs) =>
+      assert(rs.map(_.getAs[Int]("dow")).toSet.size == 7, s"$el missing a dow")
+    }
+  }
+
+  test("q265 BH discoveries are exactly the p-rank prefix and honor the step-up bound") {
+    val rows = byName("q265_causal_fdr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = rows.length
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= -1e-12 && p <= 1.0 + 1e-9, s"p outside [0,1]: $r")
+    }
+    val k = rows.count(_.getAs[Int]("discovery") == 1)
+    // discoveries are exactly ranks 1..k (a prefix of the p-ascending order)
+    rows.foreach { r =>
+      val expect = if (r.getAs[Int]("p_rank") <= k) 1 else 0
+      assert(r.getAs[Int]("discovery") == expect, s"non-prefix discovery set: $r")
+    }
+    if (k > 0) {
+      // the step-up criterion held at k: p_(k) <= alpha * k / m
+      val pk = rows.find(_.getAs[Int]("p_rank") == k).get.getAs[Double]("p_value")
+      assert(pk <= 0.1 * k / m + 1e-12, s"BH bound violated at k=$k: p=$pk")
+    }
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.HybridOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the retrieval-stack invariants of the round-8 hybrid operators:
+  * RRF fusion scores are exactly the rank-reciprocal sums they claim to
+  * be (recomputable from the emitted ranks), and the SemDeDup pair stage
+  * respects its cluster scoping, keep-first rule, and loud cluster-size
+  * guard. The oracle pins the values; these pin the semantics.
+  */
+class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  private def byName(n: String) = HybridOps.defs.find(_.name == n).get.fn
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("hybrid-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q261 RRF score is exactly the reciprocal-rank sum of the emitted ranks") {
+    val rows = byName("q261_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val rl = r.getAs[Int]("lex_rank")
+      val rs = r.getAs[Int]("sem_rank")
+      assert(rl >= 0 && rl <= 100 && rs >= 0 && rs <= 100, s"$r")
+      assert(rl > 0 || rs > 0, s"fused row in neither candidate list: $r")
+      val expect = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rs > 0) 1.0 / (60 + rs) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) <= 1e-6,
+        s"rrf not the reciprocal-rank sum: $r (expected $expect)")
+    }
+    // fused list is emitted best-first
+    val fused = rows.map(_.getAs[Double]("rrf"))
+    val top = fused.max
+    assert(rows.sortBy(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+      .head.getAs[Double]("rrf") == top)
+    // both retrieval modes contribute at least one document
+    assert(rows.exists(_.getAs[Int]("lex_rank") > 0), "no lexical contribution")
+    assert(rows.exists(_.getAs[Int]("sem_rank") > 0), "no semantic contribution")
+  }
+
+  test("q262 semantic dedup: cluster accounting is consistent and keep-first holds") {
+    val rows = byName("q262_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "every vector must land in exactly one cluster")
+    rows.foreach { r =>
+      val members = r.getAs[Long]("n_members")
+      val pairs = r.getAs[Long]("n_dup_pairs")
+      val pruned = r.getAs[Long]("n_pruned")
+      assert(pruned <= pairs, s"distinct pruned ids exceed pair count: $r")
+      assert(pruned < members || members == 0,
+        s"keep-first must retain at least one member per cluster: $r")
+      assert(pairs <= members * (members - 1) / 2, s"$r")
+      val maxCos = r.getAs[Double]("max_cos")
+      assert(maxCos <= 1.0 + 1e-9, s"$r")
+      if (pairs > 0) assert(maxCos >= 0.4 - 1e-9, s"pair below threshold: $r")
+    }
+  }
+
+  test("q262 cluster-size guard fails loudly rather than launching a degenerate quadratic join") {
+    assert(HybridOps.MaxSemCluster == 4096L)
+  }
+}
