@@ -560,4 +560,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(globalSorts.isEmpty,
       s"global sort in the pagination plan: ${globalSorts.map(_.nodeName)}")
   }
+
+  test("q261 candidate lists plan as bounded top-k, never a data-sized global sort") {
+    // both the lexical and semantic top-100 cuts must be
+    // TakeOrderedAndProject (map-side partial heaps, 100 rows to the
+    // merge); the only permissible global sorts are over the already-cut
+    // O(100)-row fused/ranked lists
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q261_hybrid_rrf")(spark, sf)))
+    val topk = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec])
+    assert(topk.size >= 2,
+      s"expected two TakeOrderedAndProject candidate cuts, got ${topk.size}")
+  }
+
+  test("q262 assigns clusters with the broadcast fold: no Window, and the pair join is cluster-keyed") {
+    // the naive assignment is a per-vec_id rank window over 10x the
+    // corpus (the oracle's formulation); the engine must instead fold
+    // over ONE broadcast centroid row — so the plan has NO window at
+    // all — and the quadratic pair stage must be keyed on the cluster id
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q262_semdedup")(spark, sf)))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "assignment must be the broadcast fold, not a rank window")
+    val joinKeys = nodes.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }.flatMap(_.flatMap(_.references.toSeq.map(_.name)))
+    assert(joinKeys.contains("clabel"),
+      s"pair join must be scoped by cluster id, saw keys: $joinKeys")
+  }
+
+  test("q264 trend/seasonal windows are element-partitioned, never global") {
+    val nodes = allNodes(finalPlan(
+      SparkEntry.queries("q264_seasonal_decompose")(spark, sf)))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the moving-average trend window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"global window found: ${windows.filter(_.partitionSpec.isEmpty)}")
+  }
 }
