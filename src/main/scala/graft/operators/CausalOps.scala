@@ -170,6 +170,30 @@ object CausalOps {
         .orderBy("src", "dst")
   }
 
+  /** q263's periodogram from any (el, di, v) grid — shared by the batch
+    * query and q267's streaming refresh (identical trees ⇒ bit-identical
+    * doubles, the causalRefresh contract).
+    */
+  private[graft] def periodogramFromGrid(g: DataFrame): DataFrame = {
+    val s = g.sparkSession
+    import s.implicits._
+    val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
+      (dsum(col("v")) / count(lit(1))).as("mu"))
+    val t = g.join(st, col("el") === col("sel"))
+      .select(col("el"), col("di"), (col("v") - col("mu")).as("vc"), col("n"))
+    val periods = Seq(7.0, 14.0, 30.0).toDF("pd")
+    val ang = lit(2.0) * lit(math.Pi) * col("di") / col("pd")
+    t.crossJoin(broadcast(periods))
+      .groupBy(col("el"), col("n"), col("pd"))
+      .agg(dsum(col("vc") * cos(ang)).as("ca"),
+        dsum(col("vc") * sin(ang)).as("sb"))
+      .select(col("el"), col("pd").cast("int").as("period"),
+        col("n").as("n_days"),
+        r6((col("ca") * col("ca") + col("sb") * col("sb")) /
+          (col("n") * col("n"))).as("power"))
+      .orderBy("el", "period")
+  }
+
   /** q233's CUSUM changepoint readout from any (el, di, v) grid —
     * shared by the batch query and q258's streaming refresh.
     */
@@ -1110,23 +1134,7 @@ object CausalOps {
         |SELECT el, CAST(pd AS INT) AS period, CAST(n AS BIGINT) AS n_days,
         |  round((ca * ca + sb * sb) / (n * n), 6) AS power
         |FROM p ORDER BY el, period""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val g = daily(s, d)
-      val st = g.groupBy(col("el").as("sel")).agg(count(lit(1)).as("n"),
-        (dsum(col("v")) / count(lit(1))).as("mu"))
-      val t = g.join(st, col("el") === col("sel"))
-        .select(col("el"), col("di"), (col("v") - col("mu")).as("vc"), col("n"))
-      val periods = Seq(7.0, 14.0, 30.0).toDF("pd")
-      val ang = lit(2.0) * lit(math.Pi) * col("di") / col("pd")
-      t.crossJoin(broadcast(periods))
-        .groupBy(col("el"), col("n"), col("pd"))
-        .agg(dsum(col("vc") * cos(ang)).as("ca"),
-          dsum(col("vc") * sin(ang)).as("sb"))
-        .select(col("el"), col("pd").cast("int").as("period"),
-          col("n").as("n_days"),
-          r6((col("ca") * col("ca") + col("sb") * col("sb")) /
-            (col("n") * col("n"))).as("power"))
-        .orderBy("el", "period")
+      periodogramFromGrid(daily(s, d))
     },
 
     /** STL-lite seasonal decomposition per element: centered 7-row
@@ -1309,6 +1317,129 @@ object CausalOps {
           when(col("i") <= col("k"), lit(1)).otherwise(lit(0)).cast("int")
             .as("discovery"))
         .orderBy("src", "dst")
+    },
+
+    /** Autocorrelation function: each element's daily series against its
+      * OWN lags 0..7 — the self-referential counterpart of q229's
+      * cross-correlogram (lag-0 is trivially 1, a built-in sanity row).
+      * The lag join is keyed on the (element, day) composite — never the
+      * day column alone — so it's O(P·T·8) total work with no skew, on
+      * the shared PlanCache grid. Same decimal moment-sum → closed-form
+      * correlation idiom as q229.
+      */
+    QueryDef(
+      "q266_acf",
+      s"""WITH $dailySql,
+        |pr AS (
+        |  SELECT a.el, l.lag, count(*) AS n,
+        |    CAST(sum(CAST(a.v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(b.v AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(a.v * a.v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(b.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM daily a
+        |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) l(lag)
+        |  JOIN daily b ON b.el = a.el AND b.di = a.di + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT el, lag, CAST(n AS BIGINT) AS n_days,
+        |  round((n*sxy - sx*sy)
+        |    / nullif(sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 0), 6) AS acf
+        |FROM pr ORDER BY el, lag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val g = daily(s, d)
+      val a = g.select(col("el"), col("di"), col("v").as("x"))
+      val b = g.select(col("el").as("elb"), col("di").as("dib"), col("v").as("y"))
+      val lags = (0 to 7).toDF("lag")
+      a.crossJoin(broadcast(lags))
+        .join(b, col("elb") === col("el") && col("dib") === col("di") + col("lag"))
+        .groupBy("el", "lag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"))
+        .select(col("el"), col("lag"), col("n").as("n_days"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)))
+            .as("acf"))
+        .orderBy("el", "lag")
+    },
+
+    /** Robust anomaly readout over the q264 decomposition: per element,
+      * the STL residual (v − trend − seasonal) is scored by its
+      * MAD-z (dev from the residual median over 1.4826·MAD), and the
+      * per-element summary — days observed, |z| > 3 anomaly count, the
+      * worst day and its score — is emitted. Exact percentiles (the
+      * q179 parity idiom) keep both engines' medians identical; all
+      * windows are element-partitioned; output is O(P) rows no matter
+      * the raw volume.
+      */
+    QueryDef(
+      "q268_stl_anomaly",
+      s"""WITH $dailySql,
+        |tr AS (
+        |  SELECT el, di, v,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) OVER w AS DOUBLE)
+        |      / count(*) OVER w AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY el ORDER BY di
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (
+        |  SELECT el, di % 7 AS dow,
+        |    CAST(sum(CAST(v - trend AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS seas
+        |  FROM tr GROUP BY 1, 2),
+        |r AS (
+        |  SELECT t.el, t.di, t.v - t.trend - s.seas AS resid
+        |  FROM tr t JOIN se s ON s.el = t.el AND s.dow = t.di % 7),
+        |st AS (SELECT el AS sel, quantile_cont(resid, 0.5) AS med FROM r GROUP BY 1),
+        |r2 AS (
+        |  SELECT r.el, r.di, r.resid - st.med AS dev
+        |  FROM r JOIN st ON st.sel = r.el),
+        |md AS (SELECT el AS mel, quantile_cont(abs(dev), 0.5) AS mad FROM r2 GROUP BY 1),
+        |sc AS (
+        |  SELECT r2.el, r2.di, r2.dev / nullif(1.4826 * md.mad, 0) AS score
+        |  FROM r2 JOIN md ON md.mel = r2.el),
+        |w2 AS (
+        |  SELECT el, di, score,
+        |    row_number() OVER (PARTITION BY el ORDER BY abs(score) DESC, di) AS rn,
+        |    count(*) OVER (PARTITION BY el) AS n_days,
+        |    sum(CASE WHEN abs(score) > 3 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY el) AS n_anom
+        |  FROM sc)
+        |SELECT el, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_anom AS BIGINT) AS n_anomalies,
+        |  di AS worst_di, round(score, 6) AS worst_score
+        |FROM w2 WHERE rn = 1 ORDER BY el""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = daily(s, d)
+      val w = Window.partitionBy(col("el")).orderBy(col("di")).rowsBetween(-3, 3)
+      val tr = g.select(col("el"), col("di"), col("v"),
+        (sum(col("v").cast("decimal(38,12)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("trend"))
+      val se = tr.groupBy(col("el").as("sel"), (col("di") % 7).as("dow"))
+        .agg((dsum(col("v") - col("trend")) / count(lit(1))).as("seas"))
+      val r = tr.join(se, col("sel") === col("el") && col("dow") === col("di") % 7)
+        .select(col("el"), col("di"),
+          (col("v") - col("trend") - col("seas")).as("resid"))
+      val st = r.groupBy(col("el").as("stl")).agg(
+        expr("percentile(resid, 0.5)").as("med"))
+      val r2 = r.join(st, col("stl") === col("el"))
+        .select(col("el"), col("di"), (col("resid") - col("med")).as("dev"))
+      val md = r2.groupBy(col("el").as("mel")).agg(
+        expr("percentile(abs(dev), 0.5)").as("mad"))
+      val sc = r2.join(md, col("mel") === col("el"))
+        .select(col("el"), col("di"),
+          (col("dev") / nullif(lit(1.4826) * col("mad"), lit(0.0))).as("score"))
+      val we = Window.partitionBy(col("el"))
+      val w2 = sc.select(col("el"), col("di"), col("score"),
+        row_number().over(we.orderBy(abs(col("score")).desc, col("di"))).as("rn"),
+        count(lit(1)).over(we).as("n_days"),
+        sum(when(abs(col("score")) > 3, 1).otherwise(0)).over(we).as("n_anom"))
+      w2.where(col("rn") === 1)
+        .select(col("el"), col("n_days"), col("n_anom").as("n_anomalies"),
+          col("di").as("worst_di"), r6(col("score")).as("worst_score"))
+        .orderBy("el")
     }
   )
 }

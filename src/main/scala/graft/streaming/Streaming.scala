@@ -1072,6 +1072,21 @@ object Streaming {
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
         graft.operators.CausalOps.cusumFromGrid, Seq("el"))
+    },
+
+    /** q263's spectral seasonality readout as a per-micro-batch
+      * refreshed view (round 8): the live causal dashboard also answers
+      * "is the weekly/biweekly/monthly cycle still there" as events
+      * arrive — same [[causalRefresh]] harness, per-refresh cost
+      * O(P·T·3) independent of raw volume. Final refresh == batch q263
+      * oracle, bit-for-bit (shared periodogramFromGrid tree).
+      */
+    QueryDef(
+      "q267_stream_periodogram",
+      graft.operators.CausalOps.defs.find(_.name == "q263_periodogram").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.CausalOps.periodogramFromGrid, Seq("el", "period"))
     }
   )
 

@@ -237,6 +237,32 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q266 ACF: lag 0 is exactly 1, every entry is a correlation, 8 lags per element") {
+    val rows = byName("q266_acf")(spark, sf).collect()
+    val els = rows.map(_.getString(0)).distinct
+    assert(rows.length == els.length * 8,
+      s"expected ${els.length} elements x 8 lags, got ${rows.length}")
+    rows.foreach { r =>
+      val acf = r.getAs[java.lang.Double]("acf")
+      assert(acf != null && math.abs(acf) <= 1.0 + 1e-9, s"$r")
+      if (r.getAs[Int]("lag") == 0)
+        assert(math.abs(acf - 1.0) <= 1e-6, s"acf(0) must be 1: $r")
+    }
+  }
+
+  test("q268 anomaly summary: counts bounded by days, worst score consistent with the flag") {
+    val rows = byName("q268_stl_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      val k = r.getAs[Long]("n_anomalies")
+      assert(k >= 0 && k <= n, s"$r")
+      val worst = r.getAs[Double]("worst_score")
+      // if any day was flagged, the worst |MAD-z| must itself exceed 3
+      if (k > 0) assert(math.abs(worst) > 3.0 - 1e-9, s"$r")
+    }
+  }
+
   test("q265 BH discoveries are exactly the p-rank prefix and honor the step-up bound") {
     val rows = byName("q265_causal_fdr")(spark, sf).collect()
     assert(rows.nonEmpty)
