@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{PlanCache, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -195,8 +195,13 @@ object HybridOps {
       val cents = cent
         .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
           .as("cents"))
-      // q65's broadcast-fold argmax assignment — map-side, no shuffle
-      val a = e.crossJoin(broadcast(cents))
+      // q65's broadcast-fold argmax assignment — map-side, no shuffle.
+      // PlanCached per (session, dir): the assignment subtree feeds FOUR
+      // consumers (the guard count, both pair-join sides, membership),
+      // and the fold's whole-stage codegen constant (~1s, cf. q228's
+      // documented constant) would otherwise be paid once per consumer.
+      val a = PlanCache.cached(s, s"semdedup_assign|$d") {
+        e.crossJoin(broadcast(cents))
         .withColumn("best",
           aggregate(col("cents"),
             struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
@@ -208,7 +213,8 @@ object HybridOps {
                 struct(cos.as("cos"), c.getField("clabel").as("clabel")))
                 .otherwise(acc)
             }))
-        .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"))
+          .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"))
+      }
       // loud guard: the pair join below is quadratic IN CLUSTER SIZE
       val maxC = a.groupBy("clabel").count().agg(max(col("count"))).head.getLong(0)
       if (maxC > MaxSemCluster)
