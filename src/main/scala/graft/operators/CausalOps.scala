@@ -1440,6 +1440,62 @@ object CausalOps {
         .select(col("el"), col("n_days"), col("n_anom").as("n_anomalies"),
           col("di").as("worst_di"), r6(col("score")).as("worst_score"))
         .orderBy("el")
+    },
+
+    /** Rolling-origin forecast backtest per element: one-step-ahead
+      * naive (yesterday's value) vs seasonal-naive (last week's value)
+      * forecasts evaluated on every day where BOTH references exist,
+      * reported as MAE, the scale-free MASE (seasonal MAE over naive
+      * MAE — Hyndman & Koehler's scaled error with the naive forecast
+      * as the denominator benchmark) and sMAPE. Closes the series
+      * pipeline's loop: trend (q264), cycle (q263), anomaly (q268),
+      * and now "can the cycle actually predict". Day-arithmetic lag
+      * joins keyed on the (element, day) composite — gap-aware, never
+      * row-offset — all on the O(P·T) grid; decimal-exact error sums.
+      */
+    QueryDef(
+      "q269_forecast_backtest",
+      s"""WITH $dailySql,
+        |ev AS (
+        |  SELECT c.el, c.di, c.v, l1.v AS f_naive, l7.v AS f_snaive
+        |  FROM daily c
+        |  JOIN daily l1 ON l1.el = c.el AND l1.di = c.di - 1
+        |  JOIN daily l7 ON l7.el = c.el AND l7.di = c.di - 7),
+        |ag AS (
+        |  SELECT el, count(*) AS n,
+        |    CAST(sum(CAST(abs(v - f_naive) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / count(*) AS mae_naive,
+        |    CAST(sum(CAST(abs(v - f_snaive) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / count(*) AS mae_snaive,
+        |    CAST(sum(CAST(2 * abs(v - f_snaive)
+        |      / nullif(abs(f_snaive) + abs(v), 0) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / count(*) AS smape
+        |  FROM ev GROUP BY 1)
+        |SELECT el, CAST(n AS BIGINT) AS n_eval,
+        |  round(mae_naive, 6) AS mae_naive,
+        |  round(mae_snaive, 6) AS mae_snaive,
+        |  round(mae_snaive / nullif(mae_naive, 0), 6) AS mase,
+        |  round(smape, 6) AS smape
+        |FROM ag ORDER BY el""".stripMargin) { (s, d) =>
+      val g = daily(s, d)
+      val c = g.select(col("el"), col("di"), col("v"))
+      val l1 = g.select(col("el").as("e1"), col("di").as("d1"), col("v").as("f_naive"))
+      val l7 = g.select(col("el").as("e7"), col("di").as("d7"), col("v").as("f_snaive"))
+      val ev = c
+        .join(l1, col("e1") === col("el") && col("d1") === col("di") - 1)
+        .join(l7, col("e7") === col("el") && col("d7") === col("di") - 7)
+      val ag = ev.groupBy(col("el")).agg(count(lit(1)).as("n"),
+        (dsum(abs(col("v") - col("f_naive"))) / count(lit(1))).as("mae_naive"),
+        (dsum(abs(col("v") - col("f_snaive"))) / count(lit(1))).as("mae_snaive"),
+        (dsum(lit(2) * abs(col("v") - col("f_snaive")) /
+          nullif(abs(col("f_snaive")) + abs(col("v")), lit(0.0))) /
+          count(lit(1))).as("smape"))
+      ag.select(col("el"), col("n").as("n_eval"),
+          r6(col("mae_naive")).as("mae_naive"),
+          r6(col("mae_snaive")).as("mae_snaive"),
+          r6(col("mae_snaive") / nullif(col("mae_naive"), lit(0.0))).as("mase"),
+          r6(col("smape")).as("smape"))
+        .orderBy("el")
     }
   )
 }

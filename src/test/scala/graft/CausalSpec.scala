@@ -263,6 +263,21 @@ class CausalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q269 backtest: error metrics are nonnegative, sMAPE <= 2, MASE is the advertised ratio") {
+    val rows = byName("q269_forecast_backtest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, ms) = (r.getAs[Double]("mae_naive"), r.getAs[Double]("mae_snaive"))
+      assert(mn >= 0 && ms >= 0, s"$r")
+      val smape = r.getAs[Double]("smape")
+      assert(smape >= 0 && smape <= 2.0 + 1e-9, s"sMAPE out of [0,2]: $r")
+      if (mn > 0)
+        assert(math.abs(r.getAs[Double]("mase") - ms / mn) <= 2e-6,
+          s"mase != mae_snaive/mae_naive: $r")
+      assert(r.getAs[Long]("n_eval") >= 1)
+    }
+  }
+
   test("q265 BH discoveries are exactly the p-rank prefix and honor the step-up bound") {
     val rows = byName("q265_causal_fdr")(spark, sf).collect()
     assert(rows.nonEmpty)
