@@ -194,6 +194,31 @@ object CausalOps {
       .orderBy("el", "period")
   }
 
+  /** q269's forecast backtest from any (el, di, v) grid — shared by the
+    * batch query and q270's streaming refresh (identical trees ⇒
+    * bit-identical doubles, the causalRefresh contract).
+    */
+  private[graft] def backtestFromGrid(g: DataFrame): DataFrame = {
+    val c = g.select(col("el"), col("di"), col("v"))
+    val l1 = g.select(col("el").as("e1"), col("di").as("d1"), col("v").as("f_naive"))
+    val l7 = g.select(col("el").as("e7"), col("di").as("d7"), col("v").as("f_snaive"))
+    val ev = c
+      .join(l1, col("e1") === col("el") && col("d1") === col("di") - 1)
+      .join(l7, col("e7") === col("el") && col("d7") === col("di") - 7)
+    val ag = ev.groupBy(col("el")).agg(count(lit(1)).as("n"),
+      (dsum(abs(col("v") - col("f_naive"))) / count(lit(1))).as("mae_naive"),
+      (dsum(abs(col("v") - col("f_snaive"))) / count(lit(1))).as("mae_snaive"),
+      (dsum(lit(2) * abs(col("v") - col("f_snaive")) /
+        nullif(abs(col("f_snaive")) + abs(col("v")), lit(0.0))) /
+        count(lit(1))).as("smape"))
+    ag.select(col("el"), col("n").as("n_eval"),
+        r6(col("mae_naive")).as("mae_naive"),
+        r6(col("mae_snaive")).as("mae_snaive"),
+        r6(col("mae_snaive") / nullif(col("mae_naive"), lit(0.0))).as("mase"),
+        r6(col("smape")).as("smape"))
+      .orderBy("el")
+  }
+
   /** q233's CUSUM changepoint readout from any (el, di, v) grid —
     * shared by the batch query and q258's streaming refresh.
     */
@@ -1477,25 +1502,7 @@ object CausalOps {
         |  round(mae_snaive / nullif(mae_naive, 0), 6) AS mase,
         |  round(smape, 6) AS smape
         |FROM ag ORDER BY el""".stripMargin) { (s, d) =>
-      val g = daily(s, d)
-      val c = g.select(col("el"), col("di"), col("v"))
-      val l1 = g.select(col("el").as("e1"), col("di").as("d1"), col("v").as("f_naive"))
-      val l7 = g.select(col("el").as("e7"), col("di").as("d7"), col("v").as("f_snaive"))
-      val ev = c
-        .join(l1, col("e1") === col("el") && col("d1") === col("di") - 1)
-        .join(l7, col("e7") === col("el") && col("d7") === col("di") - 7)
-      val ag = ev.groupBy(col("el")).agg(count(lit(1)).as("n"),
-        (dsum(abs(col("v") - col("f_naive"))) / count(lit(1))).as("mae_naive"),
-        (dsum(abs(col("v") - col("f_snaive"))) / count(lit(1))).as("mae_snaive"),
-        (dsum(lit(2) * abs(col("v") - col("f_snaive")) /
-          nullif(abs(col("f_snaive")) + abs(col("v")), lit(0.0))) /
-          count(lit(1))).as("smape"))
-      ag.select(col("el"), col("n").as("n_eval"),
-          r6(col("mae_naive")).as("mae_naive"),
-          r6(col("mae_snaive")).as("mae_snaive"),
-          r6(col("mae_snaive") / nullif(col("mae_naive"), lit(0.0))).as("mase"),
-          r6(col("smape")).as("smape"))
-        .orderBy("el")
+      backtestFromGrid(daily(s, d))
     }
   )
 }

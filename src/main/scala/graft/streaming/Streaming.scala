@@ -1087,6 +1087,22 @@ object Streaming {
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
         graft.operators.CausalOps.periodogramFromGrid, Seq("el", "period"))
+    },
+
+    /** q269's forecast backtest as a per-micro-batch refreshed view
+      * (round 8): forecast skill is monitored live — as events arrive
+      * the naive/seasonal-naive MASE/sMAPE readout re-evaluates over the
+      * maintained grid, so a regime change (q258's CUSUM firing) shows
+      * up as decaying forecastability in the same dashboard. Final
+      * refresh == batch q269 oracle, bit-for-bit (shared
+      * backtestFromGrid tree).
+      */
+    QueryDef(
+      "q270_stream_backtest",
+      graft.operators.CausalOps.defs.find(_.name == "q269_forecast_backtest").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.CausalOps.backtestFromGrid, Seq("el"))
     }
   )
 

@@ -227,7 +227,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q256_stream_granger" -> "q230_granger_lite",
         "q257_stream_partial_corr" -> "q248_partial_corr",
         "q258_stream_cusum" -> "q233_cusum_changepoint",
-        "q267_stream_periodogram" -> "q263_periodogram")) {
+        "q267_stream_periodogram" -> "q263_periodogram",
+        "q270_stream_backtest" -> "q269_forecast_backtest")) {
       val stream = SparkEntry.queries(sq)(spark, sf).collect().map(_.toSeq)
       val batch = SparkEntry.queries(bq)(spark, sf).collect().map(_.toSeq)
       assert(stream.nonEmpty && stream.toSeq == batch.toSeq,
