@@ -239,6 +239,79 @@ object HybridOps {
           coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
           r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))
         .orderBy("cluster")
+    },
+
+    /** Sparse TF-IDF cosine similarity join — the lexical counterpart of
+      * the dense embedding path (q64/q98): candidate pairs come from an
+      * inverted-index posting-list join keyed on the TERM, restricted to
+      * discriminative terms (2 ≤ df ≤ 50). That df cap is the classic
+      * impact-ordering prune: a term shared by thousands of documents
+      * generates quadratic candidates while contributing ~zero IDF
+      * weight, so posting lists stay short BY CONSTRUCTION and pair work
+      * is Σ df² over rare terms only — never all-pairs, and never a
+      * stopword-keyed skew join. Weights/norms are computed over the
+      * same pruned vocabulary on both engines (a documented approximation
+      * of full-vocabulary cosine; the dropped high-df terms carry the
+      * smallest weights). Decimal-exact dots and norms; top-50 by
+      * round-6 cosine with id tie-breaks.
+      */
+    QueryDef(
+      "q271_tfidf_cosine_join",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x != '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |df AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50),
+        |wt AS (
+        |  SELECT t.doc_id, t.w, t.tf * ln(nn.n / df.df) AS wgt
+        |  FROM tf t JOIN df ON df.w = t.w CROSS JOIN nn),
+        |nrm AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(wgt * wgt AS DECIMAL(38,12))) AS DOUBLE)) AS nv
+        |  FROM wt GROUP BY 1),
+        |pr AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(sum(CAST(x.wgt * y.wgt AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+        |    count(*) AS shared
+        |  FROM wt x JOIN wt y ON y.w = x.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(p.dot / (na.nv * nb.nv), 6) AS cos,
+        |    CAST(p.shared AS BIGINT) AS shared_terms
+        |  FROM pr p JOIN nrm na ON na.doc_id = p.doc_a
+        |            JOIN nrm nb ON nb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, cos, shared_terms FROM sc
+        |WHERE cos >= 0.2
+        |ORDER BY cos DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (s, d) =>
+      import graft.functions.Text
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.wordsCol(col("text"))).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
+      val df = tf.groupBy(col("w").as("dw")).agg(count(lit(1)).cast("double").as("df"))
+        .where(col("df") >= 2 && col("df") <= 50)
+      val wt = tf.join(df, col("dw") === col("w")).crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * log(col("n") / col("df"))).as("wgt"))
+      def dsumD(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+      val nrm = wt.groupBy(col("doc_id")).agg(sqrt(dsumD(col("wgt") * col("wgt"))).as("nv"))
+      val x = wt.select(col("w"), col("doc_id").as("doc_a"), col("wgt").as("wa"))
+      val y = wt.select(col("w").as("wy"), col("doc_id").as("doc_b"), col("wgt").as("wb"))
+      val pr = x.join(y, col("wy") === col("w") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(dsumD(col("wa") * col("wb")).as("dot"), count(lit(1)).as("shared"))
+      pr.join(nrm.select(col("doc_id").as("da"), col("nv").as("na")), col("da") === col("doc_a"))
+        .join(nrm.select(col("doc_id").as("db"), col("nv").as("nb")), col("db") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          r6(col("dot") / (col("na") * col("nb"))).as("cos"),
+          col("shared").as("shared_terms"))
+        .where(col("cos") >= 0.2)
+        .orderBy(col("cos").desc, col("doc_a"), col("doc_b")).limit(50)
     }
   )
 }

@@ -73,4 +73,18 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q262 cluster-size guard fails loudly rather than launching a degenerate quadratic join") {
     assert(HybridOps.MaxSemCluster == 4096L)
   }
+
+  test("q271 TF-IDF join: pairs are ordered, above threshold, and genuinely term-connected") {
+    val rows = byName("q271_tfidf_cosine_join")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"), s"$r")
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= 0.2 - 1e-9 && cos <= 1.0 + 1e-6, s"cos out of band: $r")
+      assert(r.getAs[Long]("shared_terms") >= 1, s"$r")
+    }
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+      "result must be cosine-descending")
+  }
 }
