@@ -50,6 +50,9 @@ object HybridOps {
       * 1/(60+r) sums, exact double reciprocal-adds in fixed order — are
       * engine-identical (the q226 margin discipline). A document missing
       * from one list contributes 0 from that side (standard RRF).
+      * Measured rank-100 cut margins at sf0.01: semantic 2.66e-4,
+      * lexical 1.86e-3 — both ≥ 266× the round-6 grid, so a sub-ULP
+      * engine divergence cannot flip list membership.
       */
     QueryDef(
       "q261_hybrid_rrf",
@@ -253,7 +256,11 @@ object HybridOps {
       * same pruned vocabulary on both engines (a documented approximation
       * of full-vocabulary cosine; the dropped high-df terms carry the
       * smallest weights). Decimal-exact dots and norms; top-50 by
-      * round-6 cosine with id tie-breaks.
+      * round-6 cosine with id tie-breaks. Measured at sf0.01: every
+      * candidate pair is an exact template duplicate (cos = 1.0, the
+      * corpus's known clone cluster), so the 0.2 threshold margin is
+      * 0.8 and the LIMIT-50 cut resolves purely on the total (doc_a,
+      * doc_b) id order — no float boundary in play at all.
       */
     QueryDef(
       "q271_tfidf_cosine_join",
