@@ -32,6 +32,7 @@ object SparkEntry {
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
       operators.HybridOps.defs ++
+      operators.InferenceOps.defs ++
       operators.DialectOps.defs ++
       operators.MLOps.defs ++
       operators.Observability.defs ++

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 4: classical hypothesis-test statistics, shaped for
+  * scale — the inference layer a user runs over the causal family's
+  * evidence (is the association real? did the value DISTRIBUTION shift,
+  * not just the mean q163 tests?).
+  *
+  *  - q272: chi-square independence of element activity vs day-of-week
+  *    (categorical contingency + Cramér's V effect size).
+  *  - q273: Mann-Whitney U between every element pair's value
+  *    distributions — computed on the per-(element, value) HISTOGRAM
+  *    with closed-form average-rank and tie-corrected variance, never a
+  *    per-pair re-ranking of raw rows.
+  *  - q274: two-sample Kolmogorov-Smirnov statistic per element pair,
+  *    from the same cumulative histogram grid.
+  *
+  * Scale shape shared by q273/q274: ONE aggregate reduces raw events to
+  * the (element, value) count histogram — O(P·V) rows however many raw
+  * events — then a value-ordered window per element yields cumulative
+  * counts, and every pairwise statistic is column math over the
+  * value-keyed pair join: O(V·P²) bounded rows, guarded loudly by
+  * [[MaxInferenceElements]]. Counts are exact longs; the only doubles
+  * are final closed-form expressions written identically on both
+  * engines; decimal sums for the rank accumulations.
+  */
+object InferenceOps {
+  private def r6(c: Column) = round(c, 6)
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+
+  /** Loud ceiling for the O(V·P²) pair grids (q273/q274). */
+  private[graft] val MaxInferenceElements = 64L
+
+  private def guardElements(s: SparkSession, d: String, qname: String): Unit = {
+    val p = Tables.events(s, d).agg(countDistinct(col("event_type"))).head.getLong(0)
+    if (p > MaxInferenceElements)
+      throw new IllegalStateException(
+        s"$qname builds an O(V*P^2) pairwise histogram grid and P=$p exceeds " +
+          s"MaxInferenceElements=$MaxInferenceElements; screen the element " +
+          "pairs first (q251/q260) and restrict the input")
+  }
+
+  /** The shared (element, value) cumulative histogram grid: for every
+    * (element, distinct value) cell, the element's count at the value
+    * (`cnt`, 0 if absent) and its count strictly below it (`cl`).
+    */
+  private def cumGrid(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val vals = ev.select(col("value").as("v")).distinct()
+    val types = ev.select(col("event_type").as("el")).distinct()
+    val ht = ev.groupBy(col("event_type").as("hel"), col("value").as("hv"))
+      .agg(count(lit(1)).as("hcnt"))
+    val w = Window.partitionBy(col("el")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vals.crossJoin(types)
+      .join(ht, col("hel") === col("el") && col("hv") === col("v"), "left")
+      .select(col("el"), col("v"), coalesce(col("hcnt"), lit(0L)).as("cnt"))
+      .withColumn("cl", coalesce(sum(col("cnt")).over(w), lit(0L)))
+  }
+
+  private val cumGridSql =
+    """vals AS (SELECT DISTINCT value AS v FROM events),
+      |types AS (SELECT DISTINCT event_type AS el FROM events),
+      |ht AS (
+      |  SELECT event_type AS hel, value AS hv, count(*) AS hcnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.el, vals.v, coalesce(ht.hcnt, 0) AS cnt,
+      |    coalesce(sum(coalesce(ht.hcnt, 0)) OVER (PARTITION BY t.el ORDER BY vals.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+      |  FROM vals CROSS JOIN types t
+      |  LEFT JOIN ht ON ht.hel = t.el AND ht.hv = vals.v)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Chi-square test of independence between element and day-of-week
+      * on the event-count contingency table, with Cramér's V effect
+      * size. One grouped aggregate produces the P×7 cell counts; row
+      * and column totals are window sums over those O(P·7) cells; the
+      * (o−e)²/e contributions are decimal-summed. At 100 TB the
+      * contingency table is still P×7 rows — the test is free relative
+      * to the scan.
+      */
+    QueryDef(
+      "q272_chi2_independence",
+      """WITH cells AS (
+        |  SELECT event_type AS el,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT el, dow, o,
+        |    sum(o) OVER (PARTITION BY el) AS rt,
+        |    sum(o) OVER (PARTITION BY dow) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |ag AS (
+        |  SELECT max(n) AS n, count(DISTINCT el) AS r, count(DISTINCT dow) AS c,
+        |    CAST(sum(CAST((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+        |  FROM tot)
+        |SELECT CAST(n AS BIGINT) AS n_events, CAST(r AS INT) AS n_types,
+        |  CAST(c AS INT) AS n_dows, round(chi2, 6) AS chi2,
+        |  CAST((r - 1) * (c - 1) AS INT) AS dof,
+        |  round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+        |FROM ag""".stripMargin) { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type").as("el"),
+          (datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) % 7)
+            .as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = cells.select(col("el"), col("dow"), col("o"),
+        sum(col("o")).over(Window.partitionBy(col("el"))).as("rt"),
+        sum(col("o")).over(Window.partitionBy(col("dow"))).as("ct"),
+        sum(col("o")).over(Window.partitionBy()).as("n"))
+      val e = col("rt") * col("ct") / col("n")
+      val ag = tot.agg(max(col("n")).as("n"),
+        countDistinct(col("el")).as("r"), countDistinct(col("dow")).as("c"),
+        dsum((col("o") - e) * (col("o") - e) / e).as("chi2"))
+      ag.select(col("n").cast("long").as("n_events"),
+        col("r").cast("int").as("n_types"), col("c").cast("int").as("n_dows"),
+        r6(col("chi2")).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).cast("int").as("dof"),
+        r6(sqrt(col("chi2") / (col("n") * least(col("r") - 1, col("c") - 1))))
+          .as("cramers_v"))
+    },
+
+    /** Mann-Whitney U (two-sided normal approximation, tie-corrected)
+      * between every element pair's value distributions. Rank sums come
+      * from the histogram identity: within the pair's union, a tied
+      * block at value v has average rank cl_a+cl_b + (cnt_a+cnt_b+1)/2,
+      * so R_a accumulates cnt_a times that — no per-pair re-sort of raw
+      * data, ever. Tie variance correction Σ(t³−t) runs over the same
+      * grid. U, z and the tie-corrected variance are closed forms over
+      * exact integer counts.
+      */
+    QueryDef(
+      "q273_mann_whitney",
+      s"""WITH $cumGridSql,
+        |pg AS (
+        |  SELECT a.el AS src, b.el AS dst, a.v,
+        |    a.cnt AS ca, a.cl AS cla, b.cnt AS cb, b.cl AS clb
+        |  FROM grid a JOIN grid b ON b.v = a.v AND a.el < b.el),
+        |ag AS (
+        |  SELECT src, dst,
+        |    sum(ca) AS na, sum(cb) AS nb,
+        |    CAST(sum(CAST(ca * (cla + clb + (ca + cb + 1) / 2.0)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS ra,
+        |    sum(CASE WHEN ca + cb > 0
+        |      THEN (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) ELSE 0 END) AS tcorr
+        |  FROM pg GROUP BY 1, 2),
+        |st AS (
+        |  SELECT src, dst, na, nb,
+        |    ra - na * (na + 1) / 2.0 AS u,
+        |    na * nb / 2.0 AS mu,
+        |    na * nb / 12.0 * ((na + nb + 1.0)
+        |      - tcorr / ((na + nb) * (na + nb - 1.0))) AS varu
+        |  FROM ag)
+        |SELECT src, dst, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(u, 2) AS u_stat,
+        |  round((u - mu) / nullif(sqrt(varu), 0), 6) AS z_score
+        |FROM st ORDER BY src, dst""".stripMargin) { (s, d) =>
+      guardElements(s, d, "q273_mann_whitney")
+      val g = cumGrid(s, d)
+      val a = g.select(col("el").as("src"), col("v"), col("cnt").as("ca"), col("cl").as("cla"))
+      val b = g.select(col("el").as("dst"), col("v").as("vb"), col("cnt").as("cb"), col("cl").as("clb"))
+      val pg = a.join(b, col("vb") === col("v") && col("src") < col("dst"))
+      val t = col("ca") + col("cb")
+      val ag = pg.groupBy("src", "dst").agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        dsum(col("ca") * (col("cla") + col("clb") + (col("ca") + col("cb") + 1) / lit(2.0)))
+          .as("ra"),
+        sum(when(t > 0, t * t * t - t).otherwise(lit(0L))).as("tcorr"))
+      val st = ag.select(col("src"), col("dst"), col("na"), col("nb"),
+        (col("ra") - col("na") * (col("na") + 1) / lit(2.0)).as("u"),
+        (col("na") * col("nb") / lit(2.0)).as("mu"),
+        (col("na") * col("nb") / lit(12.0) * ((col("na") + col("nb") + lit(1.0)) -
+          col("tcorr") / ((col("na") + col("nb")) * (col("na") + col("nb") - lit(1.0)))))
+          .as("varu"))
+      st.select(col("src"), col("dst"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(col("u"), 2).as("u_stat"),
+          r6((col("u") - col("mu")) / nullif(sqrt(col("varu")), lit(0.0))).as("z_score"))
+        .orderBy("src", "dst")
+    },
+
+    /** Two-sample Kolmogorov-Smirnov statistic per element pair: the
+      * max |ECDF_a − ECDF_b| over the value union, read directly off the
+      * same cumulative histogram grid as q273 (inclusive cumulatives
+      * cl+cnt over exact counts; the ECDF difference is an identical
+      * closed form both engines). The distribution-shape counterpart of
+      * q273's location test.
+      */
+    QueryDef(
+      "q274_ks_test",
+      s"""WITH $cumGridSql,
+        |nt AS (SELECT el AS nel, sum(cnt) AS n FROM grid GROUP BY 1),
+        |pg AS (
+        |  SELECT a.el AS src, b.el AS dst,
+        |    abs((a.cl + a.cnt) / CAST(sa.n AS DOUBLE)
+        |      - (b.cl + b.cnt) / CAST(sb.n AS DOUBLE)) AS dd
+        |  FROM grid a
+        |  JOIN grid b ON b.v = a.v AND a.el < b.el
+        |  JOIN nt sa ON sa.nel = a.el
+        |  JOIN nt sb ON sb.nel = b.el)
+        |SELECT src, dst, round(max(dd), 6) AS ks_stat
+        |FROM pg GROUP BY 1, 2 ORDER BY src, dst""".stripMargin) { (s, d) =>
+      guardElements(s, d, "q274_ks_test")
+      val g = cumGrid(s, d)
+      val nt = g.groupBy(col("el").as("nel")).agg(sum(col("cnt")).as("n"))
+      val a = g.join(nt, col("nel") === col("el"))
+        .select(col("el").as("src"), col("v"),
+          ((col("cl") + col("cnt")) / col("n").cast("double")).as("ea"))
+      val b = g.join(nt, col("nel") === col("el"))
+        .select(col("el").as("dst"), col("v").as("vb"),
+          ((col("cl") + col("cnt")) / col("n").cast("double")).as("eb"))
+      a.join(b, col("vb") === col("v") && col("src") < col("dst"))
+        .groupBy("src", "dst")
+        .agg(r6(max(abs(col("ea") - col("eb")))).as("ks_stat"))
+        .orderBy("src", "dst")
+    }
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.InferenceOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the statistical invariants of the round-8 inference layer:
+  * chi-square is a nonnegative quadratic form with the advertised
+  * degrees of freedom and a [0,1] effect size; the Mann-Whitney U from
+  * the histogram identity stays inside its exact [0, n_a·n_b] range;
+  * the KS statistic is a bounded sup-norm of two ECDFs. The oracle pins
+  * the values; these pin why they are the claimed statistics.
+  */
+class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  private def byName(n: String) = InferenceOps.defs.find(_.name == n).get.fn
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("inference-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q272 chi-square: nonnegative statistic, (r-1)(c-1) dof, Cramer's V in [0,1]") {
+    val r = byName("q272_chi2_independence")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("chi2") >= 0.0)
+    assert(row.getAs[Int]("dof") ==
+      (row.getAs[Int]("n_types") - 1) * (row.getAs[Int]("n_dows") - 1))
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9, s"V out of [0,1]: $row")
+  }
+
+  test("q273 Mann-Whitney: U inside [0, na*nb], sample sizes match the raw counts") {
+    val rows = byName("q273_mann_whitney")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na == totals(r.getString(0)) && nb == totals(r.getString(1)),
+        s"histogram sample sizes diverge from raw counts: $r")
+      val u = r.getAs[Double]("u_stat")
+      assert(u >= -1e-9 && u <= na.toDouble * nb + 1e-9, s"U out of range: $r")
+      assert(!r.isNullAt(r.fieldIndex("z_score")))
+    }
+  }
+
+  test("q274 KS: statistic is a [0,1] sup-norm over every unordered pair") {
+    val rows = byName("q274_ks_test")(spark, sf).collect()
+    val p = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == p * (p - 1) / 2, s"expected all unordered pairs")
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks_stat")
+      assert(ks >= 0.0 && ks <= 1.0 + 1e-9, s"$r")
+      assert(r.getString(0) < r.getString(1), s"pair not canonical: $r")
+    }
+  }
+
+  test("pairwise grids fail loudly past the element ceiling") {
+    assert(InferenceOps.MaxInferenceElements == 64L)
+  }
+}
