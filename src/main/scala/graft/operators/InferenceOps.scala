@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{PlanCache, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,8 +35,22 @@ object InferenceOps {
   /** Loud ceiling for the O(V·P²) pair grids (q273/q274). */
   private[graft] val MaxInferenceElements = 64L
 
+  /** The per-(element, value) count histogram — the ONE reduction of the
+    * fact table the whole q273/q274 family runs on. PlanCached per
+    * (session, dir): the guard, the value/element domains, and the
+    * cumulative grid all derive from these O(P·V) rows, so the 100 TB
+    * fact table is scanned exactly once however many inference queries
+    * run (the causal daily-grid discipline).
+    */
+  private def hist(s: SparkSession, d: String): DataFrame =
+    PlanCache.cached(s, s"inference_ht|$d") {
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("hel"), col("value").as("hv"))
+        .agg(count(lit(1)).as("hcnt"))
+    }
+
   private def guardElements(s: SparkSession, d: String, qname: String): Unit = {
-    val p = Tables.events(s, d).agg(countDistinct(col("event_type"))).head.getLong(0)
+    val p = hist(s, d).agg(countDistinct(col("hel"))).head.getLong(0)
     if (p > MaxInferenceElements)
       throw new IllegalStateException(
         s"$qname builds an O(V*P^2) pairwise histogram grid and P=$p exceeds " +
@@ -47,13 +61,12 @@ object InferenceOps {
   /** The shared (element, value) cumulative histogram grid: for every
     * (element, distinct value) cell, the element's count at the value
     * (`cnt`, 0 if absent) and its count strictly below it (`cl`).
+    * Domains come from the cached [[hist]], not fresh fact scans.
     */
   private def cumGrid(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val vals = ev.select(col("value").as("v")).distinct()
-    val types = ev.select(col("event_type").as("el")).distinct()
-    val ht = ev.groupBy(col("event_type").as("hel"), col("value").as("hv"))
-      .agg(count(lit(1)).as("hcnt"))
+    val ht = hist(s, d)
+    val vals = ht.select(col("hv").as("v")).distinct()
+    val types = ht.select(col("hel").as("el")).distinct()
     val w = Window.partitionBy(col("el")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     vals.crossJoin(types)
