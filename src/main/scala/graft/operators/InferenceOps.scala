@@ -235,6 +235,153 @@ object InferenceOps {
         .groupBy("src", "dst")
         .agg(r6(max(abs(col("ea") - col("eb")))).as("ks_stat"))
         .orderBy("src", "dst")
+    },
+
+    /** CUPED variance reduction for the deterministic-arm experiment:
+      * users hash into treat/control (portable md5 arm, the q220 idiom),
+      * the metric is each user's post-period value total, the covariate
+      * their pre-period total, and θ = cov(X,Y)/var(X) from pooled
+      * decimal moment sums adjusts the metric
+      * (Y′ = Y − θ·(X − X̄), Deng et al., WSDM'13). Reports the raw vs
+      * CUPED arm difference and the pooled variance reduction. Scale
+      * shape: one user-grain aggregate (the only data-sized shuffle),
+      * one O(1) moment row broadcast back, one final fold — the 100 TB
+      * experimentation readout.
+      */
+    QueryDef(
+      "q275_cuped",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 50
+        |      THEN CAST(value AS DECIMAL(18,3)) ELSE CAST(0 AS DECIMAL(18,3)) END) AS DOUBLE) AS x,
+        |    CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 50
+        |      THEN CAST(value AS DECIMAL(18,3)) ELSE CAST(0 AS DECIMAL(18,3)) END) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(y*y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM u),
+        |j AS (
+        |  SELECT u.arm, u.y, u.x,
+        |    u.y - ((m.n*m.sxy - m.sx*m.sy) / nullif(m.n*m.sxx - m.sx*m.sx, 0))
+        |      * (u.x - m.sx / m.n) AS yadj
+        |  FROM u CROSS JOIN m),
+        |f AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE) AS syt,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE) AS syc,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(yadj AS DECIMAL(38,12)) END) AS DOUBLE) AS sat,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(yadj AS DECIMAL(38,12)) END) AS DOUBLE) AS sac,
+        |    CAST(sum(CAST(yadj AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+        |    CAST(sum(CAST(yadj*yadj AS DECIMAL(38,12))) AS DOUBLE) AS saa
+        |  FROM j),
+        |o AS (SELECT f.*, m.sy AS msy, m.syy AS msyy, m.sx, m.sxx, m.sxy FROM f CROSS JOIN m)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(nt AS BIGINT) AS n_treat,
+        |  CAST(n - nt AS BIGINT) AS n_ctrl,
+        |  round((n*sxy - sx*msy) / nullif(n*sxx - sx*sx, 0), 6) AS theta,
+        |  round(syt / nt - syc / (n - nt), 6) AS diff_raw,
+        |  round(sat / nt - sac / (n - nt), 6) AS diff_cuped,
+        |  round(1 - (saa - sa*sa/n) / nullif(msyy - msy*msy/n, 0), 6) AS var_reduction
+        |FROM o""".stripMargin) { (s, d) =>
+      val di = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      def periodSum(cond: Column) =
+        sum(when(cond, col("value").cast("decimal(18,3)"))
+          .otherwise(lit(0).cast("decimal(18,3)"))).cast("double")
+      val u = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(periodSum(di < 50).as("x"), periodSum(di >= 50).as("y"))
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2)
+      val m = u.agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+      val j = u.crossJoin(broadcast(m))
+        .select(col("arm"), col("y"),
+          (col("y") - theta * (col("x") - col("sx") / col("n"))).as("yadj"))
+      def armSum(c: Column, arm: Int) =
+        sum(when(col("arm") === arm, c.cast("decimal(38,12)"))).cast("double")
+      val f = j.agg(count(lit(1)).as("fn"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("nt"),
+        armSum(col("y"), 1).as("syt"), armSum(col("y"), 0).as("syc"),
+        armSum(col("yadj"), 1).as("sat"), armSum(col("yadj"), 0).as("sac"),
+        dsum(col("yadj")).as("sa"),
+        dsum(col("yadj") * col("yadj")).as("saa"))
+      f.crossJoin(broadcast(m))
+        .select(col("fn").cast("long").as("n_users"),
+          col("nt").cast("long").as("n_treat"),
+          (col("fn") - col("nt")).cast("long").as("n_ctrl"),
+          r6(theta).as("theta"),
+          r6(col("syt") / col("nt") - col("syc") / (col("fn") - col("nt"))).as("diff_raw"),
+          r6(col("sat") / col("nt") - col("sac") / (col("fn") - col("nt"))).as("diff_cuped"),
+          r6(lit(1) - (col("saa") - col("sa") * col("sa") / col("fn")) /
+            nullif(col("syy") - col("sy") * col("sy") / col("fn"), lit(0.0)))
+            .as("var_reduction"))
+    },
+
+    /** Difference-in-differences on the same deterministic arms: the
+      * 2×2 (arm × pre/post) panel of per-user period totals — users
+      * missing a period count as zero via the user×period scaffold, the
+      * honest panel — and the DiD estimate
+      * (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre). One user-grain
+      * aggregate, O(1) readout; cell means from decimal sums.
+      */
+    QueryDef(
+      "q276_diff_in_diff",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 50
+        |      THEN CAST(value AS DECIMAL(18,3)) ELSE CAST(0 AS DECIMAL(18,3)) END) AS DOUBLE) AS pre,
+        |    CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 50
+        |      THEN CAST(value AS DECIMAL(18,3)) ELSE CAST(0 AS DECIMAL(18,3)) END) AS DOUBLE) AS post
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(pre AS DECIMAL(38,12)) END) AS DOUBLE) AS stp,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(post AS DECIMAL(38,12)) END) AS DOUBLE) AS sto,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(pre AS DECIMAL(38,12)) END) AS DOUBLE) AS scp,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(post AS DECIMAL(38,12)) END) AS DOUBLE) AS sco
+        |  FROM u)
+        |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+        |  round(stp / nt, 6) AS mean_t_pre, round(sto / nt, 6) AS mean_t_post,
+        |  round(scp / nc, 6) AS mean_c_pre, round(sco / nc, 6) AS mean_c_post,
+        |  round((sto / nt - stp / nt) - (sco / nc - scp / nc), 6) AS did
+        |FROM f""".stripMargin) { (s, d) =>
+      val di = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      def periodSum(cond: Column) =
+        sum(when(cond, col("value").cast("decimal(18,3)"))
+          .otherwise(lit(0).cast("decimal(18,3)"))).cast("double")
+      val u = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(periodSum(di < 50).as("pre"), periodSum(di >= 50).as("post"))
+        .withColumn("arm",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2)
+      def armSum(c: Column, arm: Int) =
+        sum(when(col("arm") === arm, c.cast("decimal(38,12)"))).cast("double")
+      val f = u.agg(
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("nt"),
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("nc"),
+        armSum(col("pre"), 1).as("stp"), armSum(col("post"), 1).as("sto"),
+        armSum(col("pre"), 0).as("scp"), armSum(col("post"), 0).as("sco"))
+      f.select(col("nt").cast("long").as("n_treat"),
+        col("nc").cast("long").as("n_ctrl"),
+        r6(col("stp") / col("nt")).as("mean_t_pre"),
+        r6(col("sto") / col("nt")).as("mean_t_post"),
+        r6(col("scp") / col("nc")).as("mean_c_pre"),
+        r6(col("sco") / col("nc")).as("mean_c_post"),
+        r6((col("sto") / col("nt") - col("stp") / col("nt")) -
+          (col("sco") / col("nc") - col("scp") / col("nc"))).as("did"))
     }
   )
 }

@@ -68,4 +68,28 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pairwise grids fail loudly past the element ceiling") {
     assert(InferenceOps.MaxInferenceElements == 64L)
   }
+
+  test("q275 CUPED: arms partition the users and pooled-theta adjustment cannot increase variance") {
+    val r = byName("q275_cuped")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_treat") + row.getAs[Long]("n_ctrl") ==
+      row.getAs[Long]("n_users"))
+    assert(row.getAs[Long]("n_treat") > 0 && row.getAs[Long]("n_ctrl") > 0,
+      "hash arms must both be populated")
+    val vr = row.getAs[Double]("var_reduction")
+    // with theta fit on the same sample, var(Y') = var(Y)(1 - rho^2)
+    assert(vr >= -1e-6 && vr <= 1.0 + 1e-9, s"variance reduction out of [0,1]: $row")
+  }
+
+  test("q276 DiD estimate equals the recomputed cell-mean contrast") {
+    val r = byName("q276_diff_in_diff")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val expect = (row.getAs[Double]("mean_t_post") - row.getAs[Double]("mean_t_pre")) -
+      (row.getAs[Double]("mean_c_post") - row.getAs[Double]("mean_c_pre"))
+    assert(math.abs(row.getAs[Double]("did") - expect) <= 4e-6,
+      s"did != cell-mean contrast: $row (expected ~$expect)")
+    assert(row.getAs[Long]("n_treat") > 0 && row.getAs[Long]("n_ctrl") > 0)
+  }
 }
