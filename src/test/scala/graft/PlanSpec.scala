@@ -601,4 +601,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       s"global window found: ${windows.filter(_.partitionSpec.isEmpty)}")
   }
+
+  test("q273/q274 scan the fact table at most once: all pair work runs on the cached histogram") {
+    // the Mann-Whitney/KS family reduces events to the (element, value)
+    // histogram ONCE (PlanCache); domains, cumulative grid, and the
+    // O(V*P^2) pair join must all derive from it — more than one parquet
+    // scan of events in a single executed plan means a fact re-scan
+    // snuck back in
+    for (q <- Seq("q273_mann_whitney", "q274_ks_test")) {
+      val nodes = allNodes(finalPlan(SparkEntry.queries(q)(spark, sf)))
+      val eventScans = nodes.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("events"))
+          => f
+      }
+      assert(eventScans.size <= 1,
+        s"$q re-scans the fact table: ${eventScans.size} events scans")
+    }
+  }
 }
