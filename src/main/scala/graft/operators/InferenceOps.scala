@@ -382,6 +382,101 @@ object InferenceOps {
         r6(col("sco") / col("nc")).as("mean_c_post"),
         r6((col("sto") / col("nt") - col("stp") / col("nt")) -
           (col("sco") / col("nc") - col("scp") / col("nc"))).as("did"))
+    },
+
+    /** Kaplan-Meier survival of signup → first purchase, right-censored
+      * at the observation horizon (global max day) — the censoring-aware
+      * counterpart of q245's conversion-delay quantiles, which silently
+      * drop never-converters. Durations reduce per user (one shuffle);
+      * the KM curve itself is O(distinct durations) rows: risk sets from
+      * a cumulative count window, S(t) = Π(1 − d/n) evaluated as
+      * exp(Σ ln(1 − d/n)) over the duration-ORDERED window — ordered
+      * running sums are sequential by definition, so the double
+      * accumulation order is engine-identical without the decimal detour
+      * (which ln(0) = −∞ at a curve-terminating event would break).
+      * The windows are global but run on the tiny duration table, never
+      * on user-grain data.
+      */
+    QueryDef(
+      "q277_survival_km",
+      """WITH di AS (
+        |  SELECT user_id, event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |h AS (SELECT max(di) AS hh FROM di),
+        |s0 AS (
+        |  SELECT user_id, min(di) AS t0 FROM di
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p1 AS (
+        |  SELECT d.user_id, min(d.di) AS t1
+        |  FROM di d JOIN s0 ON s0.user_id = d.user_id
+        |  WHERE d.event_type = 'purchase' AND d.di >= s0.t0 GROUP BY 1),
+        |dur AS (
+        |  SELECT s0.user_id,
+        |    CASE WHEN p1.t1 IS NULL THEN h.hh - s0.t0 ELSE p1.t1 - s0.t0 END AS t,
+        |    CASE WHEN p1.t1 IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM s0 LEFT JOIN p1 ON p1.user_id = s0.user_id CROSS JOIN h),
+        |nt AS (SELECT count(*) AS n FROM dur),
+        |byt AS (SELECT t, count(*) AS c, sum(ev) AS d FROM dur GROUP BY 1),
+        |rk AS (
+        |  SELECT t, d,
+        |    nt.n - coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt CROSS JOIN nt),
+        |km AS (
+        |  SELECT t, d, n_risk,
+        |    exp(sum(ln(CASE WHEN d >= n_risk THEN 1
+        |      ELSE 1 - CAST(d AS DOUBLE) / n_risk END)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv,
+        |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM rk WHERE d > 0)
+        |SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6) AS survival
+        |FROM km ORDER BY duration_days""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+      val h = ev.agg(max(col("di")).as("hh"))
+      val s0 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("di")).as("t0"))
+      val p1 = ev.where(col("event_type") === "purchase")
+        .join(s0.select(col("user_id").as("su"), col("t0")),
+          col("su") === col("user_id") && col("di") >= col("t0"))
+        .groupBy(col("user_id").as("pu")).agg(min(col("di")).as("t1"))
+      val dur = s0.join(p1, col("pu") === col("user_id"), "left")
+        .crossJoin(broadcast(h))
+        .select(
+          when(col("t1").isNull, col("hh") - col("t0"))
+            .otherwise(col("t1") - col("t0")).as("t"),
+          when(col("t1").isNull, lit(0)).otherwise(lit(1)).as("ev"))
+      val nt = dur.agg(count(lit(1)).as("n"))
+      val byt = dur.groupBy(col("t"))
+        .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = byt.crossJoin(broadcast(nt))
+        .select(col("t"), col("d"),
+          (col("n") - coalesce(sum(col("c")).over(wPrev), lit(0L))).as("n_risk"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // a curve-terminating event (d == n_risk) would be ln(0): Spark's
+      // log yields NULL there while DuckDB raises — so the terminal term
+      // contributes ln(1) and a cumulative `dead` flag pins survival to
+      // exactly 0.0 from that event on, identically in both engines
+      rk.where(col("d") > 0)
+        .select(col("t"), col("d"), col("n_risk"),
+          exp(sum(log(when(col("d") >= col("n_risk"), lit(1.0))
+            .otherwise(lit(1) - col("d").cast("double") / col("n_risk"))))
+            .over(wCum)).as("surv"),
+          max(when(col("d") >= col("n_risk"), lit(1)).otherwise(lit(0)))
+            .over(wCum).as("dead"))
+        .select(col("t").as("duration_days"),
+          col("n_risk").cast("long").as("n_risk"),
+          col("d").cast("long").as("n_events"),
+          r6(when(col("dead") === 1, lit(0.0)).otherwise(col("surv")))
+            .as("survival"))
+        .orderBy("duration_days")
     }
   )
 }

@@ -82,6 +82,25 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vr >= -1e-6 && vr <= 1.0 + 1e-9, s"variance reduction out of [0,1]: $row")
   }
 
+  test("q277 Kaplan-Meier: survival is monotone nonincreasing from 1, risk sets shrink") {
+    val rows = byName("q277_survival_km")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var lastS = 1.0 + 1e-9
+    var lastRisk = Long.MaxValue
+    var lastT = Long.MinValue
+    rows.foreach { r =>
+      val t = r.getAs[Int]("duration_days").toLong
+      assert(t > lastT, s"curve not time-ordered: $r"); lastT = t
+      val sv = r.getAs[Double]("survival")
+      assert(sv >= -1e-12 && sv <= lastS, s"survival not monotone in [0,1]: $r")
+      lastS = sv
+      val risk = r.getAs[Long]("n_risk")
+      assert(risk <= lastRisk && risk >= r.getAs[Long]("n_events"),
+        s"risk set must shrink and cover the events: $r")
+      lastRisk = risk
+    }
+  }
+
   test("q276 DiD estimate equals the recomputed cell-mean contrast") {
     val r = byName("q276_diff_in_diff")(spark, sf).collect()
     assert(r.length == 1)
