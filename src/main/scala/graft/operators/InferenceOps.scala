@@ -477,6 +477,127 @@ object InferenceOps {
           r6(when(col("dead") === 1, lit(0.0)).otherwise(col("surv")))
             .as("survival"))
         .orderBy("duration_days")
+    },
+
+    /** Log-rank test between the two deterministic hash arms' conversion
+      * survival curves — the inference companion of q277 and the
+      * censoring-aware counterpart of q163's mean test. At every event
+      * time the treatment arm's observed events are compared to the
+      * hypergeometric expectation d·n₁/n with variance
+      * d·(n₁/n)·(n₂/n)·(n−d)/(n−1); χ² = (O−E)²/ΣV. Same scale shape as
+      * q277: one user-grain reduction, per-arm risk sets from cumulative
+      * windows over the O(event times × 2) scaffold, decimal-exact O−E
+      * and variance sums.
+      */
+    QueryDef(
+      "q278_logrank_test",
+      """WITH di AS (
+        |  SELECT user_id, event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |h AS (SELECT max(di) AS hh FROM di),
+        |s0 AS (
+        |  SELECT user_id, min(di) AS t0 FROM di
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p1 AS (
+        |  SELECT d.user_id, min(d.di) AS t1
+        |  FROM di d JOIN s0 ON s0.user_id = d.user_id
+        |  WHERE d.event_type = 'purchase' AND d.di >= s0.t0 GROUP BY 1),
+        |dur AS (
+        |  SELECT s0.user_id,
+        |    ('0x' || substr(md5(CAST(s0.user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    CASE WHEN p1.t1 IS NULL THEN h.hh - s0.t0 ELSE p1.t1 - s0.t0 END AS t,
+        |    CASE WHEN p1.t1 IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM s0 LEFT JOIN p1 ON p1.user_id = s0.user_id CROSS JOIN h),
+        |na AS (
+        |  SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1t,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0t
+        |  FROM dur),
+        |byarm AS (
+        |  SELECT t, arm, count(*) AS c, sum(ev) AS d FROM dur GROUP BY 1, 2),
+        |evt AS (SELECT DISTINCT t FROM byarm WHERE d > 0),
+        |sc AS (
+        |  SELECT e.t, a.arm, coalesce(b.c, 0) AS c, coalesce(b.d, 0) AS d
+        |  FROM evt e CROSS JOIN (VALUES (0), (1)) a(arm)
+        |  LEFT JOIN byarm b ON b.t = e.t AND b.arm = a.arm),
+        |rk AS (
+        |  SELECT t, arm, d,
+        |    (CASE WHEN arm = 1 THEN na.n1t ELSE na.n0t END)
+        |      - coalesce(sum(c) OVER (PARTITION BY arm ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+        |  FROM sc CROSS JOIN na),
+        |w AS (
+        |  SELECT t,
+        |    sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d1,
+        |    sum(d) AS d, sum(CASE WHEN arm = 1 THEN nr ELSE 0 END) AS n1,
+        |    sum(nr) AS n
+        |  FROM rk GROUP BY 1),
+        |ag AS (
+        |  SELECT sum(d1) AS o1,
+        |    CAST(sum(CAST(d * (CAST(n1 AS DOUBLE) / n) AS DECIMAL(38,12))) AS DOUBLE) AS e1,
+        |    CAST(sum(CAST(d * (CAST(n1 AS DOUBLE) / n) * (CAST(n - n1 AS DOUBLE) / n)
+        |      * (CAST(n - d AS DOUBLE) / nullif(n - 1, 0)) AS DECIMAL(38,12))) AS DOUBLE) AS v
+        |  FROM w WHERE n > 1),
+        |o AS (SELECT na.n1t, na.n0t, ag.o1, ag.e1, ag.v FROM ag CROSS JOIN na)
+        |SELECT CAST(n1t AS BIGINT) AS n_treat, CAST(n0t AS BIGINT) AS n_ctrl,
+        |  CAST(o1 AS BIGINT) AS o_treat, round(e1, 6) AS e_treat,
+        |  round((o1 - e1) * (o1 - e1) / nullif(v, 0), 6) AS logrank_chi2
+        |FROM o""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+      val h = ev.agg(max(col("di")).as("hh"))
+      val s0 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("di")).as("t0"))
+      val p1 = ev.where(col("event_type") === "purchase")
+        .join(s0.select(col("user_id").as("su"), col("t0")),
+          col("su") === col("user_id") && col("di") >= col("t0"))
+        .groupBy(col("user_id").as("pu")).agg(min(col("di")).as("t1"))
+      val dur = s0.join(p1, col("pu") === col("user_id"), "left")
+        .crossJoin(broadcast(h))
+        .select(
+          (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2).as("arm"),
+          when(col("t1").isNull, col("hh") - col("t0"))
+            .otherwise(col("t1") - col("t0")).as("t"),
+          when(col("t1").isNull, lit(0)).otherwise(lit(1)).as("ev"))
+      val na = dur.agg(
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("n1t"),
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("n0t"))
+      val byarm = dur.groupBy(col("t"), col("arm"))
+        .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+      val evtT = byarm.where(col("d") > 0).select(col("t")).distinct()
+      val arms = Seq(0, 1).toDF("sarm")
+      val sc = evtT.crossJoin(broadcast(arms))
+        .join(byarm.select(col("t").as("bt"), col("arm"), col("c"), col("d")),
+          col("bt") === col("t") && col("arm") === col("sarm"), "left")
+        .select(col("t"), col("sarm").as("aarm"),
+          coalesce(col("c"), lit(0L)).as("c"), coalesce(col("d"), lit(0L)).as("d"))
+      val wPrev = Window.partitionBy(col("aarm")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = sc.crossJoin(broadcast(na))
+        .select(col("t"), col("aarm"), col("d"),
+          (when(col("aarm") === 1, col("n1t")).otherwise(col("n0t"))
+            - coalesce(sum(col("c")).over(wPrev), lit(0L))).as("nr"))
+      val w = rk.groupBy(col("t")).agg(
+        sum(when(col("aarm") === 1, col("d")).otherwise(lit(0L))).as("d1"),
+        sum(col("d")).as("d"),
+        sum(when(col("aarm") === 1, col("nr")).otherwise(lit(0L))).as("n1"),
+        sum(col("nr")).as("n"))
+      val ag = w.where(col("n") > 1).agg(
+        sum(col("d1")).as("o1"),
+        dsum(col("d") * (col("n1").cast("double") / col("n"))).as("e1"),
+        dsum(col("d") * (col("n1").cast("double") / col("n")) *
+          ((col("n") - col("n1")).cast("double") / col("n")) *
+          ((col("n") - col("d")).cast("double") / nullif(col("n") - 1, lit(0L))))
+          .as("v"))
+      ag.crossJoin(broadcast(na))
+        .select(col("n1t").cast("long").as("n_treat"),
+          col("n0t").cast("long").as("n_ctrl"),
+          col("o1").cast("long").as("o_treat"),
+          r6(col("e1")).as("e_treat"),
+          r6((col("o1") - col("e1")) * (col("o1") - col("e1")) /
+            nullif(col("v"), lit(0.0))).as("logrank_chi2"))
     }
   )
 }

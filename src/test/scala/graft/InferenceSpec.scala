@@ -101,6 +101,17 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q278 log-rank: chi2 nonnegative, observed within the treatment total, expectation positive") {
+    val r = byName("q278_logrank_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_treat") > 0 && row.getAs[Long]("n_ctrl") > 0)
+    val o = row.getAs[Long]("o_treat")
+    assert(o >= 0 && o <= row.getAs[Long]("n_treat"), s"$row")
+    assert(row.getAs[Double]("e_treat") > 0, s"$row")
+    assert(row.getAs[Double]("logrank_chi2") >= 0, s"$row")
+  }
+
   test("q276 DiD estimate equals the recomputed cell-mean contrast") {
     val r = byName("q276_diff_in_diff")(spark, sf).collect()
     assert(r.length == 1)
