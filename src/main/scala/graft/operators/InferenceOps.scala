@@ -598,6 +598,99 @@ object InferenceOps {
           r6(col("e1")).as("e_treat"),
           r6((col("o1") - col("e1")) * (col("o1") - col("e1")) /
             nullif(col("v"), lit(0.0))).as("logrank_chi2"))
+    },
+
+    /** Mergeable histogram quantiles with a MEASURED error readout — the
+      * quantile member of the sketch family (HLL q106, count-min q231,
+      * Misra-Gries q196): a 64-bin fixed-width histogram over the
+      * broadcast [min, max] range is a pure counts vector, so partial
+      * aggregation IS the sketch merge and the result is independent of
+      * partitioning/merge order (unlike GK/t-digest, whose merge order
+      * leaks into the estimate — that's why approx_percentile stays
+      * rows-only while THIS oracles). p50/p90/p99 are read off the
+      * cumulative histogram by linear interpolation inside the crossing
+      * bin and compared against the exact percentile (q179's parity
+      * idiom) per event element — the estimator ships WITH its measured
+      * error, the honest-sketch discipline.
+      */
+    QueryDef(
+      "q279_histogram_quantiles",
+      """WITH rng AS (
+        |  SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (
+        |  SELECT event_type AS el,
+        |    least(63, CAST(floor((value - rng.lo) / nullif(rng.hi - rng.lo, 0) * 64)
+        |      AS INT)) AS bin
+        |  FROM events CROSS JOIN rng),
+        |hist AS (SELECT el, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT el, bin, c,
+        |    sum(c) OVER (PARTITION BY el ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cl,
+        |    sum(c) OVER (PARTITION BY el) AS n
+        |  FROM hist),
+        |qs AS (
+        |  SELECT cum.el, q.q, cum.bin, cum.c, coalesce(cum.cl, 0) AS cl, cum.n,
+        |    row_number() OVER (PARTITION BY cum.el, q.q ORDER BY cum.bin) AS rn
+        |  FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) q(q)
+        |  WHERE coalesce(cum.cl, 0) + cum.c >= q.q * cum.n),
+        |est AS (
+        |  SELECT qs.el, qs.q,
+        |    rng.lo + (rng.hi - rng.lo) / 64 *
+        |      (qs.bin + (qs.q * qs.n - qs.cl) / qs.c) AS approx
+        |  FROM qs CROSS JOIN rng WHERE rn = 1),
+        |ex AS (
+        |  SELECT event_type AS el,
+        |    quantile_cont(value, 0.5) AS e50,
+        |    quantile_cont(value, 0.9) AS e90,
+        |    quantile_cont(value, 0.99) AS e99
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT est.el, est.q, est.approx,
+        |    CASE WHEN est.q = 0.5 THEN ex.e50
+        |         WHEN est.q = 0.9 THEN ex.e90 ELSE ex.e99 END AS exact
+        |  FROM est JOIN ex ON ex.el = est.el)
+        |SELECT el, round(CAST(q AS DOUBLE), 2) AS q, round(approx, 6) AS approx,
+        |  round(exact, 6) AS exact, round(abs(approx - exact), 6) AS abs_err
+        |FROM j ORDER BY el, q""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val b = ev.crossJoin(broadcast(rng))
+        .select(col("event_type").as("el"),
+          least(lit(63), floor((col("value") - col("lo")) /
+            nullif(col("hi") - col("lo"), lit(0.0)) * 64).cast("int")).as("bin"))
+      val hist = b.groupBy(col("el"), col("bin")).agg(count(lit(1)).as("c"))
+      val wPrev = Window.partitionBy(col("el")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.select(col("el"), col("bin"), col("c"),
+        coalesce(sum(col("c")).over(wPrev), lit(0L)).as("cl"),
+        sum(col("c")).over(Window.partitionBy(col("el"))).as("n"))
+      val qsv = Seq(0.5, 0.9, 0.99).toDF("q")
+      val wq = Window.partitionBy(col("el"), col("q")).orderBy(col("bin"))
+      val qs = cum.crossJoin(broadcast(qsv))
+        .where(col("cl") + col("c") >= col("q") * col("n"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") === 1)
+      val est = qs.crossJoin(broadcast(rng))
+        .select(col("el"), col("q"),
+          (col("lo") + (col("hi") - col("lo")) / 64 *
+            (col("bin") + (col("q") * col("n") - col("cl")) / col("c")))
+            .as("approx"))
+      val ex = ev.groupBy(col("event_type").as("exl")).agg(
+        expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"),
+        expr("percentile(value, 0.99)").as("e99"))
+      est.join(ex, col("exl") === col("el"))
+        .select(col("el"), round(col("q"), 2).as("q"),
+          r6(col("approx")).as("approx"),
+          r6(when(col("q") === 0.5, col("e50"))
+            .when(col("q") === 0.9, col("e90")).otherwise(col("e99")))
+            .as("exact"),
+          r6(abs(col("approx") - when(col("q") === 0.5, col("e50"))
+            .when(col("q") === 0.9, col("e90")).otherwise(col("e99"))))
+            .as("abs_err"))
+        .orderBy("el", "q")
     }
   )
 }

