@@ -319,6 +319,86 @@ object HybridOps {
           col("shared").as("shared_terms"))
         .where(col("cos") >= 0.2)
         .orderBy(col("cos").desc, col("doc_a"), col("doc_b")).limit(50)
+    },
+
+    /** nDCG@10 of the multiprobe ANN ranking against the exact cosine
+      * ranking — the ORDERING-quality companion of q226's recall@10
+      * (recall counts hits; nDCG grades where they landed). Same
+      * geometry as the ANN family (the shared Lsh plane family and
+      * q64's query vector): the system list is the 9-bucket multiprobe
+      * top-10, ground truth the exact top-10 with graded relevance
+      * 11−rank. DCG discounts are written as ln(pos+1)/ln(2) — the
+      * IDENTICAL expression both engines, no log2 builtin parity bet —
+      * and both gain sums are decimal-accumulated. Both top-10 cuts are
+      * bounded TakeOrdered ops on round-6 scores (q261's margin
+      * discipline); the readout is one row.
+      */
+    QueryDef(
+      "q280_ndcg_eval", {
+        val planes = Lsh.hyperplanes(8)
+        val qv: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+        val corpusBucket = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
+        val qb = Lsh.bucketOf(qv, planes).toInt
+        val probes = (qb +: planes.indices.map(pi => qb ^ (1 << pi))).mkString(", ")
+        val qvecSql = qv.mkString("[", ", ", "]::DOUBLE[]")
+        s"""WITH ex AS (
+           |  SELECT vec_id,
+           |    row_number() OVER (ORDER BY round(list_cosine_similarity(
+           |      embedding::DOUBLE[], $qvecSql), 6) DESC, vec_id) AS re
+           |  FROM embeddings
+           |  ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], $qvecSql), 6)
+           |    DESC, vec_id LIMIT 10),
+           |sys AS (
+           |  SELECT vec_id,
+           |    row_number() OVER (ORDER BY round(list_cosine_similarity(
+           |      embedding::DOUBLE[], $qvecSql), 6) DESC, vec_id) AS pos
+           |  FROM embeddings WHERE ($corpusBucket) IN ($probes)
+           |  ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], $qvecSql), 6)
+           |    DESC, vec_id LIMIT 10),
+           |dg AS (
+           |  SELECT count(*) AS n_sys,
+           |    CAST(sum(CASE WHEN ex.re IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |    CAST(sum(CAST(CASE WHEN ex.re IS NOT NULL THEN (11 - ex.re) ELSE 0 END
+           |      / (ln(sys.pos + 1.0) / ln(2.0)) AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+           |  FROM sys LEFT JOIN ex ON ex.vec_id = sys.vec_id),
+           |ig AS (
+           |  SELECT CAST(sum(CAST((11 - re) / (ln(re + 1.0) / ln(2.0))
+           |    AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+           |  FROM ex)
+           |SELECT CAST(n_sys AS BIGINT) AS n_sys, hits,
+           |  round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           |  round(dcg / idcg, 6) AS ndcg
+           |FROM dg CROSS JOIN ig""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.Kernels
+      val planes = Lsh.hyperplanes(8)
+      val qv: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+      val qb = Lsh.bucketOf(qv, planes).toInt
+      val probes = qb +: planes.indices.map(pi => qb ^ (1 << pi))
+      val emb = col("embedding").cast("array<double>")
+      val cosR = r6(Kernels.cosine(emb, array(qv.map(lit): _*)))
+      val e = Tables.embeddings(s, d)
+      val ex = e.select(col("vec_id"), cosR.as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10)
+        .withColumn("re", row_number().over(Window.orderBy(col("cs").desc, col("vec_id"))))
+        .select(col("vec_id").as("evid"), col("re"))
+      val sys = e.where(Lsh.bucketColumn(emb, planes).isin(probes: _*))
+        .select(col("vec_id"), cosR.as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10)
+        .withColumn("pos", row_number().over(Window.orderBy(col("cs").desc, col("vec_id"))))
+        .select(col("vec_id"), col("pos"))
+      def dsumD(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+      val dg = sys.join(ex, col("evid") === col("vec_id"), "left")
+        .agg(count(lit(1)).as("n_sys"),
+          sum(when(col("re").isNotNull, 1).otherwise(0)).cast("long").as("hits"),
+          dsumD(when(col("re").isNotNull, lit(11) - col("re")).otherwise(lit(0)) /
+            (log(col("pos") + 1.0) / log(lit(2.0)))).as("dcg"))
+      val ig = ex.agg(dsumD((lit(11) - col("re")) /
+        (log(col("re") + 1.0) / log(lit(2.0)))).as("idcg"))
+      dg.crossJoin(broadcast(ig))
+        .select(col("n_sys").cast("long").as("n_sys"), col("hits"),
+          r6(col("dcg")).as("dcg"), r6(col("idcg")).as("idcg"),
+          r6(col("dcg") / col("idcg")).as("ndcg"))
     }
   )
 }

@@ -74,6 +74,20 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HybridOps.MaxSemCluster == 4096L)
   }
 
+  test("q280 nDCG: bounded by 1, consistent with hits, ideal list scores exactly 1") {
+    val rows = byName("q280_ndcg_eval")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (hits, nSys) = (r.getAs[Long]("hits"), r.getAs[Long]("n_sys"))
+    assert(hits <= nSys && nSys <= 10, s"$r")
+    val ndcg = r.getAs[Double]("ndcg")
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-6, s"nDCG out of [0,1]: $r")
+    if (hits == 0) assert(ndcg == 0.0, s"$r")
+    // a perfect system list is the exact list itself: dcg == idcg
+    if (hits == 10 && math.abs(r.getAs[Double]("dcg") - r.getAs[Double]("idcg")) < 1e-9)
+      assert(math.abs(ndcg - 1.0) <= 1e-6)
+  }
+
   test("q271 TF-IDF join: pairs are ordered, above threshold, and genuinely term-connected") {
     val rows = byName("q271_tfidf_cosine_join")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
