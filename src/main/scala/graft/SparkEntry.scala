@@ -29,6 +29,8 @@ object SparkEntry {
       operators.TemporalOps.defs ++
       operators.RobustOps.defs ++
       operators.CausalOps.defs ++
+      operators.DriftOps.defs ++
+      operators.SeriesOps.defs ++
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
       operators.HybridOps.defs ++

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
 object CausalOps {
   private def r6(c: Column) = round(c, 6)
 
-  /** Exact-decimal sum of a deterministic double term, back to double. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+  // dailySql / daily / dsum are shared with the round-9 sibling modules
+  // (SeriesOps, DriftOps) so every series-shaped query family runs on the
+  // SAME PlanCache'd (element, day) grid — one fact-table scan per
+  // session, identical decimal-sum semantics everywhere.
 
-  private val dailySql =
+  /** Exact-decimal sum of a deterministic double term, back to double. */
+  private[operators] def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+
+  private[operators] val dailySql =
     """daily AS (
       |  SELECT event_type AS el,
       |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
@@ -40,7 +45,7 @@ object CausalOps {
     * bench/verify invocations reuse the same single cache entry instead
     * of accumulating fresh ones (round-7 ADVICE).
     */
-  private def daily(s: SparkSession, d: String): DataFrame =
+  private[operators] def daily(s: SparkSession, d: String): DataFrame =
     PlanCache.cached(s, s"causal_daily|$d") {
       Tables.events(s, d)
         .groupBy(col("event_type").as("el"),

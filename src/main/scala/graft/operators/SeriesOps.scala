@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 time-series structure operators on the shared causal
+  * (element, day) grid: the Theil–Sen robust trend estimator and the
+  * partial autocorrelation function (Durbin–Levinson to lag 3 — the
+  * companion of q266's ACF that separates direct lag-k memory from
+  * carried-over lag-1 memory). Both run entirely on the PlanCache'd
+  * O(P·T) grid: day count T is calendar-bounded at any data volume, so
+  * the per-element O(T²) slope enumeration is a constant-factor compute
+  * step after the one fact-table reduction, embarrassingly parallel in
+  * the element key.
+  */
+object SeriesOps {
+  private def r6(c: Column) = round(c, 6)
+  import CausalOps.{daily, dailySql, dsum}
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Theil–Sen trend per element: the MEDIAN of all pairwise slopes
+      * (v_j − v_i)/(di_j − di_i), i < j — the classic 29%-breakdown
+      * robust alternative to the OLS slope that one spiky day would
+      * drag (exactly the contamination q268 flags). The intercept is
+      * the median of (v − slope·di). Slopes are deterministic doubles;
+      * the two medians are exact interpolated percentiles (the
+      * q179/q268 parity idiom). Scale: pairs are per-element and
+      * O(T²) with T calendar-bounded (~hundreds), so the pair join is
+      * grid-local compute, never a fact-table self-join; one shuffle
+      * on `el` no matter the raw volume.
+      */
+    QueryDef(
+      "q282_theilsen_trend",
+      s"""WITH $dailySql,
+        |sl AS (
+        |  SELECT a.el, (b.v - a.v) / (b.di - a.di) AS slope
+        |  FROM daily a JOIN daily b ON b.el = a.el AND b.di > a.di),
+        |se AS (
+        |  SELECT el, count(*) AS n_pairs, median(slope) AS slope
+        |  FROM sl GROUP BY 1),
+        |ic AS (
+        |  SELECT d.el, count(*) AS n_days,
+        |    median(d.v - se.slope * d.di) AS intercept, max(se.slope) AS slope,
+        |    max(se.n_pairs) AS n_pairs
+        |  FROM daily d JOIN se ON se.el = d.el GROUP BY 1)
+        |SELECT el, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  round(slope, 6) AS slope, round(intercept, 6) AS intercept
+        |FROM ic ORDER BY el""".stripMargin) { (s, d) =>
+      val g = daily(s, d)
+      val a = g.select(col("el"), col("di"), col("v"))
+      val b = g.select(col("el").as("elb"), col("di").as("dib"), col("v").as("vb"))
+      val sl = a.join(b, col("elb") === col("el") && col("dib") > col("di"))
+        .select(col("el"), ((col("vb") - col("v")) / (col("dib") - col("di"))).as("slope"))
+      val se = sl.groupBy(col("el").as("sel"))
+        .agg(count(lit(1)).as("n_pairs"), expr("percentile(slope, 0.5)").as("slope"))
+      g.join(broadcast(se), col("sel") === col("el"))
+        .groupBy("el")
+        .agg(count(lit(1)).as("n_days"),
+          expr("percentile(v - slope * di, 0.5)").as("intercept"),
+          max(col("slope")).as("slope"), max(col("n_pairs")).as("n_pairs"))
+        .select(col("el"), col("n_days"), col("n_pairs"),
+          r6(col("slope")).as("slope"), r6(col("intercept")).as("intercept"))
+        .orderBy("el")
+    },
+
+    /** Partial autocorrelation to lag 3 via Durbin–Levinson: the
+      * classical sample ACF r_k = Σ(d_t·d_{t+k}) / Σd_t² (global-mean
+      * deviations — a true autocovariance sequence, unlike q266's
+      * per-overlap Pearson, which is the right input for the DL
+      * recursion), then the closed-form unroll
+      * φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+      * φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2).
+      * PACF answers "does day t−k matter DIRECTLY once t−1..t−(k−1)
+      * are accounted for" — the single-series analogue of q248's
+      * partial correlation. All sums decimal-exact on the grid; the
+      * final recursion is identical scalar IEEE arithmetic in both
+      * engines over O(P) rows.
+      */
+    QueryDef(
+      "q283_pacf",
+      s"""WITH $dailySql,
+        |m AS (
+        |  SELECT el, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS vb
+        |  FROM daily GROUP BY 1),
+        |dv AS (
+        |  SELECT d.el, d.di, d.v - m.vb AS dev
+        |  FROM daily d JOIN m ON m.el = d.el),
+        |c0 AS (
+        |  SELECT el, count(*) AS n_days,
+        |    CAST(sum(CAST(dev * dev AS DECIMAL(38,12))) AS DOUBLE) AS c0
+        |  FROM dv GROUP BY 1),
+        |ck AS (
+        |  SELECT a.el, l.k,
+        |    CAST(sum(CAST(a.dev * b.dev AS DECIMAL(38,12))) AS DOUBLE) AS ck
+        |  FROM dv a
+        |  CROSS JOIN (VALUES (1), (2), (3)) l(k)
+        |  JOIN dv b ON b.el = a.el AND b.di = a.di + l.k
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c0.el, max(c0.n_days) AS n_days,
+        |    max(CASE WHEN k = 1 THEN ck / c0 END) AS r1,
+        |    max(CASE WHEN k = 2 THEN ck / c0 END) AS r2,
+        |    max(CASE WHEN k = 3 THEN ck / c0 END) AS r3
+        |  FROM ck JOIN c0 ON ck.el = c0.el GROUP BY 1),
+        |dl AS (
+        |  SELECT el, n_days, r1, r2, r3,
+        |    (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+        |  FROM r),
+        |dl2 AS (
+        |  SELECT el, n_days, r1, r2, r3, phi22,
+        |    r1 - phi22 * r1 AS phi21
+        |  FROM dl)
+        |SELECT el, CAST(n_days AS BIGINT) AS n_days,
+        |  round(r1, 6) AS pacf1,
+        |  round(phi22, 6) AS pacf2,
+        |  round((r3 - phi21 * r2 - phi22 * r1)
+        |    / (1 - phi21 * r1 - phi22 * r2), 6) AS pacf3,
+        |  round(r2, 6) AS acf2, round(r3, 6) AS acf3
+        |FROM dl2 ORDER BY el""".stripMargin) { (s, d) =>
+      val g = daily(s, d)
+      val m = g.groupBy(col("el").as("mel"))
+        .agg((dsum(col("v")) / count(lit(1))).as("vb"))
+      val dv = g.join(broadcast(m), col("mel") === col("el"))
+        .select(col("el"), col("di"), (col("v") - col("vb")).as("dev"))
+      val c0 = dv.groupBy(col("el").as("cel"))
+        .agg(count(lit(1)).as("n_days"), dsum(col("dev") * col("dev")).as("c0"))
+      import s.implicits._
+      val lags = Seq(1, 2, 3).toDF("k")
+      val b = dv.select(col("el").as("elb"), col("di").as("dib"), col("dev").as("devb"))
+      val ck = dv.crossJoin(broadcast(lags))
+        .join(b, col("elb") === col("el") && col("dib") === col("di") + col("k"))
+        .groupBy("el", "k")
+        .agg(dsum(col("dev") * col("devb")).as("ck"))
+      val r = ck.join(broadcast(c0), col("cel") === col("el"))
+        .groupBy("el")
+        .agg(max(col("n_days")).as("n_days"),
+          max(when(col("k") === 1, col("ck") / col("c0"))).as("r1"),
+          max(when(col("k") === 2, col("ck") / col("c0"))).as("r2"),
+          max(when(col("k") === 3, col("ck") / col("c0"))).as("r3"))
+      val dl = r.withColumn("phi22",
+        (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1")))
+      val dl2 = dl.withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+      dl2.select(col("el"), col("n_days"),
+          r6(col("r1")).as("pacf1"),
+          r6(col("phi22")).as("pacf2"),
+          r6((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1")) /
+            (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2"))).as("pacf3"),
+          r6(col("r2")).as("acf2"), r6(col("r3")).as("acf3"))
+        .orderBy("el")
+    }
+  )
+}
