@@ -74,9 +74,13 @@ object Bench {
     val headline = results.sortBy(-_._2).take(16).sortBy(_._1)
     val compactJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(headline)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // Only a FULL run may replace BENCH_FULL.json: a SPARK_GRAFT_BENCH_ONLY
+    // run covers a subset, and overwriting would both lose the committed
+    // full-suite record and destroy the noise fence's per-query baseline.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // Print after every other writer is done: silence logging, stop Spark
     // (its shutdown WARNs would otherwise land after us), then print.
     spark.sparkContext.setLogLevel("OFF")

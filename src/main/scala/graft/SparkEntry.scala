@@ -31,6 +31,7 @@ object SparkEntry {
       operators.CausalOps.defs ++
       operators.DriftOps.defs ++
       operators.SeriesOps.defs ++
+      operators.GraphOps.defs ++
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
       operators.HybridOps.defs ++

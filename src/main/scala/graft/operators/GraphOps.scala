@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 graph-analytics operators: Adamic-Adar link prediction over
+  * the co-order part graph (the q218 market-basket graph promoted to a
+  * scored edge-prediction readout) and Markov-chain removal-effect
+  * attribution (the absorbing-chain upgrade of q232's position-based
+  * attribution — "how much conversion probability disappears if a
+  * channel is deleted from every journey").
+  *
+  * Scale discipline shared by both: the raw fact table reduces to a
+  * bounded graph/matrix (distinct co-order edges with a min-support
+  * floor and a hub cap; a |states|² transition matrix), and every
+  * iterative/quadratic step runs on that reduced object — never on raw
+  * rows. The absorption solve is a fold KERNEL (functions.aggregate),
+  * so the 15-step recursion is a constant-size expression evaluated in
+  * one pass, not 15 chained self-joins.
+  */
+object GraphOps {
+  private def r6(c: Column) = round(c, 6)
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+
+  /** Journey states (the non-conversion event types). Fixed, like the
+    * q93 dimension literal: the attribution contract is over the known
+    * channel vocabulary; 'purchase' is the absorbing conversion. */
+  private val Channels = Seq("click", "error", "signup", "view")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Adamic-Adar link prediction on the co-order part graph: nodes
+      * are parts, edges are pairs co-ordered ≥ 2 times (min-support
+      * floors the noise pairs that dominate raw co-occurrence), and
+      * every NON-adjacent pair with a common neighbor scores
+      * Σ_w 1/ln(deg w) — common neighbors weighted up when they are
+      * selective. Top-20 predicted links by round-6 score. The path-2
+      * enumeration is the quadratic step: it runs on the support-
+      * floored edge set only, and common neighbors with deg > 256 are
+      * excluded (a hub cap — high-degree nodes contribute ~0 weight at
+      * ~16× the rows; the cap is the difference between Σdeg² of a
+      * floored graph and of a 100 TB co-occurrence hairball). One
+      * shuffle keys the path join on the middle node; the rounded
+      * score is the cut key (q261 margin discipline).
+      */
+    QueryDef(
+      "q285_adamic_adar",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |dg AS (SELECT u AS w, count(*) AS deg FROM sym GROUP BY 1),
+        |p2 AS (
+        |  SELECT e1.v AS w, e1.u AS a, e2.v AS b
+        |  FROM sym e1 JOIN sym e2 ON e2.u = e1.v AND e1.u < e2.v),
+        |sc AS (
+        |  SELECT p2.a AS u, p2.b AS v, count(*) AS n_common,
+        |    CAST(sum(CAST(1.0 / ln(dg.deg) AS DECIMAL(38,12))) AS DOUBLE) AS score
+        |  FROM p2 JOIN dg ON dg.w = p2.w
+        |  WHERE dg.deg <= 256
+        |  GROUP BY 1, 2),
+        |nw AS (
+        |  SELECT u, v, n_common, score FROM sc
+        |  WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = sc.u AND ed.v = sc.v))
+        |SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+        |  round(score, 6) AS score
+        |FROM nw ORDER BY round(score, 6) DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+      // q218's basket idiom: ONE groupBy(order) builds the sorted item
+      // set, pairs expand MAP-SIDE from each basket (no fact-table
+      // self-join — at 100 TB that join's shuffle dwarfs the basket agg)
+      val baskets = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val ed = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("pr"))
+        .select(col("pr.u").as("u"), col("pr.v").as("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
+        .select(col("u"), col("v"))
+      val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+      val dg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      val e2 = sym.select(col("u").as("w2"), col("v").as("b2"))
+      val p2 = sym.join(e2, col("w2") === col("v") && col("u") < col("b2"))
+        .select(col("v").as("wmid"), col("u").as("ua"), col("b2").as("vb"))
+      val sc = p2.join(dg, col("w") === col("wmid"))
+        .where(col("deg") <= 256)
+        .groupBy(col("ua").as("u"), col("vb").as("v"))
+        .agg(count(lit(1)).as("n_common"),
+          dsum(lit(1.0) / log(col("deg"))).as("score"))
+      val nw = sc.join(ed.select(col("u").as("eu"), col("v").as("ev")),
+        col("eu") === col("u") && col("ev") === col("v"), "left_anti")
+      nw.select(col("u"), col("v"), col("n_common").cast("long").as("n_common"),
+          r6(col("score")).as("score"))
+        .orderBy(r6(col("score")).desc, col("u"), col("v")).limit(20)
+    },
+
+    /** Markov-chain (removal-effect) attribution: per-session journeys
+      * (q54's 1800 s sessionization, consecutive duplicate states
+      * collapsed, cut at the first purchase) define an absorbing chain
+      * start → {click,error,signup,view} → conv|null; each channel's
+      * credit is the share of start-to-conv probability that vanishes
+      * when that channel is deleted (its column zeroed — redirected to
+      * the null absorber). Absorption probabilities are the 15-step
+      * truncation a_{k+1} = p_conv + T·a_k, computed as a fold kernel
+      * over the 5-scenario × 25-entry matrix rows — the recursion is
+      * ONE constant-size expression per scenario row (no 15-deep join
+      * chain, no driver loop), with each 4-term matrix·vector dot
+      * decimal-accumulated in fixed order so both engines produce
+      * bit-identical truncated absorption values. Heavy lifting — the
+      * sessionize window and transition count — is the only part that
+      * sees raw rows; everything after is O(|states|²) per scenario.
+      */
+    QueryDef(
+      "q284_markov_attribution", {
+        val chans = Channels
+        // matrix entry aliases: pcs/tsJ (start row), pcI/tIJ (channel rows)
+        def entrySql(f: String, t: String): String =
+          s"sum(CASE WHEN f = '$f' AND t = '$t' THEN p ELSE 0 END)"
+        val matCols = (
+          Seq(s"${entrySql("start", "conv")} AS pcs") ++
+            chans.zipWithIndex.map { case (c, j) => s"${entrySql("start", c)} AS ts${j + 1}" } ++
+            chans.zipWithIndex.map { case (c, i) => s"${entrySql(c, "conv")} AS pc${i + 1}" } ++
+            (for { (ci, i) <- chans.zipWithIndex; (cj, j) <- chans.zipWithIndex }
+              yield s"${entrySql(ci, cj)} AS t${i + 1}${j + 1}")
+          ).mkString(",\n    ")
+        // per-scenario zeroing: rmidx = 0 keeps everything (full chain)
+        def z(colName: String, j: Int): String =
+          s"CASE WHEN rmidx = $j THEN 0.0 ELSE $colName END AS $colName"
+        val mscCols = (
+          Seq("pcs") ++
+            (1 to 4).map(j => z(s"ts$j", j)) ++
+            (1 to 4).map(i => s"pc$i") ++
+            (for { i <- 1 to 4; j <- 1 to 4 } yield z(s"t$i$j", j))
+          ).mkString(",\n    ")
+        def dot4(terms: Seq[String]): String =
+          "CAST(" + terms.map(t => s"CAST($t AS DECIMAL(38,12))").mkString(" + ") +
+            " AS DOUBLE)"
+        val stepRows = (1 to 4).map { i =>
+          s"m.pc$i + ${dot4((1 to 4).map(j => s"m.t$i$j * ab.a$j"))}"
+        }.mkString(",\n      ")
+        val scenarios = ("('full', 0)" +: chans.zipWithIndex.map {
+          case (c, j) => s"('rm_$c', ${j + 1})"
+        }).mkString(", ")
+        s"""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                     ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged),
+           |coll AS (
+           |  SELECT user_id, sid, event_type,
+           |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn2
+           |  FROM (
+           |    SELECT user_id, sid, event_type, ts, event_id,
+           |      lag(event_type) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS prev
+           |    FROM sess) x
+           |  WHERE prev IS NULL OR prev <> event_type),
+           |sj AS (
+           |  SELECT user_id, sid,
+           |    min(CASE WHEN event_type = 'purchase' THEN rn2 END) AS minp
+           |  FROM coll GROUP BY 1, 2),
+           |jr AS (
+           |  SELECT c.user_id, c.sid, c.event_type, c.rn2,
+           |    sj.minp IS NOT NULL AS conv
+           |  FROM coll c JOIN sj ON sj.user_id = c.user_id AND sj.sid = c.sid
+           |  WHERE c.rn2 < coalesce(sj.minp, 1000000)),
+           |tr0 AS (
+           |  SELECT event_type AS f,
+           |    coalesce(lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY rn2),
+           |      CASE WHEN conv THEN 'conv' ELSE 'null' END) AS t
+           |  FROM jr
+           |  UNION ALL
+           |  SELECT 'start' AS f,
+           |    coalesce(arg_min(event_type, rn2),
+           |      CASE WHEN max(CASE WHEN conv THEN 1 ELSE 0 END) = 1
+           |           THEN 'conv' ELSE 'null' END) AS t
+           |  FROM jr GROUP BY user_id, sid
+           |  UNION ALL
+           |  SELECT 'start' AS f, 'conv' AS t
+           |  FROM sj WHERE minp = 1),
+           |cnt AS (SELECT f, t, count(*) AS n FROM tr0 GROUP BY 1, 2),
+           |tp AS (
+           |  SELECT f, t, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY f) AS p
+           |  FROM cnt),
+           |mat AS (
+           |  SELECT
+           |    $matCols
+           |  FROM tp),
+           |msc AS (
+           |  SELECT s.sc, s.rmidx,
+           |    $mscCols
+           |  FROM mat CROSS JOIN (VALUES $scenarios) s(sc, rmidx)),
+           |ab AS (
+           |  SELECT sc, rmidx, a[1] AS a1, a[2] AS a2, a[3] AS a3, a[4] AS a4
+           |  FROM (
+           |    SELECT m.sc, m.rmidx,
+           |      reduce(
+           |        [[0.0, 0.0, 0.0, 0.0]] ||
+           |          [[CAST(k AS DOUBLE), 0.0, 0.0, 0.0] FOR k IN range(1, 16)],
+           |        (ab_acc, xk) -> [
+           |          ${(1 to 4).map(i =>
+                s"m.pc$i + ${dot4((1 to 4).map(j => s"m.t$i$j * ab_acc[$j]"))}"
+              ).mkString(",\n          ")}
+           |        ]) AS a
+           |    FROM msc m) q),
+           |pconv AS (
+           |  SELECT m.sc, m.rmidx,
+           |    m.pcs + ${dot4((1 to 4).map(j => s"m.ts$j * ab.a$j"))} AS pc
+           |  FROM msc m JOIN ab ON ab.sc = m.sc),
+           |touch AS (
+           |  SELECT event_type AS ch, count(DISTINCT user_id * 1000000 + sid) AS n_touch
+           |  FROM jr WHERE conv GROUP BY 1),
+           |re AS (
+           |  SELECT r.sc, substr(r.sc, 4) AS channel, f.pc AS p_full, r.pc AS p_removed,
+           |    1.0 - r.pc / f.pc AS removal_effect
+           |  FROM pconv r CROSS JOIN (SELECT pc FROM pconv WHERE sc = 'full') f
+           |  WHERE r.sc <> 'full'),
+           |tot AS (SELECT sum(CAST(removal_effect AS DECIMAL(38,12))) AS sre FROM re)
+           |SELECT re.channel, CAST(coalesce(touch.n_touch, 0) AS BIGINT) AS n_touch,
+           |  round(re.p_full, 6) AS p_conv_full,
+           |  round(re.p_removed, 6) AS p_conv_removed,
+           |  round(re.removal_effect, 6) AS removal_effect,
+           |  round(re.removal_effect / CAST(tot.sre AS DOUBLE), 6) AS share
+           |FROM re LEFT JOIN touch ON touch.ch = re.channel CROSS JOIN tot
+           |ORDER BY re.channel""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val chans = Channels
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(wo).isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      val ws = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
+      val coll = sess
+        .withColumn("prev", lag(col("event_type"), 1).over(ws))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("rn2", row_number().over(ws))
+        .select(col("user_id"), col("sid"), col("event_type"), col("rn2"))
+      // sj and jr feed four consumers (transition branches + touch);
+      // without a persist the whole sessionize window chain recomputes
+      // per consumer — PlanCache (round-7 advice idiom) makes the
+      // journey table a one-build per (session, sf-dir) intermediate
+      val sj = graft.PlanCache.cached(s, s"markov_sj|$d") {
+        coll.groupBy(col("user_id").as("su"), col("sid").as("ss"))
+          .agg(min(when(col("event_type") === "purchase", col("rn2"))).as("minp"))
+      }
+      val jr = graft.PlanCache.cached(s, s"markov_jr|$d") {
+        coll.join(sj, col("su") === col("user_id") && col("ss") === col("sid"))
+          .where(col("rn2") < coalesce(col("minp"), lit(1000000)))
+          .select(col("user_id"), col("sid"), col("event_type"), col("rn2"),
+            col("minp").isNotNull.as("conv"))
+      }
+      val wj = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("rn2"))
+      val trA = jr.select(col("event_type").as("f"),
+        coalesce(lead(col("event_type"), 1).over(wj),
+          when(col("conv"), "conv").otherwise("null")).as("t"))
+      val trB = jr.groupBy("user_id", "sid")
+        .agg(coalesce(min_by(col("event_type"), col("rn2")),
+          when(max(when(col("conv"), 1).otherwise(0)) === 1, "conv").otherwise("null")).as("t"))
+        .select(lit("start").as("f"), col("t"))
+      val trC = sj.where(col("minp") === 1)
+        .select(lit("start").as("f"), lit("conv").as("t"))
+      val cnt = trA.unionByName(trB).unionByName(trC)
+        .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      val tp = cnt.withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("f"))))
+      def entry(f: String, t: String): Column =
+        sum(when(col("f") === f && col("t") === t, col("p")).otherwise(0.0))
+      val mat = tp.agg(
+        entry("start", "conv").as("pcs"),
+        (chans.zipWithIndex.map { case (c, j) => entry("start", c).as(s"ts${j + 1}") } ++
+          chans.zipWithIndex.map { case (c, i) => entry(c, "conv").as(s"pc${i + 1}") } ++
+          (for { (ci, i) <- chans.zipWithIndex; (cj, j) <- chans.zipWithIndex }
+            yield entry(ci, cj).as(s"t${i + 1}${j + 1}"))): _*)
+      val scen = (("full", 0) +: chans.zipWithIndex.map { case (c, j) => (s"rm_$c", j + 1) })
+        .toDF("sc", "rmidx")
+      def zeroed(name: String, j: Int): Column =
+        when(col("rmidx") === j, 0.0).otherwise(col(name)).as(name)
+      val msc = mat.crossJoin(broadcast(scen)).select(
+        col("sc") +: col("rmidx") +: col("pcs") +:
+          ((1 to 4).map(j => zeroed(s"ts$j", j)) ++
+            (1 to 4).map(i => col(s"pc$i")) ++
+            (for { i <- 1 to 4; j <- 1 to 4 } yield zeroed(s"t$i$j", j))): _*)
+      // the 15-step absorption recursion as ONE fold-kernel expression:
+      // a' = p_conv + T·a with each 4-term dot decimal-summed in fixed order
+      def dot4Sql(terms: Seq[String]): String =
+        "CAST(" + terms.map(t => s"CAST($t AS DECIMAL(38,12))").mkString(" + ") + " AS DOUBLE)"
+      val foldSql = s"""aggregate(sequence(1, 15),
+        array(cast(0.0 as double), cast(0.0 as double), cast(0.0 as double), cast(0.0 as double)),
+        (ab_acc, k) -> array(
+          ${(1 to 4).map(i =>
+        s"pc$i + ${dot4Sql((1 to 4).map(j => s"t$i$j * ab_acc[${j - 1}]"))}"
+      ).mkString(",\n          ")}
+        ))"""
+      // 5 rows, but its lineage is the whole transition aggregation —
+      // downstream consumers (full, re, tot) would each recompute it
+      val ab = graft.PlanCache.cached(s, s"markov_ab|$d") {
+        msc.withColumn("a", expr(foldSql))
+          .withColumn("pc", col("pcs") +
+            expr(dot4Sql((1 to 4).map(j => s"ts$j * a[${j - 1}]"))))
+          .select(col("sc"), col("pc"))
+      }
+      val full = ab.where(col("sc") === "full").select(col("pc").as("p_full"))
+      val re = ab.where(col("sc") =!= "full")
+        .crossJoin(broadcast(full))
+        .select(expr("substr(sc, 4)").as("channel"), col("p_full"),
+          col("pc").as("p_removed"),
+          (lit(1.0) - col("pc") / col("p_full")).as("removal_effect"))
+      val tot = re.agg(sum(col("removal_effect").cast("decimal(38,12)")).as("sre"))
+      val touch = jr.where(col("conv"))
+        .groupBy(col("event_type").as("ch"))
+        .agg(countDistinct(col("user_id") * 1000000 + col("sid")).as("n_touch"))
+      re.join(touch, col("ch") === col("channel"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("channel"),
+          coalesce(col("n_touch"), lit(0L)).cast("long").as("n_touch"),
+          r6(col("p_full")).as("p_conv_full"),
+          r6(col("p_removed")).as("p_conv_removed"),
+          r6(col("removal_effect")).as("removal_effect"),
+          r6(col("removal_effect") / col("sre").cast("double")).as("share"))
+        .orderBy("channel")
+    }
+  )
+}
