@@ -424,7 +424,7 @@ object CausalOps {
     * day-join moment-sum form — the SMALL-P formulation — which is
     * value-identical to the engine's map-intersection form because both
     * are exact decimal sums of the same double terms. */
-  private val screenSql =
+  private[operators] val screenSql =
     s"""pr AS (
       |  SELECT x.el AS src, y.el AS dst, count(*) AS n,
       |    CAST(sum(CAST(x.v AS DECIMAL(38,12))) AS DOUBLE) AS sx,

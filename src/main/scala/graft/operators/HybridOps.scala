@@ -399,6 +399,109 @@ object HybridOps {
         .select(col("n_sys").cast("long").as("n_sys"), col("hits"),
           r6(col("dcg")).as("dcg"), r6(col("idcg")).as("idcg"),
           r6(col("dcg") / col("idcg")).as("ndcg"))
+    },
+
+    /** MRR and MAP@10 of the multiprobe ANN over a 5-query workload —
+      * the MULTI-query completion of the ANN eval family (q226
+      * recall@10, q280 nDCG@10 grade one probe vector; retrieval
+      * quality is a distribution over queries, so the headline numbers
+      * are means). Five deterministic query vectors probe distinct
+      * geometry; per query, the exact round-6-cosine top-10 is ground
+      * truth and the 9-bucket multiprobe top-10 the system list.
+      * Engine side is ONE corpus pass: corpus buckets compute once,
+      * the 5 queries broadcast, both cuts run through the bounded-heap
+      * TopKPerGroup operator (never a global sort), and the AP
+      * cumulative-precision sums are decimal-accumulated. At 100 TB
+      * queries-as-broadcast × one corpus scan × per-group heaps is the
+      * eval-harness plan shape.
+      */
+    QueryDef(
+      "q290_mrr_map_eval", {
+        val planes = Lsh.hyperplanes(8)
+        def qv(t: Int): Array[Double] =
+          Array.tabulate(64)(i => (((i * 37 + t * 13) % 19) - 9) / 10.0)
+        val corpusBucket = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
+        def branch(t: Int, sys: Boolean): String = {
+          val v = qv(t).mkString("[", ", ", "]::DOUBLE[]")
+          val qb = Lsh.bucketOf(qv(t), planes).toInt
+          val probes = (qb +: planes.indices.map(pi => qb ^ (1 << pi))).mkString(", ")
+          val where = if (sys) s"WHERE ($corpusBucket) IN ($probes)" else ""
+          s"""(SELECT $t AS qid, vec_id,
+             |  row_number() OVER (ORDER BY round(list_cosine_similarity(
+             |    embedding::DOUBLE[], $v), 6) DESC, vec_id) AS pos
+             |FROM embeddings $where
+             |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], $v), 6)
+             |  DESC, vec_id LIMIT 10)""".stripMargin
+        }
+        s"""WITH ex AS (${(0 to 4).map(branch(_, sys = false)).mkString("\n UNION ALL ")}),
+           |sys AS (${(0 to 4).map(branch(_, sys = true)).mkString("\n UNION ALL ")}),
+           |j AS (
+           |  SELECT s.qid, s.pos,
+           |    CASE WHEN e.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM sys s LEFT JOIN ex e ON e.qid = s.qid AND e.vec_id = s.vec_id),
+           |c AS (
+           |  SELECT qid, pos, hit,
+           |    sum(hit) OVER (PARTITION BY qid ORDER BY pos) AS ch
+           |  FROM j),
+           |pq AS (
+           |  SELECT qid, CAST(sum(hit) AS BIGINT) AS hits,
+           |    coalesce(max(CASE WHEN hit = 1 THEN 1.0 / pos END), 0) AS rr,
+           |    CAST(sum(CAST(hit * ch / CAST(pos AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           |      / 10 AS ap10
+           |  FROM c GROUP BY 1),
+           |g AS (
+           |  SELECT CAST(sum(CAST(rr AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mrr,
+           |    CAST(sum(CAST(ap10 AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS map10
+           |  FROM pq)
+           |SELECT qid, hits, round(rr, 6) AS rr, round(ap10, 6) AS ap10,
+           |  round(g.mrr, 6) AS mrr, round(g.map10, 6) AS map10
+           |FROM pq CROSS JOIN g ORDER BY qid""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Kernels
+      val planes = Lsh.hyperplanes(8)
+      def qv(t: Int): Array[Double] =
+        Array.tabulate(64)(i => (((i * 37 + t * 13) % 19) - 9) / 10.0)
+      val qdf = (0 to 4).map(t => (t, qv(t).toSeq)).toDF("qid", "qvec")
+      val probes = (0 to 4).flatMap { t =>
+        val qb = Lsh.bucketOf(qv(t), planes)
+        (qb +: planes.indices.map(pi => qb ^ (1L << pi))).map(p => (t, p))
+      }.toDF("pqid", "probe")
+      val emb = col("embedding").cast("array<double>")
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), emb.as("ev"),
+          Lsh.bucketColumn(emb, planes).as("bkt"))
+      val scored = corpus.crossJoin(broadcast(qdf))
+        .select(col("qid"), col("vec_id"), col("bkt"),
+          r6(Kernels.cosine(col("ev"), col("qvec"))).as("cs"))
+      def top10(df: DataFrame): DataFrame = {
+        val cut = graft.plans.TopKPerGroupOps.topKPerGroup(s, df,
+          Seq(col("qid")), Seq(col("cs").desc, col("vec_id")), 10)
+        cut.withColumn("pos", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))))
+      }
+      val ex = top10(scored).select(col("qid").as("eqid"),
+        col("vec_id").as("evid"), col("pos").as("epos"))
+      val sys = top10(scored
+        .join(broadcast(probes), col("pqid") === col("qid") && col("probe") === col("bkt"))
+        .select(col("qid"), col("vec_id"), col("cs")))
+      def dsumD(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+      val j = sys.join(ex, col("eqid") === col("qid") && col("evid") === col("vec_id"), "left")
+        .select(col("qid"), col("pos"),
+          when(col("epos").isNotNull, 1).otherwise(0).as("hit"))
+      val c = j.withColumn("ch",
+        sum(col("hit")).over(Window.partitionBy(col("qid")).orderBy(col("pos"))))
+      val pq = c.groupBy("qid").agg(
+        sum(col("hit")).cast("long").as("hits"),
+        coalesce(max(when(col("hit") === 1, lit(1.0) / col("pos"))), lit(0.0)).as("rr"),
+        (dsumD(col("hit") * col("ch") / col("pos").cast("double")) / 10).as("ap10"))
+      val g = pq.agg((dsumD(col("rr")) / count(lit(1))).as("mrr"),
+        (dsumD(col("ap10")) / count(lit(1))).as("map10"))
+      pq.crossJoin(broadcast(g))
+        .select(col("qid"), col("hits"), r6(col("rr")).as("rr"),
+          r6(col("ap10")).as("ap10"), r6(col("mrr")).as("mrr"),
+          r6(col("map10")).as("map10"))
+        .orderBy("qid")
     }
   )
 }

@@ -519,6 +519,60 @@ object RelationalMore {
         .orderBy("l_orderkey", "l_linenumber").limit(50)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("price"))
+    },
+
+    /** Runtime BLOOM-FILTER pruned join (round 9): the selective filter
+      * on orders builds a bloom filter at runtime that is pushed into
+      * the lineitem scan side of the shuffle join — fact rows whose
+      * l_orderkey cannot match are dropped BEFORE the shuffle, which at
+      * 100 TB is the difference between shuffling the whole fact table
+      * and shuffling the ~4% that survives. Spark's InjectRuntimeFilter
+      * only fires when the application side looks big, so the fn
+      * lowers applicationSideScanSizeThreshold (and disables broadcast,
+      * which at real scale the optimizer would do itself) FOR THE
+      * DURATION OF THE ACTION — the plan is forced eagerly with
+      * localCheckpoint inside the conf window and every conf restored
+      * in a finally, so no other query in the session ever plans under
+      * these thresholds. PlanSpec pins might_contain in the optimized
+      * plan via [[bloomJoinPlan]]. Results are conf-independent (bloom
+      * only prunes); the oracle is the plain join.
+      */
+    QueryDef(
+      "q289_bloom_join",
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,12))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try bloomJoinPlan(s, d).localCheckpoint()
+      finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }
   )
+
+  /** The q289 join, un-checkpointed, so PlanSpec can assert the
+    * bloom_filter/might_contain pair lands in the optimized plan under
+    * the same confs the query fn sets. */
+  private[graft] def bloomJoinPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+    val o = Tables.load(s, d, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        r2(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,12)")).cast("double")).as("revenue"))
+      .orderBy("ship_month")
+  }
 }

@@ -18,6 +18,60 @@ object SeriesOps {
   private def r6(c: Column) = round(c, 6)
   import CausalOps.{daily, dailySql, dsum}
 
+  /** The banded-DTW dynamic program as a LINEAR fold over the row-major
+    * cell index k = i·ly + j, carrying only the last ly+1 DP values —
+    * O(ly) state instead of the O(lx·ly) matrix, which is what lets the
+    * whole recursion run as one constant-size kernel expression per
+    * pair (the q284 fold-kernel pattern; no UDF, no driver loop). The
+    * recurrence uses only abs/+/least, so both engines produce
+    * bit-identical doubles from the same recursion — no decimal
+    * accumulation needed. Cells outside the Sakoe-Chiba band |i−j| >
+    * 3+|lx−ly| cost 1e18, which min-propagation never selects while a
+    * feasible path exists.
+    */
+  private val Inf = "cast(1e18 as double)"
+
+  /** Spark-dialect fold: xv/yv/lx/ly are outer columns in scope. */
+  private[graft] val dtwFoldSpark: String = {
+    val i = "(k div ly)"
+    val j = "(k % ly)"
+    s"""element_at(aggregate(sequence(0, lx * ly - 1),
+       |  cast(array() as array<double>),
+       |  (acc, k) -> slice(
+       |    concat(acc, array(
+       |      (CASE WHEN abs($i - $j) > 3 + abs(lx - ly) THEN $Inf
+       |            ELSE abs(element_at(xv, cast($i + 1 as int))
+       |                     - element_at(yv, cast($j + 1 as int))) END)
+       |      + (CASE WHEN k = 0 THEN cast(0.0 as double) ELSE least(
+       |          CASE WHEN $j > 0 THEN element_at(acc, size(acc)) ELSE $Inf END,
+       |          CASE WHEN $i > 0 THEN element_at(acc, size(acc) - ly + 1) ELSE $Inf END,
+       |          CASE WHEN $i > 0 AND $j > 0 THEN element_at(acc, size(acc) - ly) ELSE $Inf END) END)
+       |    )),
+       |    greatest(1, size(acc) + 1 - ly), ly + 1)), -1)""".stripMargin
+  }
+
+  /** DuckDB-dialect fold: same recurrence; 1.0's two-arg reduce takes
+    * the init accumulator as the list head, and list_slice is
+    * begin:end. */
+  private[operators] val dtwFoldDuck: String = {
+    val k = "CAST(xk[1] AS BIGINT)"
+    val i = s"($k // ly)"
+    val j = s"($k % ly)"
+    val inf = "CAST(1e18 AS DOUBLE)"
+    s"""list_reduce(
+       |    [[]::DOUBLE[]] || [[CAST(kk AS DOUBLE)] FOR kk IN range(0, lx * ly)],
+       |    (acc, xk) -> list_slice(
+       |      acc || [
+       |        (CASE WHEN abs($i - $j) > 3 + abs(lx - ly) THEN $inf
+       |              ELSE abs(xv[$i + 1] - yv[$j + 1]) END)
+       |        + (CASE WHEN $k = 0 THEN 0.0 ELSE least(
+       |            CASE WHEN $j > 0 THEN acc[len(acc)] ELSE $inf END,
+       |            CASE WHEN $i > 0 THEN acc[len(acc) - ly + 1] ELSE $inf END,
+       |            CASE WHEN $i > 0 AND $j > 0 THEN acc[len(acc) - ly] ELSE $inf END) END)
+       |      ],
+       |      greatest(1, len(acc) + 2 - (ly + 1)), len(acc) + 1))[-1]""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Theil–Sen trend per element: the MEDIAN of all pairwise slopes
@@ -150,6 +204,55 @@ object SeriesOps {
             (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2"))).as("pacf3"),
           r6(col("r2")).as("acf2"), r6(col("r3")).as("acf3"))
         .orderBy("el")
+    },
+
+    /** Banded dynamic-time-warping distance between element series, for
+      * the pairs surviving the q251 causal screen — lag-tolerant shape
+      * similarity where plain correlation (which the screen itself
+      * uses) demands day-exact alignment. Series assemble per element
+      * (sorted (di, v) collect — O(T) state, T calendar-bounded); each
+      * surviving pair runs the [[dtwFoldSpark]] linear-state fold:
+      * O(lx·ly) steps but only O(ly) carried values, one kernel
+      * expression per pair, no UDF. Scale shape: the screen bounds
+      * pairs to P·m (never P²), series travel as single arrays on the
+      * pair row, and the fold is map-side compute after one broadcast
+      * join of the tiny survivor list — the 100 TB cost remains the
+      * shared grid aggregate.
+      */
+    QueryDef(
+      "q288_dtw_band",
+      s"""WITH $dailySql,
+        |${CausalOps.screenSql},
+        |xs AS (SELECT el, list(v ORDER BY di) AS sv FROM daily GROUP BY 1),
+        |pp AS (
+        |  SELECT sp.src, sp.dst, a.sv AS xv, b.sv AS yv,
+        |    len(a.sv) AS lx, len(b.sv) AS ly
+        |  FROM surv sp JOIN xs a ON a.el = sp.src JOIN xs b ON b.el = sp.dst),
+        |dp AS (
+        |  SELECT src, dst, lx, ly,
+        |    ${dtwFoldDuck} AS dtw
+        |  FROM pp)
+        |SELECT src, dst, CAST(lx AS BIGINT) AS lx, CAST(ly AS BIGINT) AS ly,
+        |  round(dtw, 6) AS dtw,
+        |  round(dtw / (lx + ly), 6) AS dtw_norm
+        |FROM dp ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val g = daily(s, d)
+      val xs = g.groupBy("el")
+        .agg(transform(array_sort(collect_list(struct(col("di"), col("v")))),
+          p => p.getField("v")).as("sv"))
+      val pr = CausalOps.screen(s, d).select(col("src"), col("dst"))
+        .join(broadcast(xs.select(col("el").as("ea"), col("sv").as("xv"))),
+          col("ea") === col("src"))
+        .join(broadcast(xs.select(col("el").as("eb"), col("sv").as("yv"))),
+          col("eb") === col("dst"))
+        .select(col("src"), col("dst"), col("xv"), col("yv"),
+          size(col("xv")).as("lx"), size(col("yv")).as("ly"))
+      pr.withColumn("dtw", expr(dtwFoldSpark))
+        .select(col("src"), col("dst"),
+          col("lx").cast("long").as("lx"), col("ly").cast("long").as("ly"),
+          r6(col("dtw")).as("dtw"),
+          r6(col("dtw") / (col("lx") + col("ly"))).as("dtw_norm"))
+        .orderBy("src", "dst")
     }
   )
 }

@@ -619,4 +619,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q re-scans the fact table: ${eventScans.size} events scans")
     }
   }
+
+  test("q289 bloom: runtime filter lands in the optimized plan under the query's confs, and never without them") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    val withBloom =
+      try graft.operators.RelationalMore.bloomJoinPlan(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    assert(withBloom.contains("might_contain"),
+      "no bloom runtime filter injected under the q289 confs")
+    val without = graft.operators.RelationalMore.bloomJoinPlan(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!without.contains("might_contain"),
+      "bloom filter leaked into default-conf planning")
+  }
+
+  test("q285 builds co-order pairs from baskets: exactly one lineitem scan, no fact self-join") {
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q285_adamic_adar")(spark, sf)))
+    val liScans = nodes.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(liScans.size == 1,
+      s"q285 should scan lineitem once (basket expansion), got ${liScans.size}")
+  }
+
+  test("q290 both top-10 cuts run through the bounded-heap TopKPerGroup operator") {
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q290_mrr_map_eval")(spark, sf)))
+    val heaps = nodes.collect { case t: graft.plans.TopKPerGroupExec => t }
+    assert(heaps.count(!_.partial) >= 2,
+      s"expected the exact and multiprobe cuts as TopKPerGroup finals, got ${heaps.map(_.partial)}")
+  }
+
+  test("q288 joins the tiny survivor/series sides by broadcast; the fold is map-side") {
+    val p = finalPlan(SparkEntry.queries("q288_dtw_band")(spark, sf))
+    val nodes = allNodes(p)
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2,
+      s"series attachment should broadcast (survivors x series), got ${bhj.size} broadcast joins")
+    // the DTW fold itself introduces no exchange after the pair build:
+    // every shuffle in the plan belongs to the grid/screen aggregates
+    val eventScans = nodes.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events")) => f
+    }
+    assert(eventScans.size <= 1,
+      s"q288 must reuse the cached grid, got ${eventScans.size} events scans")
+  }
 }

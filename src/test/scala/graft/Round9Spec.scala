@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Mathematical invariants of the round-9 operator family: drift is
+  * non-negative and JSD-bounded, conformal coverage is a probability,
+  * the Brier decomposition closes up to within-bin variance, Markov
+  * removal effects are non-negative and share-normalized, predicted
+  * links are genuinely non-adjacent, PACF values are partial
+  * correlations, and the DTW fold kernel reproduces hand-computed
+  * distances. The oracle pins exact VALUES; these pin why the values
+  * are shaped like the statistics they claim to be.
+  */
+class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("round9-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q281 PSI is non-negative and JSD is bounded by ln 2") {
+    val rows = SparkEntry.queries("q281_psi_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi") >= -1e-9, s"negative PSI: $r")
+      val jsd = r.getAs[Double]("jsd")
+      assert(jsd >= -1e-9 && jsd <= math.log(2) + 1e-9, s"JSD out of [0, ln2]: $r")
+      assert(r.getAs[Long]("n_bins") <= 10)
+    }
+  }
+
+  test("q286 conformal interval: qhat is a non-negative residual and coverage is a probability") {
+    val rows = SparkEntry.queries("q286_conformal_forecast")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("qhat") >= 0, s"$r")
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0 && cov <= 1, s"$r")
+      assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
+    }
+  }
+
+  test("q287 Murphy decomposition closes: brier ~= reliability - resolution + uncertainty") {
+    val rows = SparkEntry.queries("q287_calibration_brier")(spark, sf).collect()
+    assert(rows.length == 10 || rows.nonEmpty)
+    val r0 = rows.head
+    val (brier, rel, res, unc) = (r0.getAs[Double]("brier"),
+      r0.getAs[Double]("reliability"), r0.getAs[Double]("resolution"),
+      r0.getAs[Double]("uncertainty"))
+    // exact identity holds only when p is constant within a bin; the gap
+    // IS the within-bin variance of p, which 10 fixed-width bins keep
+    // small (each bin spans 0.1 -> var < 0.01/4)
+    assert(math.abs(brier - (rel - res + unc)) <= 0.01,
+      s"decomposition gap: brier=$brier rel=$rel res=$res unc=$unc")
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val avgP = r.getAs[Double]("avg_p")
+      assert(avgP >= bin / 10.0 - 1e-9 && avgP <= (bin + 1) / 10.0 + 1e-9,
+        s"bin mean outside bin: $r")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(fp >= 0 && fp <= 1)
+    }
+  }
+
+  test("q284 removal effects are non-negative, probabilities valid, shares sum to 1") {
+    val rows = SparkEntry.queries("q284_markov_attribution")(spark, sf).collect()
+    assert(rows.length == 4, s"expected one row per channel, got ${rows.length}")
+    var shareSum = 0.0
+    rows.foreach { r =>
+      val pf = r.getAs[Double]("p_conv_full")
+      val pr = r.getAs[Double]("p_conv_removed")
+      assert(pf >= 0 && pf <= 1 && pr >= 0 && pr <= 1, s"$r")
+      // deleting a channel only removes conversion paths: monotone
+      assert(r.getAs[Double]("removal_effect") >= -1e-9, s"$r")
+      assert(pr <= pf + 1e-9, s"removal increased conversion: $r")
+      shareSum += r.getAs[Double]("share")
+    }
+    assert(math.abs(shareSum - 1.0) <= 1e-4, s"shares sum to $shareSum")
+  }
+
+  test("q285 predicted links are non-adjacent pairs with positive scores") {
+    val preds = SparkEntry.queries("q285_adamic_adar")(spark, sf).collect()
+    assert(preds.nonEmpty)
+    preds.foreach { r =>
+      assert(r.getAs[Double]("score") > 0)
+      assert(r.getAs[Long]("n_common") >= 1)
+      assert(r.getAs[Long]("u") < r.getAs[Long]("v"))
+    }
+    // recompute the support-floored edge set and assert disjointness
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val b = li.select(col("o").as("ob"), col("p").as("pb"))
+    val edges = li.join(b, col("ob") === col("o") && col("pb") > col("p"))
+      .groupBy(col("p").as("u"), col("pb").as("v"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    preds.foreach { r =>
+      val pair = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      assert(!edges.contains(pair), s"predicted an existing edge: $pair")
+    }
+  }
+
+  test("q282 Theil-Sen enumerates exactly n(n-1)/2 slope pairs per element") {
+    SparkEntry.queries("q282_theilsen_trend")(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2, s"$r")
+    }
+  }
+
+  test("q283 PACF values are partial correlations: |pacf_k| <= 1") {
+    val rows = SparkEntry.queries("q283_pacf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("pacf1", "pacf2", "pacf3"))
+        assert(math.abs(r.getAs[Double](c)) <= 1.0 + 1e-6, s"$c out of range: $r")
+    }
+  }
+
+  test("DTW fold kernel reproduces hand-computed distances (identity, known path, asymmetric lengths)") {
+    val s2 = spark
+    import s2.implicits._
+    val toy = Seq(
+      ("id", Seq(0.0, 1.0, 2.0, 3.0), Seq(0.0, 1.0, 2.0, 3.0), 0.0),
+      ("kp", Seq(0.0, 1.0, 2.0), Seq(1.0, 2.0, 3.0), 2.0),
+      ("al", Seq(0.0, 5.0), Seq(0.0, 1.0, 5.0), 1.0))
+      .toDF("nm", "xv_raw", "yv_raw", "expect")
+      .select(col("nm"), col("expect"),
+        col("xv_raw").as("xv"), col("yv_raw").as("yv"),
+        size(col("xv_raw")).as("lx"), size(col("yv_raw")).as("ly"))
+    val got = toy.withColumn("dtw", expr(graft.operators.SeriesOps.dtwFoldSpark))
+      .select("nm", "expect", "dtw").collect()
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("dtw") - r.getAs[Double]("expect")) < 1e-12,
+        s"DTW mismatch: $r")
+    }
+  }
+
+  test("q288 DTW of a pair is symmetric under series swap") {
+    val s2 = spark
+    import s2.implicits._
+    val g = Seq(("a", Seq(0.0, 1.0, 4.0, 2.0, 3.0)), ("b", Seq(1.0, 0.0, 2.0, 5.0, 3.0)))
+      .toDF("el", "sv")
+    def dtwOf(x: String, y: String) = {
+      val pr = g.where(col("el") === x).select(col("sv").as("xv"))
+        .crossJoin(g.where(col("el") === y).select(col("sv").as("yv")))
+        .select(col("xv"), col("yv"), size(col("xv")).as("lx"), size(col("yv")).as("ly"))
+      pr.withColumn("dtw", expr(graft.operators.SeriesOps.dtwFoldSpark))
+        .head.getAs[Double]("dtw")
+    }
+    assert(math.abs(dtwOf("a", "b") - dtwOf("b", "a")) < 1e-12)
+  }
+
+  test("q290 retrieval metrics are probabilities and MRR >= MAP on each query set") {
+    val rows = SparkEntry.queries("q290_mrr_map_eval")(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 query rows, got ${rows.length}")
+    rows.foreach { r =>
+      for (c <- Seq("rr", "ap10", "mrr", "map10")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0 && v <= 1 + 1e-9, s"$c out of [0,1]: $r")
+      }
+      assert(r.getAs[Long]("hits") <= 10)
+      // first-hit reciprocal rank dominates average precision
+      assert(r.getAs[Double]("rr") >= r.getAs[Double]("ap10") - 1e-9, s"$r")
+    }
+  }
+
+  test("q289 restores every conf it touches and still returns the plain-join result") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => spark.conf.getOption(k))
+    val n = SparkEntry.queries("q289_bloom_join")(spark, sf).count()
+    assert(n > 0)
+    val after = keys.map(k => spark.conf.getOption(k))
+    assert(before == after, s"confs leaked: $before -> $after")
+  }
+}
