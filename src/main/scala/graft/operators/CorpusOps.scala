@@ -281,6 +281,131 @@ object CorpusOps {
           round(col("st._2"), 2).as("total"),
           round(col("st._3"), 2).as("lo"), round(col("st._4"), 2).as("hi"))
         .orderBy("event_type")
+    },
+
+    /** RAKE keyword extraction (round 9): candidate phrases are the
+      * stopword-free token runs (length ≤ 6 — the noise/scale cap on
+      * the synthetic corpus's long runs), each word scores
+      * deg/freq (degree = Σ length of phrases it appears in, frequency
+      * = its occurrence count — co-occurring words score up), and a
+      * phrase scores the sum over its word occurrences. Top-20 by
+      * rounded score. Plan: one posexplode, a running stopword-count
+      * window keys the runs, two grouped aggregates build word stats,
+      * and the phrase re-join is on the word key — no all-pairs
+      * anything; the output cut is a bounded TakeOrdered.
+      */
+    QueryDef(
+      "q296_rake_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, w, i,
+        |    CASE WHEN w IN ('a', 'the', 'of', 'and', 'to', 'in', 'is', 'on', 'for')
+        |         THEN 1 ELSE 0 END AS stop
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+        |                            (x, ix) -> {'w': x, 'i': ix}),
+        |             recursive := true)
+        |    FROM documents) t),
+        |runs AS (
+        |  SELECT doc_id, w, i, stop,
+        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+        |  FROM tok),
+        |ph AS (
+        |  SELECT doc_id, rid, count(*) AS plen,
+        |    string_agg(w, ' ' ORDER BY i) AS phrase
+        |  FROM runs WHERE stop = 0
+        |  GROUP BY 1, 2 HAVING count(*) <= 6),
+        |occ AS (
+        |  SELECT r.doc_id, r.rid, r.w, p.plen, p.phrase
+        |  FROM runs r JOIN ph p ON p.doc_id = r.doc_id AND p.rid = r.rid
+        |  WHERE r.stop = 0),
+        |ws AS (
+        |  SELECT w, count(*) AS freq,
+        |    CAST(sum(plen) AS DOUBLE) / count(*) AS wordscore
+        |  FROM occ GROUP BY 1),
+        |psc AS (
+        |  SELECT o.phrase,
+        |    CAST(sum(CAST(ws.wordscore AS DECIMAL(38,12))) AS DOUBLE) AS score
+        |  FROM occ o JOIN ws ON ws.w = o.w
+        |  GROUP BY o.doc_id, o.rid, o.phrase),
+        |agg AS (
+        |  SELECT phrase, count(*) AS n_docs, max(score) AS score
+        |  FROM psc GROUP BY 1)
+        |SELECT phrase, CAST(n_docs AS BIGINT) AS n_occurrences,
+        |  round(score, 6) AS score
+        |FROM agg
+        |ORDER BY round(score, 6) DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("a", "the", "of", "and", "to", "in", "is", "on", "for")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(graft.functions.Text.wordsCol(col("text")))
+          .as(Seq("p", "w")))
+        .select(col("doc_id"), col("w"), (col("p") + 1).as("i"),
+          when(col("w").isin(stops: _*), 1).otherwise(0).as("stop"))
+      val runs = tok.withColumn("rid",
+        sum(col("stop")).over(Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      val ph = runs.where(col("stop") === 0)
+        .groupBy("doc_id", "rid")
+        .agg(count(lit(1)).as("plen"),
+          array_join(transform(array_sort(collect_list(struct(col("i"), col("w")))),
+            x => x.getField("w")), " ").as("phrase"))
+        .where(col("plen") <= 6)
+      val occ = runs.where(col("stop") === 0)
+        .join(ph.select(col("doc_id").as("pd"), col("rid").as("pr"),
+          col("plen"), col("phrase")),
+          col("pd") === col("doc_id") && col("pr") === col("rid"))
+        .select(col("doc_id"), col("rid"), col("w"), col("plen"), col("phrase"))
+      val ws = occ.groupBy(col("w").as("ww"))
+        .agg((sum(col("plen")).cast("double") / count(lit(1))).as("wordscore"))
+      val psc = occ.join(ws, col("ww") === col("w"))
+        .groupBy("doc_id", "rid", "phrase")
+        .agg(sum(col("wordscore").cast("decimal(38,12)")).cast("double").as("score"))
+      psc.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"), max(col("score")).as("score"))
+        .select(col("phrase"), col("n_occurrences"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("phrase")).limit(20)
+    },
+
+    /** Unigram surprisal scoring (round 9): a self-trained add-one-
+      * smoothed unigram LM assigns each document its per-token cross-
+      * entropy −(1/n)Σ ln p(w) — the cheapest perplexity-style quality
+      * signal a curation pipeline runs before any neural scorer (high
+      * surprisal = off-distribution text). The 20 most surprising docs
+      * surface for review. Two token shuffles (vocab counts, per-doc
+      * sums) + one broadcast of the O(1) totals row; ln() on exact
+      * count ratios is engine-identical, per-doc sums decimal.
+      */
+    QueryDef(
+      "q297_unigram_surprisal",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |  FROM documents),
+        |vc AS (SELECT w AS vw, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_tok,
+        |    CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |  FROM tok),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n,
+        |    CAST(sum(CAST(-ln((vc.c + 1) / (tot.n_tok + tot.v)) AS DECIMAL(38,12)))
+        |      AS DOUBLE) / count(*) AS xent
+        |  FROM tok t JOIN vc ON vc.vw = t.w CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(xent, 6) AS xent
+        |FROM sc ORDER BY round(xent, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
+      val vc = tok.groupBy(col("w").as("vw")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).cast("double").as("n_tok"),
+        countDistinct(col("w")).cast("double").as("v"))
+      val sc = tok.join(vc, col("vw") === col("w")).crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          (sum((-log((col("c") + 1) / (col("n_tok") + col("v"))))
+            .cast("decimal(38,12)")).cast("double") / count(lit(1))).as("xent"))
+      sc.select(col("doc_id"), col("n").as("n_tokens"), round(col("xent"), 6).as("xent"))
+        .orderBy(round(col("xent"), 6).desc, col("doc_id")).limit(20)
     }
   )
 

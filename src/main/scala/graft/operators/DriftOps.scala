@@ -28,6 +28,36 @@ object DriftOps {
     col("l_tax") * 5.0 - 1.5
   private def yCol = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
 
+  /** q286's computation from any (el, di, v) grid — factored out (the
+    * leadLagFromGrid pattern) so the batch query and q291's streaming
+    * refresh run the IDENTICAL expression tree and produce bit-identical
+    * doubles from bit-identical grid state. */
+  private[graft] def conformalFromGrid(g: DataFrame): DataFrame = {
+    val c = g.select(col("el"), col("di"), col("v"))
+      val l7 = g.select(col("el").as("el7"), col("di").as("di7"), col("v").as("f"))
+      val ev = c.join(l7, col("el7") === col("el") && col("di7") === col("di") - 7)
+        .select(col("el"), col("di"), col("v"), col("f"))
+      val w = Window.partitionBy(col("el"))
+      val cal = ev.where(col("di") <= 21)
+        .select(col("el"), abs(col("v") - col("f")).as("ar"),
+          row_number().over(w.orderBy(abs(col("v") - col("f")), col("di"))).as("rn"),
+          count(lit(1)).over(w).as("n_cal"))
+      val qh = cal.where(col("rn") ===
+          least(ceil((col("n_cal") + 1) * 0.8).cast("long"), col("n_cal")))
+        .select(col("el").as("qel"), col("n_cal"), col("ar").as("qhat"))
+      val tst = ev.where(col("di") > 21)
+        .join(broadcast(qh), col("qel") === col("el"))
+        .select(col("el"), col("n_cal"), col("qhat"),
+          when(col("v") >= col("f") - col("qhat") &&
+            col("v") <= col("f") + col("qhat"), 1).otherwise(0).as("covered"))
+      tst.groupBy("el")
+        .agg(max(col("n_cal")).cast("long").as("n_cal"),
+          count(lit(1)).as("n_test"),
+          r6(max(col("qhat"))).as("qhat"),
+          r6(sum(col("covered")).cast("double") / count(lit(1))).as("coverage"))
+        .orderBy("el")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Population-stability-index + Jensen-Shannon drift of the value
@@ -133,30 +163,7 @@ object DriftOps {
         |  round(max(qhat), 6) AS qhat,
         |  round(CAST(sum(covered) AS DOUBLE) / count(*), 6) AS coverage
         |FROM tst GROUP BY el ORDER BY el""".stripMargin) { (s, d) =>
-      val g = CausalOps.daily(s, d)
-      val c = g.select(col("el"), col("di"), col("v"))
-      val l7 = g.select(col("el").as("el7"), col("di").as("di7"), col("v").as("f"))
-      val ev = c.join(l7, col("el7") === col("el") && col("di7") === col("di") - 7)
-        .select(col("el"), col("di"), col("v"), col("f"))
-      val w = Window.partitionBy(col("el"))
-      val cal = ev.where(col("di") <= 21)
-        .select(col("el"), abs(col("v") - col("f")).as("ar"),
-          row_number().over(w.orderBy(abs(col("v") - col("f")), col("di"))).as("rn"),
-          count(lit(1)).over(w).as("n_cal"))
-      val qh = cal.where(col("rn") ===
-          least(ceil((col("n_cal") + 1) * 0.8).cast("long"), col("n_cal")))
-        .select(col("el").as("qel"), col("n_cal"), col("ar").as("qhat"))
-      val tst = ev.where(col("di") > 21)
-        .join(broadcast(qh), col("qel") === col("el"))
-        .select(col("el"), col("n_cal"), col("qhat"),
-          when(col("v") >= col("f") - col("qhat") &&
-            col("v") <= col("f") + col("qhat"), 1).otherwise(0).as("covered"))
-      tst.groupBy("el")
-        .agg(max(col("n_cal")).cast("long").as("n_cal"),
-          count(lit(1)).as("n_test"),
-          r6(max(col("qhat"))).as("qhat"),
-          r6(sum(col("covered")).cast("double") / count(lit(1))).as("coverage"))
-        .orderBy("el")
+      conformalFromGrid(CausalOps.daily(s, d))
     },
 
     /** Calibration curve + Brier-score decomposition of the q20/q21

@@ -691,6 +691,174 @@ object InferenceOps {
             .when(col("q") === 0.9, col("e90")).otherwise(col("e99"))))
             .as("abs_err"))
         .orderBy("el", "q")
+    },
+
+    /** Stratified-propensity / IPW treatment-effect estimation (round
+      * 9): the OBSERVATIONAL companion of q163's randomized z-test —
+      * here "treatment" (heavy signup engagement in the first half,
+      * ≥ 7 signup events) is self-selected and confounded by overall
+      * activity, so the naive treated-vs-control outcome gap is biased.
+      * Users stratify into activity quintiles (deterministic ntile);
+      * within a stratum treatment is as-good-as-random, giving the
+      * classic two estimators: the n-weighted stratified difference and
+      * the inverse-propensity-weighted mean with stratum propensities
+      * ê_s. Strata violating positivity (ê ∈ {0,1}) are EXCLUDED — the
+      * loud-guard discipline, visible in the output. One user-level
+      * aggregate (two half-month passes fused into conditional aggs),
+      * one ntile over O(users) rows, decimal effect sums: the 100 TB
+      * cost is the per-user reduction.
+      */
+    QueryDef(
+      "q292_ipw_ate",
+      """WITH fh AS (
+        |  SELECT user_id,
+        |    count_if(ts < TIMESTAMP '2024-01-16') AS n_acts,
+        |    CASE WHEN count_if(event_type = 'signup'
+        |                       AND ts < TIMESTAMP '2024-01-16') >= 7
+        |         THEN 1 ELSE 0 END AS t,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 250
+        |             AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT user_id, t, y,
+        |    ntile(5) OVER (ORDER BY n_acts, user_id) AS stratum
+        |  FROM fh WHERE n_acts > 0),
+        |st AS (
+        |  SELECT stratum, count(*) AS n,
+        |    CAST(sum(t) AS DOUBLE) / count(*) AS e_hat,
+        |    CAST(sum(CASE WHEN t = 1 THEN y END) AS DOUBLE)
+        |      / nullif(sum(t), 0) AS y1,
+        |    CAST(sum(CASE WHEN t = 0 THEN y END) AS DOUBLE)
+        |      / nullif(count(*) - sum(t), 0) AS y0
+        |  FROM u GROUP BY 1),
+        |ok AS (SELECT * FROM st WHERE e_hat > 0 AND e_hat < 1),
+        |gs AS (
+        |  SELECT CAST(sum(CAST(n * (y1 - y0) AS DECIMAL(38,12))) AS DOUBLE)
+        |           / sum(n) AS ate_strat,
+        |         CAST(sum(n) AS BIGINT) AS n_ok
+        |  FROM ok),
+        |iw AS (
+        |  SELECT CAST(sum(CAST(CASE WHEN u.t = 1 THEN u.y / ok.e_hat
+        |                            ELSE -u.y / (1 - ok.e_hat) END
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS s_ipw
+        |  FROM u JOIN ok ON ok.stratum = u.stratum),
+        |nv AS (
+        |  SELECT CAST(sum(CASE WHEN t = 1 THEN y END) AS DOUBLE) / sum(t)
+        |       - CAST(sum(CASE WHEN t = 0 THEN y END) AS DOUBLE)
+        |         / (count(*) - sum(t)) AS ate_naive
+        |  FROM u)
+        |SELECT ok.stratum, CAST(ok.n AS BIGINT) AS n,
+        |  round(ok.e_hat, 6) AS e_hat,
+        |  round(ok.y1, 6) AS y1, round(ok.y0, 6) AS y0,
+        |  round(ok.y1 - ok.y0, 6) AS diff,
+        |  round(gs.ate_strat, 6) AS ate_strat,
+        |  round(iw.s_ipw / gs.n_ok, 6) AS ate_ipw,
+        |  round(nv.ate_naive, 6) AS ate_naive
+        |FROM ok CROSS JOIN gs CROSS JOIN iw CROSS JOIN nv
+        |ORDER BY ok.stratum""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-16").cast("timestamp")
+      val fh = Tables.events(s, d).groupBy("user_id").agg(
+        count_if(col("ts") < split).as("n_acts"),
+        when(count_if(col("event_type") === "signup" && col("ts") < split) >= 7, 1)
+          .otherwise(0).as("t"),
+        max(when(col("event_type") === "purchase" && col("value") > 250 &&
+          col("ts") >= split, 1).otherwise(0)).as("y"))
+      val u = PlanCache.cached(s, s"ipw_users|$d") {
+        fh.where(col("n_acts") > 0)
+          .select(col("user_id"), col("t"), col("y"),
+            ntile(5).over(Window.orderBy(col("n_acts"), col("user_id"))).as("stratum"))
+      }
+      val st = u.groupBy("stratum").agg(count(lit(1)).as("n"),
+        (sum(col("t")).cast("double") / count(lit(1))).as("e_hat"),
+        (sum(when(col("t") === 1, col("y"))).cast("double") /
+          nullif(sum(col("t")), lit(0L))).as("y1"),
+        (sum(when(col("t") === 0, col("y"))).cast("double") /
+          nullif(count(lit(1)) - sum(col("t")), lit(0L))).as("y0"))
+      val ok = st.where(col("e_hat") > 0 && col("e_hat") < 1)
+      val gs = ok.agg(
+        (dsum(col("n") * (col("y1") - col("y0"))) / sum(col("n"))).as("ate_strat"),
+        sum(col("n")).cast("long").as("n_ok"))
+      val iw = u.join(ok.select(col("stratum").as("oks"), col("e_hat")),
+          col("oks") === col("stratum"))
+        .agg(dsum(when(col("t") === 1, col("y") / col("e_hat"))
+          .otherwise(-col("y") / (lit(1) - col("e_hat")))).as("s_ipw"))
+      val nv = u.agg(
+        (sum(when(col("t") === 1, col("y"))).cast("double") / sum(col("t")) -
+          sum(when(col("t") === 0, col("y"))).cast("double") /
+            (count(lit(1)) - sum(col("t")))).as("ate_naive"))
+      ok.crossJoin(broadcast(gs)).crossJoin(broadcast(iw)).crossJoin(broadcast(nv))
+        .select(col("stratum"), col("n").cast("long").as("n"),
+          r6(col("e_hat")).as("e_hat"),
+          r6(col("y1")).as("y1"), r6(col("y0")).as("y0"),
+          r6(col("y1") - col("y0")).as("diff"),
+          r6(col("ate_strat")).as("ate_strat"),
+          r6(col("s_ipw") / col("n_ok")).as("ate_ipw"),
+          r6(col("ate_naive")).as("ate_naive"))
+        .orderBy("stratum")
+    },
+
+    /** Event-study (dynamic difference-in-differences) around the
+      * day-15 midpoint (round 9): the LEAD/LAG completion of q276's
+      * two-period DiD — per relative day k ∈ [−7, +7], the
+      * treated-minus-control purchase-value gap net of the pre-period
+      * baseline gap (days 8–14). Flat pre-period effects ≈ 0 are the
+      * parallel-trends diagnostic the two-period design simply assumes.
+      * Arms are the q163 salted-hash split (deterministic, hashable);
+      * the arm-day grid is ONE fused aggregate (O(2·T) rows) and
+      * everything after is column math over it — at 100 TB the cost is
+      * the per-(arm, day) reduction, not the event volume.
+      */
+    QueryDef(
+      "q293_event_study",
+      """WITH assign AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE 0 END AS treated
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |ad AS (
+        |  SELECT a.treated,
+        |    datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) AS di,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) / count(*) AS v
+        |  FROM events e JOIN assign a ON a.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |gap AS (
+        |  SELECT t.di, t.v - c.v AS g
+        |  FROM ad t JOIN ad c ON c.di = t.di AND t.treated = 1 AND c.treated = 0),
+        |base AS (
+        |  SELECT CAST(sum(CAST(g AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS pre_gap
+        |  FROM gap WHERE di BETWEEN 8 AND 14)
+        |SELECT gap.di - 15 AS rel_day, round(gap.g, 6) AS gap,
+        |  round(base.pre_gap, 6) AS pre_gap,
+        |  round(gap.g - base.pre_gap, 6) AS effect
+        |FROM gap CROSS JOIN base
+        |WHERE gap.di BETWEEN 8 AND 22
+        |ORDER BY rel_day""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val assign = e.select(col("user_id")).distinct()
+        .withColumn("treated",
+          when(conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))),
+            1, 15), 16, 10).cast("long") % 2 === 0, 1).otherwise(0))
+      val ad = e.where(col("event_type") === "purchase")
+        .join(broadcast(assign), Seq("user_id"))
+        .groupBy(col("treated"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+        .agg((sum(col("value").cast("decimal(18,3)")).cast("double") /
+          count(lit(1))).as("v"))
+      val gap = PlanCache.cached(s, s"event_study_gap|$d") {
+        ad.where(col("treated") === 1)
+          .select(col("di"), col("v").as("tv"))
+          .join(ad.where(col("treated") === 0)
+            .select(col("di").as("dic"), col("v").as("cv")), col("dic") === col("di"))
+          .select(col("di"), (col("tv") - col("cv")).as("g"))
+      }
+      val base = gap.where(col("di").between(8, 14))
+        .agg((dsum(col("g")) / count(lit(1))).as("pre_gap"))
+      gap.where(col("di").between(8, 22))
+        .crossJoin(broadcast(base))
+        .select((col("di") - 15).as("rel_day"), r6(col("g")).as("gap"),
+          r6(col("pre_gap")).as("pre_gap"),
+          r6(col("g") - col("pre_gap")).as("effect"))
+        .orderBy("rel_day")
     }
   )
 }

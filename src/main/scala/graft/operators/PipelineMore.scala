@@ -268,6 +268,54 @@ object PipelineMore {
         .crossJoin(words.agg(countDistinct(col("w")).as("exact_words")))
         .select(lit("__ALL__").as("source"), col("approx_words"), col("exact_words"))
       bySrc.unionByName(overall).orderBy("source")
+    },
+
+    /** Incremental dedup against a fingerprint LEDGER (round 9): the
+      * production shape of exact dedup at 100 TB — the corpus is never
+      * re-deduplicated; each incoming batch anti-joins the persisted
+      * sha256 ledger, dedups within itself (keep-first by doc_id), and
+      * only the survivors append. Ledger = docs with doc_id % 3 != 0
+      * (the standing corpus), batch = doc_id % 3 = 0 (today's crawl).
+      * One hash shuffle for the anti-join on the 32-byte key + one
+      * batch-internal first-occurrence window; per-source admission
+      * accounting is the audit a curation run logs.
+      */
+    QueryDef(
+      "q295_dedup_ledger",
+      """WITH ledger AS (
+        |  SELECT DISTINCT sha256(text) AS fp FROM documents WHERE doc_id % 3 != 0),
+        |batch AS (
+        |  SELECT doc_id, source, sha256(text) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |flags AS (
+        |  SELECT b.doc_id, b.source, b.fp,
+        |    CASE WHEN EXISTS (SELECT 1 FROM ledger l WHERE l.fp = b.fp)
+        |         THEN 1 ELSE 0 END AS in_ledger,
+        |    row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+        |  FROM batch b)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_incoming,
+        |  CAST(count_if(in_ledger = 1) AS BIGINT) AS n_ledger_hits,
+        |  CAST(count_if(in_ledger = 0 AND rn > 1) AS BIGINT) AS n_batch_dupes,
+        |  CAST(count_if(in_ledger = 0 AND rn = 1) AS BIGINT) AS n_admitted
+        |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("fp"))
+      val ledger = docs.where(col("doc_id") % 3 =!= 0).select(col("fp")).distinct()
+      val batch = docs.where(col("doc_id") % 3 === 0)
+      val flags = batch
+        .join(ledger.select(col("fp").as("lfp"), lit(1).as("hit")),
+          col("lfp") === col("fp"), "left")
+        .withColumn("in_ledger", when(col("hit").isNotNull, 1).otherwise(0))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      flags.groupBy("source").agg(
+        count(lit(1)).as("n_incoming"),
+        count_if(col("in_ledger") === 1).as("n_ledger_hits"),
+        count_if(col("in_ledger") === 0 && col("rn") > 1).as("n_batch_dupes"),
+        count_if(col("in_ledger") === 0 && col("rn") === 1).as("n_admitted"))
+        .orderBy("source")
     }
   )
 }

@@ -735,6 +735,96 @@ object SearchOps {
           (0 until 8).map(s0 => adcLut(s0, col(s"code$s0"))).reduce(_ + _).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)
         .select(col("vec_id"), col("cell"), round(col("dist"), 6).as("adc"))
+    },
+
+    /** Int8 scalar quantization (round 9): the simplest production
+      * vector compression — per-dimension [min, max] → 256 levels —
+      * completing the quantizer family (PQ q185, residual IVF-PQ
+      * q250) with the 4×-compression baseline every vector store ships
+      * first. Per-dim bounds are ONE array-aggregated row broadcast
+      * back (no driver round-trip — transform-with-index dequantizes
+      * map-side); the query reports round-trip MSE (sequential
+      * index-order fold, engine-identical) and recall@10 of the
+      * dequantized cosine ranking vs the exact ranking — the
+      * quality-loss readout that justifies (or vetoes) the compression.
+      * Constant dims pass through unquantized (the mx = mn guard).
+      */
+    QueryDef(
+      "q298_int8_quant", {
+        val qv = Array.tabulate(64)(i => (((i * 31 + 3) % 21) - 10) / 11.0)
+        val qvSql = qv.mkString("[", ", ", "]::DOUBLE[]")
+        s"""WITH dim AS (
+           |  SELECT i, min(x) AS mn, max(x) AS mx FROM (
+           |    SELECT unnest(list_transform(embedding::DOUBLE[],
+           |      (x, ix) -> {'x': x, 'i': ix}), recursive := true)
+           |    FROM embeddings) t GROUP BY i),
+           |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dim),
+           |dq AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS ev,
+           |    list_transform(embedding::DOUBLE[], (x, ix) ->
+           |      CASE WHEN mxs[ix] = mns[ix] THEN x
+           |           ELSE mns[ix]
+           |             + least(greatest(floor((x - mns[ix]) / (mxs[ix] - mns[ix]) * 255 + 0.5), 0), 255)
+           |               * (mxs[ix] - mns[ix]) / 255 END) AS dv
+           |  FROM embeddings CROSS JOIN st),
+           |mse AS (
+           |  SELECT vec_id,
+           |    list_reduce(list_transform(ev, (x, ix) -> (x - dv[ix]) * (x - dv[ix])),
+           |      (a, b) -> a + b) / 64 AS m
+           |  FROM dq),
+           |ex AS (
+           |  SELECT vec_id FROM dq
+           |  ORDER BY round(list_cosine_similarity(ev, $qvSql), 6) DESC, vec_id LIMIT 10),
+           |qz AS (
+           |  SELECT vec_id FROM dq
+           |  ORDER BY round(list_cosine_similarity(dv, $qvSql), 6) DESC, vec_id LIMIT 10)
+           |SELECT CAST((SELECT count(*) FROM dq) AS BIGINT) AS n_vecs,
+           |  round(CAST((SELECT sum(CAST(m AS DECIMAL(38,18))) FROM mse) AS DOUBLE)
+           |    / (SELECT count(*) FROM mse), 9) AS avg_mse,
+           |  round((SELECT count(*) FROM qz WHERE vec_id IN (SELECT vec_id FROM ex))
+           |    / 10.0, 2) AS recall10""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.Kernels
+      val qv = Array.tabulate(64)(i => (((i * 31 + 3) % 21) - 10) / 11.0)
+      val qvLit = array(qv.map(lit): _*)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+      val dim = e.select(posexplode(col("ev")).as(Seq("p", "x")))
+        .groupBy((col("p") + 1).as("i"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val st = dim.agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          x => x.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          x => x.getField("mx")).as("mxs"))
+      val dq = e.crossJoin(broadcast(st))
+        .withColumn("dv", expr(
+          """transform(ev, (x, p) ->
+            |  CASE WHEN element_at(mxs, p + 1) = element_at(mns, p + 1) THEN x
+            |       ELSE element_at(mns, p + 1)
+            |         + least(greatest(floor((x - element_at(mns, p + 1))
+            |             / (element_at(mxs, p + 1) - element_at(mns, p + 1)) * 255 + 0.5), 0), 255)
+            |           * (element_at(mxs, p + 1) - element_at(mns, p + 1)) / 255 END)""".stripMargin))
+        .select(col("vec_id"), col("ev"), col("dv"))
+      val mse = dq.select(col("vec_id"),
+        (expr("""aggregate(zip_with(ev, dv, (x, y) -> (x - y) * (x - y)),
+                 cast(0.0 as double), (a, b) -> a + b)""") / 64).as("m"))
+      val ex = dq.select(col("vec_id"),
+          round(Kernels.cosine(col("ev"), qvLit), 6).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10)
+        .select(col("vec_id").as("evid"))
+      val qz = dq.select(col("vec_id"),
+          round(Kernels.cosine(col("dv"), qvLit), 6).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      val hits = qz.join(ex, col("evid") === col("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("h"))
+      val gmse = mse.agg(count(lit(1)).as("n_vecs"),
+        (sum(col("m").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("avg_mse"))
+      gmse.crossJoin(broadcast(hits))
+        .select(col("n_vecs").cast("long").as("n_vecs"),
+          round(col("avg_mse"), 9).as("avg_mse"),
+          round(col("h") / 10.0, 2).as("recall10"))
     }
   )
 

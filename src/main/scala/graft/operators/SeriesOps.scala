@@ -50,6 +50,26 @@ object SeriesOps {
        |    greatest(1, size(acc) + 1 - ly), ly + 1)), -1)""".stripMargin
   }
 
+  /** q294's Holt-Winters fold (Spark dialect): 9-value state
+    * [l, b, s0..s6] over series positions 7..lx-1; binary-fraction
+    * coefficients keep every product exact-representable. sv/lx are
+    * outer columns. Exposed for the Round9Spec constant-series toy. */
+  private[graft] val hwFoldSpark: String = {
+    val init = "array(" +
+      ("(" + (1 to 7).map(i => s"element_at(sv, $i)").mkString(" + ") + ") / 7") +
+      ", cast(0.0 as double), " + (1 to 7).map(i =>
+        s"element_at(sv, $i) - (${(1 to 7).map(j => s"element_at(sv, $j)").mkString(" + ")}) / 7")
+        .mkString(", ") + ")"
+    val y = "element_at(sv, cast(k + 1 as int))"
+    val m = "(k % 7)"
+    val lnew = s"0.5 * ($y - element_at(acc, cast(3 + $m as int))) + 0.5 * (element_at(acc, 1) + element_at(acc, 2))"
+    val bnew = s"0.25 * (($lnew) - element_at(acc, 1)) + 0.75 * element_at(acc, 2)"
+    val snew = s"0.25 * ($y - ($lnew)) + 0.75 * element_at(acc, cast(3 + $m as int))"
+    val accNew = s"array($lnew, $bnew, " + (0 to 6).map(j =>
+      s"CASE WHEN $m = $j THEN $snew ELSE element_at(acc, ${3 + j}) END").mkString(", ") + ")"
+    s"aggregate(sequence(7, lx - 1), $init, (acc, k) -> $accNew)"
+  }
+
   /** DuckDB-dialect fold: same recurrence; 1.0's two-arg reduce takes
     * the init accumulator as the list head, and list_slice is
     * begin:end. */
@@ -253,6 +273,69 @@ object SeriesOps {
           r6(col("dtw")).as("dtw"),
           r6(col("dtw") / (col("lx") + col("ly"))).as("dtw_norm"))
         .orderBy("src", "dst")
+    },
+
+    /** Additive Holt-Winters (level + trend + weekly seasonality) per
+      * element, with a 7-day-ahead forecast — the seasonal upgrade of
+      * q199's Holt trend, run as the q288 fold-kernel pattern instead
+      * of q199's typed mapGroups: the 9-value state [l, b, s0..s6]
+      * folds over the series positions in ONE kernel expression per
+      * element. Coefficients are binary fractions (α=0.5, β=0.25,
+      * γ=0.25 — exactly representable, the q199 parity trick), the
+      * init is a fixed-order 7-term mean, and the recurrence uses only
+      * *, +, − — bit-identical across engines against the same
+      * list_reduce DuckDB oracle shape q288 proved out. Elements with
+      * under two full weeks are excluded identically on both sides.
+      * Scale: one grid groupBy assembles O(T)-length arrays; the fold
+      * is map-side; output O(P·7).
+      */
+    QueryDef(
+      "q294_holt_winters", {
+        val init = "[" + ("(" + (1 to 7).map(i => s"sv[$i]").mkString(" + ") + ") / 7") +
+          ", 0.0, " + (1 to 7).map(i =>
+            s"sv[$i] - (${(1 to 7).map(j => s"sv[$j]").mkString(" + ")}) / 7").mkString(", ") + "]"
+        val k = "CAST(xk[1] AS BIGINT)"
+        val y = s"sv[$k + 1]"
+        val m = s"($k % 7)"
+        val lnew = s"0.5 * ($y - acc[3 + $m]) + 0.5 * (acc[1] + acc[2])"
+        val bnew = s"0.25 * (($lnew) - acc[1]) + 0.75 * acc[2]"
+        val snew = s"0.25 * ($y - ($lnew)) + 0.75 * acc[3 + $m]"
+        val accNew = s"[$lnew, $bnew, " + (0 to 6).map(j =>
+          s"CASE WHEN $m = $j THEN $snew ELSE acc[${3 + j}] END").mkString(", ") + "]"
+        val pad = ", 0.0" * 8
+        s"""WITH ${dailySql},
+           |xs AS (
+           |  SELECT el, list(v ORDER BY di) AS sv, len(list(v)) AS lx
+           |  FROM daily GROUP BY 1 HAVING len(list(v)) >= 14),
+           |hw AS (
+           |  SELECT el, lx,
+           |    list_reduce(
+           |      [$init] || [[CAST(kk AS DOUBLE)$pad] FOR kk IN range(7, lx)],
+           |      (acc, xk) -> $accNew) AS st
+           |  FROM xs)
+           |SELECT el, h,
+           |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           |  round(st[1] + h * st[2] + st[3 + ((lx + h - 1) % 7)], 6) AS forecast
+           |FROM hw CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) t(h)
+           |ORDER BY el, h""".stripMargin
+      }) { (s, d) =>
+      val g = daily(s, d)
+      val xs = g.groupBy("el")
+        .agg(transform(array_sort(collect_list(struct(col("di"), col("v")))),
+          p => p.getField("v")).as("sv"))
+        .withColumn("lx", size(col("sv")))
+        .where(col("lx") >= 14)
+      val hw = xs.withColumn("st", expr(hwFoldSpark))
+      import s.implicits._
+      hw.crossJoin(broadcast(Seq(1, 2, 3, 4, 5, 6, 7).toDF("h")))
+        .select(col("el"), col("h"),
+          r6(element_at(col("st"), 1)).as("level"),
+          r6(element_at(col("st"), 2)).as("trend"),
+          r6(element_at(col("st"), 1) + col("h") * element_at(col("st"), 2) +
+            element_at(col("st"),
+              (lit(3) + pmod(col("lx") + col("h") - 1, lit(7))).cast("int")))
+            .as("forecast"))
+        .orderBy("el", "h")
     }
   )
 }

@@ -519,6 +519,109 @@ object StatsOps {
         .agg(count(lit(1)).as("n_conversions"),
           round(expr("percentile(dt, 0.5)"), 3).as("p50_sec"),
           round(expr("percentile(dt, 0.9)"), 3).as("p90_sec"))
+    },
+
+    /** KMV (k-minimum-values / theta) distinct sketch with SET ALGEBRA
+      * (round 9): the member of the sketch family (HLL q106, count-min
+      * q231, Misra-Gries q196, histogram q279) that supports union AND
+      * intersection estimates. Per audience the k = 64 smallest salted-
+      * hash values of the distinct users ARE the sketch; D̂ = (k−1)/h(k)
+      * (or the exact count below k — the sketch degrades to the set).
+      * Union sketch = k smallest of the merged hash sets; intersection
+      * by inclusion-exclusion. The md5 hash is the engine-portable
+      * q166 uniform, so every estimate hash-verifies. Scale: the
+      * sketch cut runs through the bounded-heap TopKPerGroup — ≤ k
+      * rows per audience ever shuffle, the 100 TB distinct-counting
+      * shape; truths are one exact distinct aggregate for the audit
+      * columns.
+      */
+    QueryDef(
+      "q299_kmv_theta", {
+        val hs = "1152921504606846977.0"
+        val hv = s"(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'), 1, 15))::BIGINT + 1.0) / $hs"
+        s"""WITH du AS (
+           |  SELECT DISTINCT event_type AS et, user_id FROM events
+           |  WHERE event_type IN ('click', 'purchase')),
+           |h AS (SELECT et, user_id, $hv AS hv FROM du),
+           |rk AS (
+           |  SELECT et, hv, row_number() OVER (PARTITION BY et ORDER BY hv) AS rn,
+           |    count(*) OVER (PARTITION BY et) AS nd
+           |  FROM h),
+           |sk AS (SELECT et, hv, rn, nd FROM rk WHERE rn <= 64),
+           |est AS (
+           |  SELECT et AS scope,
+           |    CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+           |         ELSE 63 / max(CASE WHEN rn = 64 THEN hv END) END AS est,
+           |    CAST(max(nd) AS BIGINT) AS truth
+           |  FROM sk GROUP BY 1),
+           |uh AS (SELECT DISTINCT hv FROM sk),
+           |urk AS (
+           |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS m
+           |  FROM uh),
+           |uest AS (
+           |  SELECT CASE WHEN max(m) < 64 THEN CAST(max(m) AS DOUBLE)
+           |              ELSE 63 / max(CASE WHEN rn = 64 THEN hv END) END AS est
+           |  FROM urk WHERE rn <= 64),
+           |tu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS truth FROM du),
+           |ti AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS truth FROM (
+           |    SELECT user_id FROM du GROUP BY 1 HAVING count(DISTINCT et) = 2) q),
+           |ab AS (
+           |  SELECT max(CASE WHEN scope = 'click' THEN est END) AS ea,
+           |    max(CASE WHEN scope = 'purchase' THEN est END) AS eb
+           |  FROM est)
+           |SELECT scope, round(est, 2) AS est, truth,
+           |  round(abs(est - truth) / truth, 6) AS rel_err
+           |FROM (
+           |  SELECT scope, est, truth FROM est
+           |  UNION ALL SELECT 'union', uest.est, tu.truth FROM uest CROSS JOIN tu
+           |  UNION ALL SELECT 'intersection', ab.ea + ab.eb - uest.est, ti.truth
+           |    FROM ab CROSS JOIN uest CROSS JOIN ti) f
+           |ORDER BY scope""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hs = 1152921504606846977.0
+      val du = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val h = du.select(col("et"), col("user_id"),
+        ((conv(substring(md5(concat(col("user_id").cast("string"), lit(":kmv"))),
+          1, 15), 16, 10).cast("double") + 1.0) / hs).as("hv"))
+      // bounded-heap cut: at most k rows per audience reach the window
+      val cut = graft.plans.TopKPerGroupOps.topKPerGroup(s, h,
+        Seq(col("et")), Seq(col("hv").asc, col("user_id")), 64)
+      val nd = h.groupBy(col("et").as("net")).agg(count(lit(1)).as("nd"))
+      val sk = cut.join(broadcast(nd), col("net") === col("et"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("et")).orderBy(col("hv"))))
+      val est = sk.groupBy(col("et").as("scope")).agg(
+        when(max(col("nd")) < 64, max(col("nd")).cast("double"))
+          .otherwise(lit(63) / max(when(col("rn") === 64, col("hv")))).as("est"),
+        max(col("nd")).cast("long").as("truth"))
+      val uh = sk.select(col("hv")).distinct()
+      val urk = uh.select(col("hv"),
+        row_number().over(Window.orderBy(col("hv"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("m"))
+      val uest = urk.where(col("rn") <= 64).agg(
+        when(max(col("m")) < 64, max(col("m")).cast("double"))
+          .otherwise(lit(63) / max(when(col("rn") === 64, col("hv")))).as("est"))
+      val tu = du.agg(countDistinct(col("user_id")).cast("long").as("truth"))
+      val ti = du.groupBy("user_id").agg(countDistinct(col("et")).as("ne"))
+        .where(col("ne") === 2).agg(count(lit(1)).cast("long").as("truth"))
+      val ab = est.agg(
+        max(when(col("scope") === "click", col("est"))).as("ea"),
+        max(when(col("scope") === "purchase", col("est"))).as("eb"))
+      val uRow = uest.crossJoin(broadcast(tu))
+        .select(lit("union").as("scope"), col("est"), col("truth"))
+      val iRow = ab.crossJoin(broadcast(uest.select(col("est").as("ue"))))
+        .crossJoin(broadcast(ti))
+        .select(lit("intersection").as("scope"),
+          (col("ea") + col("eb") - col("ue")).as("est"), col("truth"))
+      est.select(col("scope"), col("est"), col("truth"))
+        .unionByName(uRow).unionByName(iRow)
+        .select(col("scope"), round(col("est"), 2).as("est"), col("truth"),
+          r6(abs(col("est") - col("truth")) / col("truth")).as("rel_err"))
+        .orderBy("scope")
     }
   )
 }

@@ -1103,6 +1103,25 @@ object Streaming {
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
         graft.operators.CausalOps.backtestFromGrid, Seq("el"))
+    },
+
+    /** q286's split-conformal forecast intervals as a per-micro-batch
+      * refreshed view (round 9): the live dashboard's honest-
+      * uncertainty panel — as events arrive, the calibration order
+      * statistic and test-period coverage re-derive from the
+      * incrementally maintained grid, so interval WIDTH (q̂) widening
+      * is observable the moment forecastability degrades (the same
+      * regime change q258's CUSUM flags). Same [[causalRefresh]]
+      * harness; per-refresh cost O(P·T) independent of raw volume;
+      * final refresh == batch q286 oracle bit-for-bit (shared
+      * conformalFromGrid tree over exact decimal grid state).
+      */
+    QueryDef(
+      "q291_stream_conformal",
+      graft.operators.DriftOps.defs.find(_.name == "q286_conformal_forecast").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.DriftOps.conformalFromGrid, Seq("el"))
     }
   )
 

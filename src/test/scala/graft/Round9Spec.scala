@@ -175,6 +175,60 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q291 streaming conformal refresh equals the batch q286 result exactly") {
+    val batch = SparkEntry.queries("q286_conformal_forecast")(spark, sf).collect()
+    val stream = SparkEntry.queries("q291_stream_conformal")(spark, sf).collect()
+    assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      s"streaming != batch:\n${stream.mkString("\n")}\nvs\n${batch.mkString("\n")}")
+  }
+
+  test("q292 only positivity-valid strata survive, and all three estimators are bounded effects") {
+    val rows = SparkEntry.queries("q292_ipw_ate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("e_hat")
+      assert(e > 0 && e < 1, s"positivity-violating stratum leaked: $r")
+      for (c <- Seq("ate_strat", "ate_ipw", "ate_naive"))
+        assert(math.abs(r.getAs[Double](c)) <= 1.0 + 1e-9, s"$c out of range: $r")
+      for (c <- Seq("y1", "y0")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0 && v <= 1, s"$c not a rate: $r")
+      }
+    }
+  }
+
+  test("q293 pre-period event-study effects are centered at zero by construction") {
+    val rows = SparkEntry.queries("q293_event_study")(spark, sf).collect()
+    val pre = rows.filter(r => r.getAs[Int]("rel_day") < 0).map(_.getAs[Double]("effect"))
+    assert(pre.nonEmpty)
+    // effect = gap - mean(pre gaps), so the pre-period mean is 0 up to rounding
+    assert(math.abs(pre.sum / pre.length) <= 1e-4,
+      s"pre-period effects not centered: ${pre.mkString(",")}")
+  }
+
+  test("Holt-Winters fold kernel: constant series gives level = c, trend = 0, seasonals = 0") {
+    val s2 = spark
+    import s2.implicits._
+    val sv = Seq.fill(21)(3.5)
+    val toy = Seq(Tuple1(sv)).toDF("sv").withColumn("lx", size(col("sv")))
+    val st = toy.withColumn("st", expr(graft.operators.SeriesOps.hwFoldSpark))
+      .select("st").head.getSeq[Double](0)
+    assert(math.abs(st.head - 3.5) < 1e-12, s"level: ${st.head}")
+    assert(math.abs(st(1)) < 1e-12, s"trend: ${st(1)}")
+    st.drop(2).foreach(x => assert(math.abs(x) < 1e-12, s"seasonal: $x"))
+  }
+
+  test("q294 emits a 7-day forecast per qualifying element with finite values") {
+    val rows = SparkEntry.queries("q294_holt_winters")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 7 == 0, s"got ${rows.length} rows")
+    rows.foreach { r =>
+      for (c <- Seq("level", "trend", "forecast")) {
+        val v = r.getAs[Double](c)
+        assert(!v.isNaN && !v.isInfinite, s"$c not finite: $r")
+      }
+    }
+  }
+
   test("q289 restores every conf it touches and still returns the plain-join result") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
