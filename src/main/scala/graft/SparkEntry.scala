@@ -32,6 +32,7 @@ object SparkEntry {
       operators.DriftOps.defs ++
       operators.SeriesOps.defs ++
       operators.GraphOps.defs ++
+      operators.VarOps.defs ++
       operators.TextIndexOps.defs ++
       operators.SearchOps.defs ++
       operators.HybridOps.defs ++

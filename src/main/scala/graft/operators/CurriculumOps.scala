@@ -699,6 +699,80 @@ object CurriculumOps {
         .groupBy("grp")
         .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("rows_total"))
         .orderBy("grp")
+    },
+
+    /** Skip-gram training pairs with deterministic negative sampling
+      * (round 9): word2vec-style example generation — (center, context)
+      * positives from a ±2 token window, built MAP-SIDE per document
+      * (a per-token bounded sequence, the q218 basket idiom — never a
+      * position self-join), and two negatives per surviving pair drawn
+      * by salted hash over the frequency-ranked vocabulary (the q213
+      * RNG-free convention: reproducible under reruns/backfills AND
+      * hash-verifiable, which is what a 100 TB example-generation job
+      * actually needs). Top-20 pairs by count with their negatives;
+      * the vocab rank table is one broadcast join.
+      */
+    QueryDef(
+      "q301_skipgram_pairs",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+        |  FROM documents),
+        |pr AS (
+        |  SELECT p.c AS center, p.x AS context
+        |  FROM tok, UNNEST(flatten(list_transform(ws, (w, ix) ->
+        |    [{'c': w, 'x': ws[j]}
+        |     FOR j IN range(greatest(1, ix - 2), least(len(ws), ix + 2) + 1)
+        |     IF j != ix]))) AS u(p)),
+        |cnt AS (
+        |  SELECT center, context, count(*) AS n_pos
+        |  FROM pr GROUP BY 1, 2),
+        |wc AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(ws) AS w FROM tok) u GROUP BY 1),
+        |voc AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM wc),
+        |vs AS (SELECT CAST(max(rnk) AS BIGINT) AS v FROM voc),
+        |keyed AS (
+        |  SELECT center, context, n_pos,
+        |    1 + ('0x' || substr(md5(center || ':' || context || ':1'), 1, 15))::BIGINT
+        |      % vs.v AS r1,
+        |    1 + ('0x' || substr(md5(center || ':' || context || ':2'), 1, 15))::BIGINT
+        |      % vs.v AS r2
+        |  FROM cnt CROSS JOIN vs)
+        |SELECT k.center, k.context, CAST(k.n_pos AS BIGINT) AS n_pos,
+        |  v1.w AS neg1, v2.w AS neg2
+        |FROM keyed k
+        |JOIN voc v1 ON v1.rnk = k.r1
+        |JOIN voc v2 ON v2.rnk = k.r2
+        |ORDER BY k.n_pos DESC, k.center, k.context LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
+      val pr = tok.select(explode(flatten(expr(
+        """transform(ws, (w, i) ->
+          |  transform(filter(sequence(greatest(0, i - 2), least(size(ws) - 1, i + 2)),
+          |                   j -> j != i),
+          |            j -> struct(w AS c, element_at(ws, j + 1) AS x)))""".stripMargin)))
+        .as("p"))
+        .select(col("p.c").as("center"), col("p.x").as("context"))
+      val cnt = pr.groupBy("center", "context").agg(count(lit(1)).as("n_pos"))
+      val voc = tok.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(col("w"), row_number().over(Window.orderBy(col("n").desc, col("w"))).as("rnk"))
+      val vsize = voc.agg(max(col("rnk")).as("v"))
+      def negRank(k: Int) =
+        lit(1) + pmod(conv(substring(md5(concat(col("center"), lit(":"),
+          col("context"), lit(s":$k"))), 1, 15), 16, 10).cast("long"), col("v"))
+      val keyed = cnt.crossJoin(broadcast(vsize))
+        .select(col("center"), col("context"), col("n_pos"),
+          negRank(1).as("r1"), negRank(2).as("r2"))
+      keyed
+        .join(broadcast(voc.select(col("rnk").as("rk1"), col("w").as("neg1"))),
+          col("rk1") === col("r1"))
+        .join(broadcast(voc.select(col("rnk").as("rk2"), col("w").as("neg2"))),
+          col("rk2") === col("r2"))
+        .select(col("center"), col("context"), col("n_pos").cast("long").as("n_pos"),
+          col("neg1"), col("neg2"))
+        .orderBy(col("n_pos").desc, col("center"), col("context")).limit(20)
     }
   )
 }

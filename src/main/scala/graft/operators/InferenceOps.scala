@@ -859,6 +859,51 @@ object InferenceOps {
           r6(col("pre_gap")).as("pre_gap"),
           r6(col("g") - col("pre_gap")).as("effect"))
         .orderBy("rel_day")
+    },
+
+    /** Sample-ratio-mismatch guardrail (round 9): before any A/B
+      * readout (q163/q275/q276) is trusted, the assignment itself must
+      * pass the 50/50 chi-square check — a skewed split means broken
+      * bucketing, not a treatment effect, and invalidates every
+      * downstream metric. One distinct-user aggregate; χ² against the
+      * expected half-split for two assignments — the q163 ':ab1' salt
+      * (healthy, must PASS) and a deliberately broken hash%3 split
+      * (':bad', must FLAG) — at the 1-dof 0.05 critical value 3.841.
+      * The guardrail a 100 TB experimentation platform runs on every
+      * assignment-table write, with both outcomes exercised.
+      */
+    QueryDef(
+      "q302_srm_check",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT s.salt,
+        |    count_if(('0x' || substr(md5(CAST(user_id AS VARCHAR) || s.salt), 1, 15))::BIGINT % s.md = 0) AS na,
+        |    count_if(('0x' || substr(md5(CAST(user_id AS VARCHAR) || s.salt), 1, 15))::BIGINT % s.md != 0) AS nb
+        |  FROM u CROSS JOIN (VALUES (':ab1', 2), (':bad', 3)) s(salt, md)
+        |  GROUP BY 1)
+        |SELECT salt, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  round((na - (na + nb) / 2.0) * (na - (na + nb) / 2.0) / ((na + nb) / 2.0)
+        |      + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0) / ((na + nb) / 2.0), 6) AS chi2,
+        |  CAST((na - (na + nb) / 2.0) * (na - (na + nb) / 2.0) / ((na + nb) / 2.0)
+        |      + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0) / ((na + nb) / 2.0)
+        |      > 3.841 AS INT) AS srm_flag
+        |FROM arms ORDER BY salt""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val u = Tables.events(s, d).select(col("user_id")).distinct()
+      val salts = Seq((":ab1", 2), (":bad", 3)).toDF("salt", "md")
+      val armOf = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+        col("salt"))), 1, 15), 16, 10).cast("long"), col("md").cast("long"))
+      val arms = u.crossJoin(broadcast(salts))
+        .groupBy("salt")
+        .agg(count_if(armOf === 0).as("na"), count_if(armOf =!= 0).as("nb"))
+      val e = (col("na") + col("nb")) / 2.0
+      val chi2 = (col("na") - e) * (col("na") - e) / e +
+        (col("nb") - e) * (col("nb") - e) / e
+      arms.select(col("salt"), col("na").cast("long").as("na"),
+          col("nb").cast("long").as("nb"),
+          r6(chi2).as("chi2"),
+          when(chi2 > 3.841, 1).otherwise(0).as("srm_flag"))
+        .orderBy("salt")
     }
   )
 }

@@ -661,6 +661,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the exact and multiprobe cuts as TopKPerGroup finals, got ${heaps.map(_.partial)}")
   }
 
+  test("q299 KMV sketch cut runs through the bounded-heap TopKPerGroup, not a raw-data window") {
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q299_kmv_theta")(spark, sf)))
+    val heaps = nodes.collect { case t: graft.plans.TopKPerGroupExec => t }
+    assert(heaps.exists(!_.partial),
+      "the per-audience k-minimum cut must plan as TopKPerGroup")
+  }
+
   test("q288 joins the tiny survivor/series sides by broadcast; the fold is map-side") {
     val p = finalPlan(SparkEntry.queries("q288_dtw_band")(spark, sf))
     val nodes = allNodes(p)

@@ -229,6 +229,102 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q295 ledger admission accounting partitions the batch exactly") {
+    val rows = SparkEntry.queries("q295_dedup_ledger")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (in, hits, dupes, adm) = (r.getAs[Long]("n_incoming"),
+        r.getAs[Long]("n_ledger_hits"), r.getAs[Long]("n_batch_dupes"),
+        r.getAs[Long]("n_admitted"))
+      assert(in == hits + dupes + adm, s"partition broken: $r")
+      assert(adm <= in)
+    }
+  }
+
+  test("q296 RAKE phrases are stopword-free, capped at 6 words, positively scored") {
+    val stops = Set("a", "the", "of", "and", "to", "in", "is", "on", "for")
+    val rows = SparkEntry.queries("q296_rake_keywords")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.length <= 6, s"over-long phrase: $r")
+      assert(!words.exists(stops), s"stopword leaked into phrase: $r")
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+
+  test("q297 surprisal is positive, finite, and emitted in descending order") {
+    val rows = SparkEntry.queries("q297_unigram_surprisal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getAs[Double]("xent"))
+    xs.foreach(x => assert(x > 0 && !x.isInfinite, s"bad xent $x"))
+    assert(xs.sameElements(xs.sorted.reverse), "not sorted by surprisal desc")
+  }
+
+  test("q298 int8 quantization: tiny reconstruction error and a valid recall fraction") {
+    val r = SparkEntry.queries("q298_int8_quant")(spark, sf).head
+    assert(r.getAs[Long]("n_vecs") > 0)
+    val mse = r.getAs[Double]("avg_mse")
+    // per-dim error is at most (range/255)/2, so MSE << 1e-3 on unit-ish floats
+    assert(mse >= 0 && mse < 1e-3, s"mse $mse")
+    val rec = r.getAs[Double]("recall10")
+    assert(rec >= 0 && rec <= 1)
+  }
+
+  test("q299 KMV degrades to the exact set below k: rel_err = 0 at sf0.001") {
+    val rows = SparkEntry.queries("q299_kmv_theta")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("truth") < 64,
+        "precondition: sf0.001 audiences must be below k for this pin")
+      assert(r.getAs[Double]("rel_err") == 0.0, s"below-k sketch not exact: $r")
+      assert(r.getAs[Double]("est") > 0)
+    }
+  }
+
+  test("q300 VAR(2) Granger: nested-model monotonicity holds on every screened pair") {
+    val rows = SparkEntry.queries("q300_var2_granger")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (r2r, r2u) = (r.getAs[Double]("ar2_r2"), r.getAs[Double]("var2_r2"))
+      // adding regressors to an exactly-solved OLS can only shrink SSE
+      assert(r2u >= r2r - 1e-9, s"unrestricted fit worse than restricted: $r")
+      assert(r2r <= 1 + 1e-9 && r2u <= 1 + 1e-9, s"$r")
+      val f = r.getAs[java.lang.Double]("fstat")
+      if (f != null) assert(f >= -1e-9, s"negative F: $r")
+      assert(r.getAs[Long]("n_days") >= 8)
+    }
+  }
+
+  test("q301 negatives are drawn from the corpus vocabulary, deterministically per pair") {
+    val rows = SparkEntry.queries("q301_skipgram_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(vocab(r.getAs[String]("neg1")) && vocab(r.getAs[String]("neg2")),
+        s"negative outside vocab: $r")
+      assert(r.getAs[Long]("n_pos") >= 1)
+    }
+    // rerun: identical negatives (no RNG anywhere)
+    val again = SparkEntry.queries("q301_skipgram_pairs")(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q302 SRM guardrail: the healthy split passes, the broken hash%3 split flags") {
+    // sf0.01: with only the 15 users of sf0.001, even a fair hash can
+    // (and does) land 3/12 — the guardrail CORRECTLY flags it, so the
+    // pass/flag contrast needs the 150-user table
+    val rows = SparkEntry.queries("q302_srm_check")(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[String]("salt") ->
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Int]("srm_flag"))).toMap
+    val (na, nb, okFlag) = rows(":ab1")
+    assert(okFlag == 0, s"healthy 50/50 assignment flagged: $na vs $nb")
+    val (_, _, badFlag) = rows(":bad")
+    assert(badFlag == 1, "broken 1/3-2/3 assignment not flagged")
+  }
+
   test("q289 restores every conf it touches and still returns the plain-join result") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
