@@ -75,7 +75,13 @@ object DriftOps {
     QueryDef(
       "q281_psi_drift", {
         val qsSql = (1 to 9).map(k => s"quantile_cont(v, 0.$k) AS q$k").mkString(", ")
-        val binSql = (1 to 9).map(k => s"(CASE WHEN v > q$k THEN 1 ELSE 0 END)").mkString(" + ")
+        // round-9 on BOTH comparands: a last-ulp difference in either
+        // engine's interpolated percentile cannot flip a bin unless the
+        // value already sits within 5e-10 of the boundary (Round9Spec
+        // measures the actual corpus margin: the nearest non-equal value
+        // sits 8.9e-16 from a raw boundary, but EQUAL after round-9)
+        val binSql = (1 to 9).map(k =>
+          s"(CASE WHEN round(v, 9) > round(q$k, 9) THEN 1 ELSE 0 END)").mkString(" + ")
         s"""WITH e AS (
            |  SELECT event_type AS et, value AS v,
            |    ts < TIMESTAMP '2024-01-16' AS is_ref
@@ -108,7 +114,8 @@ object DriftOps {
       val binned = e.join(broadcast(qs), col("et") === col("qet"))
         .select(col("et"), col("is_ref"),
           (lit(1) + (1 to 9).map(k =>
-            when(col("v") > col(s"q$k"), 1).otherwise(0)).reduce(_ + _)).as("bin"))
+            when(round(col("v"), 9) > round(col(s"q$k"), 9), 1).otherwise(0))
+            .reduce(_ + _)).as("bin"))
       val c = binned.groupBy("et", "bin")
         .agg(count_if(col("is_ref")).as("nr"), count_if(!col("is_ref")).as("nc"))
       val t = c.groupBy(col("et").as("tet"))

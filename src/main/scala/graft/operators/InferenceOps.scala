@@ -706,7 +706,11 @@ object InferenceOps {
       * loud-guard discipline, visible in the output. One user-level
       * aggregate (two half-month passes fused into conditional aggs),
       * one ntile over O(users) rows, decimal effect sums: the 100 TB
-      * cost is the per-user reduction.
+      * cost is the per-user reduction. The ntile is the exact form and
+      * its global sort is O(users); at 10⁹ users the same-shape drop-in
+      * is width_bucket over approx_percentile activity boundaries
+      * (q128/q147's pattern) — strata stay deterministic, no total
+      * order needed.
       */
     QueryDef(
       "q292_ipw_ate",
@@ -904,6 +908,196 @@ object InferenceOps {
           r6(chi2).as("chi2"),
           when(chi2 > 3.841, 1).otherwise(0).as("srm_flag"))
         .orderBy("salt")
+    },
+
+    /** Deterministic Bayesian-bootstrap CI for the A/B conversion lift
+      * (round 9): 200 replicates weight every user by an Exponential(1)
+      * draw derived from the salted md5 hash of (user, replicate) — the
+      * q166 RNG-free uniform through −ln(u) — so the whole resampling
+      * distribution is reproducible AND hash-verifiable, which no
+      * rng-seeded bootstrap is across engines. Each replicate's lift is
+      * a weighted-mean difference over decimal sums; the 95% CI is the
+      * exact (5th, 196th) order statistics of the 200 replicate lifts.
+      * Scale: replicates fan out as a broadcast 200-row cross join and
+      * collapse in ONE map-side-combined aggregate to 200·2 rows — the
+      * classic "resample without reshuffling" shape; B is the only
+      * knob.
+      */
+    QueryDef(
+      "q303_bootstrap_ci", {
+        val hs = "1152921504606846977.0"
+        s"""WITH conv AS (
+           |  SELECT user_id,
+           |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 15))::BIGINT % 2 = 0
+           |         THEN 'A' ELSE 'B' END AS variant,
+           |    max(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END) AS y
+           |  FROM events GROUP BY 1),
+           |reps AS (SELECT unnest(range(1, 201)) AS b),
+           |wts AS (
+           |  SELECT c.variant, r.b, c.y,
+           |    -ln((('0x' || substr(md5(CAST(c.user_id AS VARCHAR) || ':bs' || r.b), 1, 15))::BIGINT + 1.0)
+           |        / $hs) AS w
+           |  FROM conv c CROSS JOIN reps r),
+           |eff AS (
+           |  SELECT b,
+           |    CAST(sum(CAST(CASE WHEN variant = 'A' THEN w * y ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+           |      / CAST(sum(CAST(CASE WHEN variant = 'A' THEN w ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+           |    - CAST(sum(CAST(CASE WHEN variant = 'B' THEN w * y ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+           |      / CAST(sum(CAST(CASE WHEN variant = 'B' THEN w ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE) AS lift
+           |  FROM wts GROUP BY 1),
+           |rk AS (SELECT lift, row_number() OVER (ORDER BY lift, b) AS rn FROM eff),
+           |pt AS (
+           |  SELECT CAST(sum(CASE WHEN variant = 'A' THEN y END) AS DOUBLE)
+           |           / count_if(variant = 'A')
+           |       - CAST(sum(CASE WHEN variant = 'B' THEN y END) AS DOUBLE)
+           |           / count_if(variant = 'B') AS lift_hat,
+           |    CAST(count(*) AS BIGINT) AS n_users
+           |  FROM conv)
+           |SELECT pt.n_users, 200 AS n_replicates,
+           |  round(pt.lift_hat, 6) AS lift_hat,
+           |  round((SELECT lift FROM rk WHERE rn = 5), 6) AS ci_lo,
+           |  round((SELECT lift FROM rk WHERE rn = 196), 6) AS ci_hi,
+           |  CAST((SELECT lift FROM rk WHERE rn = 5) <= 0
+           |       AND 0 <= (SELECT lift FROM rk WHERE rn = 196) AS INT) AS ci_covers_zero
+           |FROM pt""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val hs = 1152921504606846977.0
+      val users = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 250, 1)
+          .otherwise(0)).as("y"))
+        .withColumn("variant",
+          when(conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))),
+            1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      val reps = (1 to 200).toDF("b")
+      val u = (conv(substring(md5(concat(col("user_id").cast("string"), lit(":bs"),
+        col("b").cast("string"))), 1, 15), 16, 10).cast("double") + 1.0) / hs
+      val wts = users.crossJoin(broadcast(reps))
+        .select(col("variant"), col("b"), col("y"), (-log(u)).as("w"))
+      def dside(v: String, c: Column) =
+        sum(when(col("variant") === v, c).otherwise(0.0).cast("decimal(38,12)"))
+          .cast("double")
+      val eff = wts.groupBy("b").agg(
+        (dside("A", col("w") * col("y")) / dside("A", col("w")) -
+          dside("B", col("w") * col("y")) / dside("B", col("w"))).as("lift"))
+      val rk = eff.select(col("lift"),
+        row_number().over(Window.orderBy(col("lift"), col("b"))).as("rn"))
+      val lo = rk.where(col("rn") === 5).select(col("lift").as("lo"))
+      val hi = rk.where(col("rn") === 196).select(col("lift").as("hi"))
+      val pt = users.agg(
+        (sum(when(col("variant") === "A", col("y"))).cast("double") /
+          count_if(col("variant") === "A") -
+          sum(when(col("variant") === "B", col("y"))).cast("double") /
+            count_if(col("variant") === "B")).as("lift_hat"),
+        count(lit(1)).as("n_users"))
+      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_users"), lit(200).as("n_replicates"),
+          r6(col("lift_hat")).as("lift_hat"),
+          r6(col("lo")).as("ci_lo"), r6(col("hi")).as("ci_hi"),
+          (col("lo") <= 0 && lit(0) <= col("hi")).cast("int").as("ci_covers_zero"))
+    },
+
+    /** Quantile treatment effects (round 9): the DISTRIBUTIONAL A/B
+      * readout — per decile p ∈ {0.1..0.9}, Q_A(p) − Q_B(p) over the
+      * purchase-value distribution, where the mean test (q163) sees
+      * nothing when a treatment shifts the tails in opposite
+      * directions. Exact interpolated per-arm percentiles (q179
+      * parity idiom) over one arm-assigned scan; output is O(9) rows
+      * at any scale (approx_percentile is the same-shape drop-in).
+      */
+    QueryDef(
+      "q304_quantile_effects", {
+        val ps = (1 to 9).map(k => s"0.$k")
+        s"""WITH pv AS (
+           |  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 15))::BIGINT % 2 = 0
+           |              THEN 'A' ELSE 'B' END AS variant,
+           |    value AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |q AS (
+           |  SELECT variant,
+           |    ${ps.zipWithIndex.map { case (p, i) =>
+              s"quantile_cont(v, $p) AS q${i + 1}" }.mkString(", ")}
+           |  FROM pv GROUP BY 1)
+           |SELECT p.p,
+           |  round(${ps.indices.map(i =>
+            s"CASE WHEN p.p = ${i + 1} THEN a.q${i + 1} - b.q${i + 1} ELSE 0 END")
+            .mkString(" + \n    ")}, 6) AS qte,
+           |  round(${ps.indices.map(i =>
+            s"CASE WHEN p.p = ${i + 1} THEN a.q${i + 1} ELSE 0 END").mkString(" + \n    ")}, 6) AS q_a,
+           |  round(${ps.indices.map(i =>
+            s"CASE WHEN p.p = ${i + 1} THEN b.q${i + 1} ELSE 0 END").mkString(" + \n    ")}, 6) AS q_b
+           |FROM (SELECT unnest(range(1, 10)) AS p) p
+           |CROSS JOIN (SELECT * FROM q WHERE variant = 'A') a
+           |CROSS JOIN (SELECT * FROM q WHERE variant = 'B') b
+           |ORDER BY p.p""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val pv = Tables.events(s, d).where(col("event_type") === "purchase")
+        .select(when(conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab1"))), 1, 15), 16, 10).cast("long") % 2 === 0, "A")
+          .otherwise("B").as("variant"), col("value").as("v"))
+      val q = pv.groupBy("variant").agg(
+        expr("percentile(v, 0.1)").as("q1"),
+        (2 to 9).map(k => expr(s"percentile(v, 0.$k)").as(s"q$k")): _*)
+      val a = q.where(col("variant") === "A")
+        .select((1 to 9).map(i => col(s"q$i").as(s"a$i")): _*)
+      val b = q.where(col("variant") === "B")
+        .select((1 to 9).map(i => col(s"q$i").as(s"b$i")): _*)
+      val ps = (1 to 9).toDF("p")
+      def pick(pref: String) = (1 to 9).map(i =>
+        when(col("p") === i, col(s"$pref$i")).otherwise(0.0)).reduce(_ + _)
+      ps.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+        .select(col("p"),
+          r6(pick("a") - pick("b")).as("qte"),
+          r6(pick("a")).as("q_a"), r6(pick("b")).as("q_b"))
+        .orderBy("p")
+    },
+
+    /** Minimum-detectable-effect / power calculator (round 9): the
+      * design-side companion of q163 — given the realized arm sizes and
+      * pooled conversion rate, the smallest absolute lift detectable at
+      * α = 0.05 two-sided with 80% power:
+      * MDE = (z_{0.975} + z_{0.8})·√(p(1−p)(1/n_a + 1/n_b)), with the
+      * normal quantiles as shared literals (no engine erf parity bet).
+      * One distinct-user aggregate; the readout every experiment review
+      * starts from ("could this test even have seen the effect it
+      * claims to rule out?").
+      */
+    QueryDef(
+      "q305_power_mde",
+      """WITH conv AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 15))::BIGINT % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS variant,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT CAST(count_if(variant = 'A') AS BIGINT) AS na,
+        |    CAST(count_if(variant = 'B') AS BIGINT) AS nb,
+        |    CAST(sum(y) AS DOUBLE) / count(*) AS p
+        |  FROM conv)
+        |SELECT na, nb, round(p, 6) AS pooled_rate,
+        |  round((1.959964 + 0.841621) * sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb)), 6) AS mde_abs,
+        |  round((1.959964 + 0.841621) * sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+        |    / nullif(p, 0), 6) AS mde_rel
+        |FROM w""".stripMargin) { (s, d) =>
+      val convd = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 250, 1)
+          .otherwise(0)).as("y"))
+        .withColumn("variant",
+          when(conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))),
+            1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      val w = convd.agg(
+        count_if(col("variant") === "A").as("na"),
+        count_if(col("variant") === "B").as("nb"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("p"))
+      val z = lit(1.959964 + 0.841621)
+      val mde = z * sqrt(col("p") * (lit(1) - col("p")) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      w.select(col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        r6(col("p")).as("pooled_rate"),
+        r6(mde).as("mde_abs"),
+        r6(mde / nullif(col("p"), lit(0.0))).as("mde_rel"))
     }
   )
 }

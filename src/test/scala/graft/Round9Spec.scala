@@ -39,6 +39,31 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q281 bin-boundary margin is measurably nonzero at the driver's verify SF") {
+    // the hash-compare risk in PSI is a value landing bitwise ON a
+    // decile boundary where the engines' interpolated percentiles could
+    // differ in the last ulp; measure the actual gap (ADVICE r7 idiom)
+    val d01 = "/root/testdata/sf0.01"
+    val e = Tables.events(spark, d01).select(col("event_type").as("et"),
+      col("value").as("v"),
+      (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+    val qs = e.where(col("is_ref")).groupBy(col("et").as("qet"))
+      .agg(expr("percentile(v, 0.1)").as("q1"),
+        (2 to 9).map(k => expr(s"percentile(v, 0.$k)").as(s"q$k")): _*)
+    // exact equality (gap = 0) is SAFE: both engines compare the same
+    // doubles consistently. The ulp risk is a NEAR-miss — and the raw
+    // corpus HAS one (a value 8.9e-16 from a boundary), which is why
+    // q281 bins on round-9 comparands: after round-9, near-misses under
+    // 5e-10 COLLAPSE to equality and the minimum positive gap is at
+    // least 1e-9 by construction. Measure it on the rounded values.
+    val gap = e.join(broadcast(qs), col("et") === col("qet"))
+      .select((1 to 9).map(k =>
+        abs(round(col("v"), 9) - round(col(s"q$k"), 9))).reduce(least(_, _)).as("g"))
+      .where(col("g") > 0)
+      .agg(min(col("g"))).head.getDouble(0)
+    assert(gap >= 1e-9 - 1e-15, s"near-boundary value survived rounding (gap=$gap)")
+  }
+
   test("q286 conformal interval: qhat is a non-negative residual and coverage is a probability") {
     val rows = SparkEntry.queries("q286_conformal_forecast")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -323,6 +348,38 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(okFlag == 0, s"healthy 50/50 assignment flagged: $na vs $nb")
     val (_, _, badFlag) = rows(":bad")
     assert(badFlag == 1, "broken 1/3-2/3 assignment not flagged")
+  }
+
+  test("q303 bootstrap CI is ordered, bounded, and rerun-identical (no RNG)") {
+    val r = SparkEntry.queries("q303_bootstrap_ci")(spark, sf).head
+    val (lo, hi, hat) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("lift_hat"))
+    assert(lo <= hi, s"inverted CI: $r")
+    assert(math.abs(hat) <= 1 && math.abs(lo) <= 1 && math.abs(hi) <= 1, s"$r")
+    assert(r.getAs[Int]("n_replicates") == 200)
+    val again = SparkEntry.queries("q303_bootstrap_ci")(spark, sf).head
+    assert(r.toString == again.toString, "bootstrap not deterministic")
+  }
+
+  test("q304 quantile effects satisfy qte = q_a - q_b on every decile") {
+    val rows = SparkEntry.queries("q304_quantile_effects")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("p")).toSeq == (1 to 9))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qte") -
+        (r.getAs[Double]("q_a") - r.getAs[Double]("q_b"))) <= 2e-6, s"$r")
+    }
+    // per-arm deciles are monotone in p
+    val qa = rows.map(_.getAs[Double]("q_a"))
+    assert(qa.zip(qa.tail).forall { case (x, y) => x <= y + 1e-9 })
+  }
+
+  test("q305 MDE is positive and internally consistent with the pooled rate") {
+    val r = SparkEntry.queries("q305_power_mde")(spark, sf).head
+    val (p, mabs, mrel) = (r.getAs[Double]("pooled_rate"),
+      r.getAs[Double]("mde_abs"), r.getAs[Double]("mde_rel"))
+    assert(mabs > 0 && p > 0 && p < 1, s"$r")
+    assert(math.abs(mrel - mabs / p) <= 1e-4, s"rel/abs inconsistent: $r")
+    assert(r.getAs[Long]("na") + r.getAs[Long]("nb") > 0)
   }
 
   test("q289 restores every conf it touches and still returns the plain-join result") {
