@@ -29,6 +29,7 @@ object SparkEntry {
       operators.TemporalOps.defs ++
       operators.RobustOps.defs ++
       operators.CausalOps.defs ++
+      operators.CcmOps.defs ++
       operators.DriftOps.defs ++
       operators.SeriesOps.defs ++
       operators.GraphOps.defs ++

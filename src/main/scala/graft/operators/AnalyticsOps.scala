@@ -118,11 +118,16 @@ object AnalyticsOps {
       val links = Tables.documents(s, d)
         .select(concat(col("source"), lit(".example.com")).as("src"),
           concat(lit("src"), expr("doc_id DIV 7") % 20, lit(".example.com")).as("dst"))
-      val edges = links.groupBy("src", "dst")
-        .agg(count(lit(1)).cast("double").as("w"))
-        .cache() // tiny (hosts**2); reused by all three iterations
-      val nodes = links.select(col("src").as("host"))
-        .union(links.select(col("dst"))).distinct().cache()
+      // PlanCache, not fresh .cache() per invocation (round-7 ADVICE
+      // accumulation pattern): tiny (hosts**2), reused by all iterations
+      val edges = graft.PlanCache.cached(s, s"pr_edges|$d") {
+        links.groupBy("src", "dst")
+          .agg(count(lit(1)).cast("double").as("w"))
+      }
+      val nodes = graft.PlanCache.cached(s, s"pr_nodes|$d") {
+        links.select(col("src").as("host"))
+          .union(links.select(col("dst"))).distinct()
+      }
       val n = nodes.count().toDouble
       val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outw"))
       var pr = nodes.select(col("host"), (lit(1.0) / n).as("rank"))
@@ -150,10 +155,11 @@ object AnalyticsOps {
       * sums keep both engines bit-identical (see [[K]] doc).
       */
     QueryDef("q152_kmeans_lloyd", kmeansOracle) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id") +: (0 until Dims).map(i =>
-          element_at(col("embedding"), i + 1).cast("double").as(s"d$i")): _*)
-        .cache() // Dims doubles per row; read once per Lloyd iteration
+      val e = graft.PlanCache.cached(s, s"kmeans_feat|$d") {
+        Tables.embeddings(s, d)
+          .select(col("vec_id") +: (0 until Dims).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"d$i")): _*)
+      } // Dims doubles per row; read once per Lloyd iteration
       // seed: the first K vectors by id
       var cents: Array[(Int, Array[Double])] = e.where(col("vec_id") < K)
         .orderBy("vec_id").collect()

@@ -45,7 +45,7 @@ object CausalOps {
     * bench/verify invocations reuse the same single cache entry instead
     * of accumulating fresh ones (round-7 ADVICE).
     */
-  private[operators] def daily(s: SparkSession, d: String): DataFrame =
+  private[graft] def daily(s: SparkSession, d: String): DataFrame =
     PlanCache.cached(s, s"causal_daily|$d") {
       Tables.events(s, d)
         .groupBy(col("event_type").as("el"),
@@ -356,7 +356,7 @@ object CausalOps {
 
   /** Per-element compact series map: el → (di → v), entries in di
     * order. The causal family's "one row per element" representation. */
-  private def seriesMaps(grid: DataFrame): DataFrame =
+  private[operators] def seriesMaps(grid: DataFrame): DataFrame =
     grid.groupBy(col("el"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("di"), col("v")))))
         .as("m"))

@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
   private def r6(c: Column) = round(c, 6)
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
 
   private def wordsCol(text: Column): Column = graft.functions.Text.wordsCol(text)
 
@@ -406,6 +407,95 @@ object CorpusOps {
             .cast("decimal(38,12)")).cast("double") / count(lit(1))).as("xent"))
       sc.select(col("doc_id"), col("n").as("n_tokens"), round(col("xent"), 6).as("xent"))
         .orderBy(round(col("xent"), 6).desc, col("doc_id")).limit(20)
+    },
+
+    /** Heaps'-law vocabulary-growth curve over the 3-gram SHINGLE
+      * vocabulary (the dedup family's unit — the corpus's word
+      * vocabulary saturates in the first docs, so words make the fit
+      * degenerate; shingles keep growing like real corpora do):
+      * V(n) ≈ K·nᵝ measured at 10 doc-count checkpoints in doc_id
+      * order, with the exponent and scale from the closed-form log-log
+      * OLS. The capacity-planning readout every dedup/index component
+      * sizes against — "how fast does the fingerprint ledger (q295) or
+      * inverted index (q175) grow as the corpus doubles". Scale: one
+      * shingle explosion (map-side) → min-first-doc per shingle (one
+      * vocab-grain shuffle) → each checkpoint counts via a 10-row
+      * broadcast cross — doc-stat and vocab-grain tables only, never
+      * quadratic.
+      */
+    QueryDef(
+      "q313_heaps_shingle",
+      """WITH dr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r,
+        |    greatest(len(list_filter(string_split(text, ' '), w -> w != '')) - 2, 0) AS nsh
+        |  FROM documents),
+        |dd AS (SELECT max(r) AS nd FROM dr),
+        |sh AS (
+        |  SELECT dr.r, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                       FOR i IN range(1, len(ws) - 1)]) AS sg
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+        |        FROM documents) z
+        |  JOIN dr ON dr.doc_id = z.doc_id),
+        |tok AS (SELECT sg, min(r) AS f FROM sh GROUP BY 1),
+        |chk AS (
+        |  SELECT j, CAST(ceil(nd * j / 10.0) AS BIGINT) AS n_docs
+        |  FROM dd, (SELECT unnest(range(1, 11)) AS j) s),
+        |nt AS (
+        |  SELECT c.j, c.n_docs, CAST(sum(d.nsh) AS BIGINT) AS n_shingles
+        |  FROM chk c JOIN dr d ON d.r <= c.n_docs GROUP BY 1, 2),
+        |vb AS (
+        |  SELECT c.j, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM chk c JOIN tok t ON t.f <= c.n_docs GROUP BY 1),
+        |vt AS (
+        |  SELECT nt.j, nt.n_docs, nt.n_shingles, vb.vocab
+        |  FROM nt JOIN vb ON vb.j = nt.j),
+        |fit AS (
+        |  SELECT count(*) AS m,
+        |    CAST(sum(CAST(ln(CAST(n_shingles AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(ln(CAST(n_shingles AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(ln(CAST(n_shingles AS DOUBLE)) * ln(CAST(n_shingles AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |  FROM vt)
+        |SELECT v.j AS checkpoint, v.n_docs, v.n_shingles, v.vocab,
+        |  round((f.m * f.sxy - f.sx * f.sy) / (f.m * f.sxx - f.sx * f.sx), 6) AS beta,
+        |  round(exp((f.sy - (f.m * f.sxy - f.sx * f.sy) / (f.m * f.sxx - f.sx * f.sx) * f.sx) / f.m), 6) AS k
+        |FROM vt v, fit f ORDER BY v.j""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      val dr = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("doc_id"))).as("r"),
+        greatest(size(col("ws")) - 2, lit(0)).as("nsh"), col("ws"))
+      val dd = dr.agg(max(col("r")).as("nd"))
+      val sh = dr.select(col("r"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(ws) - 2, 0)), " +
+            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+          .as("sg"))
+      val tok = sh.groupBy("sg").agg(min(col("r")).as("f"))
+      val chk = s.range(1, 11).select(col("id").cast("int").as("j"))
+        .crossJoin(broadcast(dd))
+        .select(col("j"), ceil(col("nd") * col("j") / 10.0).cast("long").as("n_docs"))
+      val nt = dr.crossJoin(broadcast(chk)).where(col("r") <= col("n_docs"))
+        .groupBy("j", "n_docs").agg(sum(col("nsh")).cast("long").as("n_shingles"))
+      val vb = tok.crossJoin(broadcast(chk.select(col("j").as("vj"), col("n_docs").as("vn"))))
+        .where(col("f") <= col("vn"))
+        .groupBy("vj").agg(count(lit(1)).cast("long").as("vocab"))
+      val vt = nt.join(vb, col("vj") === col("j"))
+        .select(col("j"), col("n_docs"), col("n_shingles"), col("vocab"))
+      val lx = log(col("n_shingles").cast("double"))
+      val ly = log(col("vocab").cast("double"))
+      val fit = vt.agg(count(lit(1)).as("m"),
+        dsum(lx).as("sx"), dsum(ly).as("sy"),
+        dsum(lx * ly).as("sxy"), dsum(lx * lx).as("sxx"))
+      val beta = (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx"))
+      vt.crossJoin(broadcast(fit))
+        .select(col("j").as("checkpoint"), col("n_docs"), col("n_shingles"), col("vocab"),
+          r6(beta).as("beta"),
+          r6(exp((col("sy") - beta * col("sx")) / col("m"))).as("k"))
+        .orderBy("checkpoint")
     }
   )
 

@@ -105,32 +105,7 @@ object DriftOps {
            |    + 0.5 * (cf * ln(2.0 * cf / (rf + cf))) AS DECIMAL(38,12))) AS DOUBLE), 6) AS jsd
            |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
       }) { (s, d) =>
-      val e = Tables.events(s, d).select(col("event_type").as("et"),
-        col("value").as("v"),
-        (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
-      val qs = e.where(col("is_ref")).groupBy(col("et").as("qet"))
-        .agg(expr("percentile(v, 0.1)").as("q1"),
-          (2 to 9).map(k => expr(s"percentile(v, 0.$k)").as(s"q$k")): _*)
-      val binned = e.join(broadcast(qs), col("et") === col("qet"))
-        .select(col("et"), col("is_ref"),
-          (lit(1) + (1 to 9).map(k =>
-            when(round(col("v"), 9) > round(col(s"q$k"), 9), 1).otherwise(0))
-            .reduce(_ + _)).as("bin"))
-      val c = binned.groupBy("et", "bin")
-        .agg(count_if(col("is_ref")).as("nr"), count_if(!col("is_ref")).as("nc"))
-      val t = c.groupBy(col("et").as("tet"))
-        .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
-      val f = c.join(t, col("tet") === col("et"))
-        .select(col("et"),
-          greatest(col("nr").cast("double") / col("tr"), lit(1e-6)).as("rf"),
-          greatest(col("nc").cast("double") / col("tc"), lit(1e-6)).as("cf"))
-      f.groupBy(col("et").as("event_type"))
-        .agg(count(lit(1)).as("n_bins"),
-          r6(dsum((col("cf") - col("rf")) * log(col("cf") / col("rf")))).as("psi"),
-          r6(dsum(lit(0.5) * (col("rf") * log(lit(2.0) * col("rf") / (col("rf") + col("cf")))) +
-            lit(0.5) * (col("cf") * log(lit(2.0) * col("cf") / (col("rf") + col("cf"))))))
-            .as("jsd"))
-        .orderBy("event_type")
+      psiFromCounts(binnedCounts(s, d))
     },
 
     /** Split-conformal prediction intervals on the seasonal-naive
@@ -243,4 +218,53 @@ object DriftOps {
         .orderBy("bin")
     }
   )
+
+  /** q281's building blocks, factored out (the conformalFromGrid
+    * pattern) so q310's streaming refresh shares the IDENTICAL binning
+    * and readout expression trees with the batch query. */
+  private[graft] def typedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_type").as("et"),
+      col("value").as("v"),
+      (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+
+  /** Reference-period exact deciles per type — the fixed "training
+    * snapshot" bin boundaries a production drift monitor pins before
+    * the live period starts. */
+  private[graft] def refDeciles(s: SparkSession, d: String): DataFrame =
+    typedEvents(s, d).where(col("is_ref")).groupBy(col("et").as("qet"))
+      .agg(expr("percentile(v, 0.1)").as("q1"),
+        (2 to 9).map(k => expr(s"percentile(v, 0.$k)").as(s"q$k")): _*)
+
+  /** Round-9 boundary-chain binning of a typed event set against the
+    * broadcast deciles, reduced to per-(type, bin) ref/current counts. */
+  private[graft] def binnedCounts(s: SparkSession, d: String): DataFrame =
+    binnedCountsWith(typedEvents(s, d), refDeciles(s, d))
+
+  private[graft] def binnedCountsWith(e: DataFrame, qs: DataFrame): DataFrame =
+    e.join(broadcast(qs), col("et") === col("qet"))
+      .select(col("et"), col("is_ref"),
+        (lit(1) + (1 to 9).map(k =>
+          when(round(col("v"), 9) > round(col(s"q$k"), 9), 1).otherwise(0))
+          .reduce(_ + _)).as("bin"))
+      .groupBy("et", "bin")
+      .agg(count_if(col("is_ref")).as("nr"), count_if(!col("is_ref")).as("nc"))
+
+  /** PSI/JSD readout from (et, bin, nr, nc) count rows — the shared
+    * expression tree of q281 and q310 (bit-identical doubles from
+    * identical counts). */
+  private[graft] def psiFromCounts(c: DataFrame): DataFrame = {
+    val t = c.groupBy(col("et").as("tet"))
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    val f = c.join(t, col("tet") === col("et"))
+      .select(col("et"),
+        greatest(col("nr").cast("double") / col("tr"), lit(1e-6)).as("rf"),
+        greatest(col("nc").cast("double") / col("tc"), lit(1e-6)).as("cf"))
+    f.groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_bins"),
+        r6(dsum((col("cf") - col("rf")) * log(col("cf") / col("rf")))).as("psi"),
+        r6(dsum(lit(0.5) * (col("rf") * log(lit(2.0) * col("rf") / (col("rf") + col("cf")))) +
+          lit(0.5) * (col("cf") * log(lit(2.0) * col("cf") / (col("rf") + col("cf"))))))
+          .as("jsd"))
+      .orderBy("event_type")
+  }
 }

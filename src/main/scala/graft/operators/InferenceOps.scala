@@ -1098,6 +1098,94 @@ object InferenceOps {
         r6(col("p")).as("pooled_rate"),
         r6(mde).as("mde_abs"),
         r6(mde / nullif(col("p"), lit(0.0))).as("mde_rel"))
+    },
+
+    /** mSPRT always-valid sequential A/B monitor (Johari, Pekelis &
+      * Walsh, "Always Valid Inference", 2015/2022 — the method behind
+      * continuously-peeked dashboards): per calendar day, the mixture
+      * likelihood ratio Λ_n = √(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²))) of the
+      * cumulative arm conversion-rate gap θ̂ under a N(0, τ²=0.01)
+      * effect prior, and the always-valid p-value p_n = running min of
+      * min(1, 1/Λ) — valid at EVERY peek, unlike q163's fixed-horizon
+      * z-test (peeking that daily would inflate its false-positive rate
+      * ~5×). Completes the experimentation shelf: design (q305 MDE),
+      * health (q302 SRM), fixed-horizon (q163), variance-reduced
+      * (q275), distributional (q304), uncertainty (q303), and now
+      * CONTINUOUS monitoring. Scale: one (day, arm) fact aggregate —
+      * map-side combined — then O(days) window math; the running min is
+      * a sequential frame over already-tiny data. exp/sqrt args are
+      * identical on both engines (libm margin absorbed by round-6; the
+      * Round10Spec margin test covers the family).
+      */
+    QueryDef(
+      "q309_msprt",
+      """WITH e AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT di,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nad,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS cad,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nbd,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS cbd
+        |  FROM e GROUP BY 1),
+        |cum AS (
+        |  SELECT di,
+        |    sum(nad) OVER w AS na, sum(cad) OVER w AS ca,
+        |    sum(nbd) OVER w AS nb, sum(cbd) OVER w AS cb
+        |  FROM g WINDOW w AS (ORDER BY di ROWS UNBOUNDED PRECEDING)),
+        |st AS (
+        |  SELECT di, na, nb,
+        |    CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb AS theta,
+        |    (CAST(ca + cb AS DOUBLE) / (na + nb)) * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 / na + 1.0 / nb) AS vn
+        |  FROM cum WHERE na > 0 AND nb > 0),
+        |lam AS (
+        |  SELECT di, na, nb, theta,
+        |    sqrt(vn / (vn + 0.01)) * exp((theta * theta * 0.01) / (2 * vn * (vn + 0.01))) AS lambda
+        |  FROM st),
+        |pv AS (
+        |  SELECT di, na, nb, theta, lambda,
+        |    min(least(1.0, 1.0 / lambda)) OVER (ORDER BY di ROWS UNBOUNDED PRECEDING) AS p_seq
+        |  FROM lam)
+        |SELECT di, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(theta, 6) AS theta, round(lambda, 6) AS lambda,
+        |  round(p_seq, 6) AS p_always_valid,
+        |  CAST(p_seq < 0.05 AS INT) AS signif
+        |FROM pv ORDER BY di""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("arm"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      val g = e.groupBy("di").agg(
+        sum(when(col("arm") === 1, 1).otherwise(0)).as("nad"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0)).as("cad"),
+        sum(when(col("arm") === 0, 1).otherwise(0)).as("nbd"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0)).as("cbd"))
+      val w = Window.orderBy(col("di")).rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.select(col("di"),
+        sum(col("nad")).over(w).as("na"), sum(col("cad")).over(w).as("ca"),
+        sum(col("nbd")).over(w).as("nb"), sum(col("cbd")).over(w).as("cb"))
+      val pooled = col("ca").cast("double").plus(col("cb")) / (col("na") + col("nb"))
+      val st = cum.where(col("na") > 0 && col("nb") > 0)
+        .select(col("di"), col("na"), col("nb"),
+          (col("ca").cast("double") / col("na") - col("cb").cast("double") / col("nb")).as("theta"),
+          (pooled * (lit(1) - pooled) * (lit(1.0) / col("na") + lit(1.0) / col("nb"))).as("vn"))
+      val lam = st.select(col("di"), col("na"), col("nb"), col("theta"),
+        (sqrt(col("vn") / (col("vn") + 0.01)) *
+          exp((col("theta") * col("theta") * 0.01) /
+            (lit(2) * col("vn") * (col("vn") + 0.01)))).as("lambda"))
+      lam.withColumn("p_seq",
+          min(least(lit(1.0), lit(1.0) / col("lambda"))).over(w))
+        .select(col("di"), col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          r6(col("theta")).as("theta"), r6(col("lambda")).as("lambda"),
+          r6(col("p_seq")).as("p_always_valid"),
+          (col("p_seq") < 0.05).cast("int").as("signif"))
+        .orderBy("di")
     }
   )
 }

@@ -466,11 +466,12 @@ object LLMPipeline {
       // allocation-free sorted_intersect_count merge instead of
       // array_intersect over string arrays — and the cached build side
       // drops the string payload entirely
-      val signed = docs.select(
-        (Seq(col("doc_id"), col("source"),
-          array_sort(transform(col("shingles"), x => xxhash64(lit(-1), x))).as("sh64"))
-          ++ sigCols): _*)
-        .cache() // reused: both sides of the band join + the verify re-join
+      val signed = graft.PlanCache.cached(s, s"lsh_signed|$d") {
+        docs.select(
+          (Seq(col("doc_id"), col("source"),
+            array_sort(transform(col("shingles"), x => xxhash64(lit(-1), x))).as("sh64"))
+            ++ sigCols): _*)
+      } // reused: both sides of the band join + the verify re-join
       // candidates: ids only through the (band, sig) join — the shingle
       // arrays are re-attached for the verify step, so the wide payload
       // never rides through the exploded band shuffle

@@ -92,6 +92,25 @@ object SeriesOps {
        |      greatest(1, len(acc) + 2 - (ly + 1)), len(acc) + 1))[-1]""".stripMargin
   }
 
+
+  /** Per-(element, day) EVENT-COUNT grid — q307's input (the causal
+    * `daily` grid carries the day MEAN; bursts are about volume).
+    * PlanCache'd per (session, sf-dir) like its sibling. */
+  private[operators] def dailyCounts(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.cached(s, s"causal_daily_counts|$d") {
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("el"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+        .agg(count(lit(1)).as("nt"))
+    }
+
+  private[operators] val dcSql =
+    """dc AS (
+      |  SELECT event_type AS el,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+      |    count(*) AS nt
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Theil–Sen trend per element: the MEDIAN of all pairwise slopes
@@ -336,6 +355,320 @@ object SeriesOps {
               (lit(3) + pmod(col("lx") + col("h") - 1, lit(7))).cast("int")))
             .as("forecast"))
         .orderBy("el", "h")
+    },
+
+    /** Kleinberg burst detection (Kleinberg, "Bursty and Hierarchical
+      * Structure in Streams", KDD 2002) on each element's daily EVENT
+      * COUNT series: a 2-state automaton (base rate λ₀ = mean count,
+      * burst rate λ₁ = 2λ₀) with Poisson emission cost λ−n·ln λ (the
+      * n!-term cancels across states) and an enter-burst transition
+      * cost τ = ln T, solved by exact Viterbi. The whole forward pass
+      * AND the backpointer backtrack run as two chained fold-kernel
+      * expressions per element (the q288 pattern — the forward
+      * accumulator carries [c0, c1] plus the backpointer pairs
+      * prepended newest-first, which is exactly the order backtracking
+      * consumes); burst-interval statistics then come from one
+      * posexplode + an islands window over the O(P·T) state rows. Both
+      * engines run the identical fold sequence — plain-double adds,
+      * `<=` ties preferring base — so the state sequence is
+      * deterministic; the score's base-path cost uses the SAME
+      * sequential fold as the Viterbi c0 lane, making the no-burst
+      * case an exact 0.0 on both engines (not a −0.0 from a
+      * mixed-accumulation epsilon). Scale: one (el, day) count
+      * aggregate — map-side combined — then element-grain kernel work;
+      * nothing here grows with raw event volume.
+      */
+    QueryDef(
+      "q307_burst_kleinberg",
+      s"""WITH $dcSql,
+        |ser AS (
+        |  SELECT el, list(CAST(nt AS DOUBLE) ORDER BY di) AS nv,
+        |    list(di ORDER BY di) AS dv,
+        |    len(list(nt ORDER BY di)) AS n,
+        |    CAST(sum(nt) AS DOUBLE) / count(*) AS lam0
+        |  FROM dc GROUP BY 1),
+        |par AS (
+        |  SELECT el, nv, dv, n, lam0, 2.0 * lam0 AS lam1,
+        |    ln(CAST(n AS DOUBLE)) AS tau
+        |  FROM ser WHERE n >= 4),
+        |fw AS (
+        |  SELECT el, nv, dv, n, lam0,
+        |    list_reduce(
+        |      [[CAST(0.0 AS DOUBLE), tau]] || [[CAST(k AS DOUBLE)] FOR k IN range(1, n + 1)],
+        |      (acc, xk) ->
+        |        [ least(acc[1], acc[2]) + (lam0 - nv[CAST(xk[1] AS INT)] * ln(lam0)),
+        |          least(acc[1] + tau, acc[2]) + (lam1 - nv[CAST(xk[1] AS INT)] * ln(lam1)),
+        |          CASE WHEN acc[1] <= acc[2] THEN 0.0 ELSE 1.0 END,
+        |          CASE WHEN acc[1] + tau <= acc[2] THEN 0.0 ELSE 1.0 END
+        |        ] || list_slice(acc, 3, len(acc))) AS fwd,
+        |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |      [lam0 - nv[CAST(k AS INT)] * ln(lam0) FOR k IN range(1, n + 1)],
+        |      (a, b) -> a + b) AS base_cost
+        |  FROM par),
+        |bt AS (
+        |  SELECT el, nv, dv, n, lam0, base_cost,
+        |    least(fwd[1], fwd[2]) AS opt_cost,
+        |    list_reduce(
+        |      [[CASE WHEN fwd[1] <= fwd[2] THEN 0.0 ELSE 1.0 END]] ||
+        |        [[CAST(j AS DOUBLE)] FOR j IN range(1, n)],
+        |      (acc, xj) ->
+        |        [fwd[CAST(3 + 2 * (xj[1] - 1) + acc[1] AS INT)]] || acc) AS st
+        |  FROM fw),
+        |ex AS (
+        |  SELECT el, n, lam0, base_cost, opt_cost, CAST(i AS INT) AS pos,
+        |    dv[CAST(i AS INT)] AS di, nv[CAST(i AS INT)] AS nt,
+        |    st[CAST(i AS INT)] AS state
+        |  FROM (SELECT el, n, lam0, base_cost, opt_cost, dv, nv, st,
+        |          unnest(range(1, n + 1)) AS i FROM bt) z),
+        |runs AS (
+        |  SELECT el, grp, count(*) AS rl FROM (
+        |    SELECT el, pos, pos - row_number() OVER (PARTITION BY el ORDER BY pos) AS grp
+        |    FROM ex WHERE state = 1.0) g
+        |  GROUP BY el, grp),
+        |mr AS (SELECT el AS mel, max(rl) AS longest FROM runs GROUP BY 1)
+        |SELECT e.el, CAST(max(e.n) AS BIGINT) AS n_days, round(max(e.lam0), 6) AS lam0,
+        |  CAST(sum(CASE WHEN e.state = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_days,
+        |  CAST(coalesce(max(m.longest), 0) AS BIGINT) AS longest_burst,
+        |  min(CASE WHEN e.state = 1.0 THEN e.di END) AS first_burst_di,
+        |  max(CASE WHEN e.state = 1.0 THEN e.di END) AS last_burst_di,
+        |  round(max(e.base_cost) - max(e.opt_cost), 6) AS burst_score
+        |FROM ex e LEFT JOIN mr m ON m.mel = e.el
+        |GROUP BY e.el ORDER BY e.el""".stripMargin) { (s, d) =>
+      val ser = dailyCounts(s, d).groupBy("el")
+        .agg(sort_array(collect_list(struct(col("di"), col("nt")))).as("a"))
+        .select(col("el"),
+          expr("transform(a, x -> cast(x.nt as double))").as("nv"),
+          expr("transform(a, x -> x.di)").as("dv"),
+          size(col("a")).as("n"))
+        .where(col("n") >= 4)
+        .withColumn("lam0", expr("aggregate(nv, cast(0.0 as double), (a, x) -> a + x) / n"))
+        .withColumn("lam1", expr("2.0 * lam0"))
+        .withColumn("tau", expr("ln(cast(n as double))"))
+      val fw = ser
+        .withColumn("fwd", expr(
+          """aggregate(sequence(1, n), array(cast(0.0 as double), tau),
+            |  (acc, k) -> concat(array(
+            |    least(element_at(acc, 1), element_at(acc, 2)) + (lam0 - element_at(nv, k) * ln(lam0)),
+            |    least(element_at(acc, 1) + tau, element_at(acc, 2)) + (lam1 - element_at(nv, k) * ln(lam1)),
+            |    if(element_at(acc, 1) <= element_at(acc, 2), 0.0d, 1.0d),
+            |    if(element_at(acc, 1) + tau <= element_at(acc, 2), 0.0d, 1.0d)),
+            |    if(size(acc) > 2, slice(acc, 3, size(acc) - 2), cast(array() as array<double>))))""".stripMargin))
+        .withColumn("base_cost", expr(
+          "aggregate(sequence(1, n), cast(0.0 as double), (a, k) -> a + (lam0 - element_at(nv, k) * ln(lam0)))"))
+      val bt = fw
+        .withColumn("opt_cost", expr("least(element_at(fwd, 1), element_at(fwd, 2))"))
+        .withColumn("st", expr(
+          """aggregate(sequence(1, n - 1),
+            |  array(if(element_at(fwd, 1) <= element_at(fwd, 2), 0.0d, 1.0d)),
+            |  (acc, j) -> concat(array(element_at(fwd,
+            |    cast(3 + 2 * (j - 1) + element_at(acc, 1) as int))), acc))""".stripMargin))
+      val ex = bt.select(col("el"), col("n"), col("lam0"), col("base_cost"),
+          col("opt_cost"), col("dv"), col("nv"),
+          posexplode(col("st")).as(Seq("p0", "state")))
+        .select(col("el"), col("n"), col("lam0"), col("base_cost"), col("opt_cost"),
+          (col("p0") + 1).as("pos"),
+          expr("element_at(dv, p0 + 1)").as("di"),
+          col("state"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("el")).orderBy(col("pos"))
+      val runs = ex.where(col("state") === 1.0)
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("el", "grp").agg(count(lit(1)).as("rl"))
+      val mr = runs.groupBy(col("el").as("mel")).agg(max(col("rl")).as("longest"))
+      ex.join(mr, col("mel") === col("el"), "left")
+        .groupBy(col("el"))
+        .agg(max(col("n")).cast("long").as("n_days"),
+          r6(max(col("lam0"))).as("lam0"),
+          sum(when(col("state") === 1.0, 1).otherwise(0)).cast("long").as("n_burst_days"),
+          coalesce(max(col("longest")), lit(0L)).cast("long").as("longest_burst"),
+          min(when(col("state") === 1.0, col("di"))).as("first_burst_di"),
+          max(when(col("state") === 1.0, col("di"))).as("last_burst_di"),
+          r6(max(col("base_cost")) - max(col("opt_cost"))).as("burst_score"))
+        .orderBy("el")
+    },
+
+    /** Hurst exponent by rescaled-range (R/S) analysis: per element,
+      * blocks of w ∈ {4, 8, 16} consecutive days each yield
+      * R/S = (max−min of within-block cumulative mean-deviations) /
+      * (block population std); H is the log-log OLS slope of the
+      * block-averaged R/S against w. H ≈ 0.5 is memoryless, H > 0.5
+      * long-range persistent, H < 0.5 anti-persistent — the
+      * long-memory readout the suite's short-lag ACF/PACF (q266/q283)
+      * cannot see, and a direct quantitative complement to the causal
+      * family (a high-H element's "trend" is self-memory, not a
+      * partner's influence). All block statistics are exact decimal
+      * moment sums; the only sequential piece is the within-block
+      * cumulative sum — an (el, w, block)-partitioned window over the
+      * O(P·T·3) grid crossed with the 3-row window-size table. Scale:
+      * grid-local after the shared one-scan reduction.
+      */
+    QueryDef(
+      "q308_hurst_rs",
+      s"""WITH $dailySql,
+        |pos AS (
+        |  SELECT el, v, row_number() OVER (PARTITION BY el ORDER BY di) AS p,
+        |    count(*) OVER (PARTITION BY el) AS n
+        |  FROM daily),
+        |ws AS (SELECT unnest([4, 8, 16]) AS w),
+        |blk AS (
+        |  SELECT el, w, CAST((p - 1) // w AS INT) AS b, p, v,
+        |    count(*) OVER (PARTITION BY el, w, CAST((p - 1) // w AS INT)) AS bn
+        |  FROM pos CROSS JOIN ws),
+        |full_b AS (SELECT * FROM blk WHERE bn = w),
+        |bm AS (
+        |  SELECT el, w, b,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / w AS m,
+        |    sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) / w
+        |         - (CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / w)
+        |           * (CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / w)) AS sd
+        |  FROM full_b GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT f.el, f.w, f.b, m.sd,
+        |    sum(f.v - m.m) OVER (PARTITION BY f.el, f.w, f.b ORDER BY f.p) AS cs
+        |  FROM full_b f JOIN bm m ON m.el = f.el AND m.w = f.w AND m.b = f.b),
+        |rs AS (
+        |  SELECT el, w, b, (max(cs) - min(cs)) / max(sd) AS rs1
+        |  FROM cum GROUP BY el, w, b HAVING max(sd) > 0),
+        |rw AS (
+        |  SELECT el, w, CAST(sum(CAST(rs1 AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mrs
+        |  FROM rs GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT el, count(*) AS npts,
+        |    CAST(sum(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ln(mrs) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(ln(CAST(w AS DOUBLE)) * ln(mrs) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |  FROM rw GROUP BY 1 HAVING count(*) = 3)
+        |SELECT f.el,
+        |  round(max(CASE WHEN r.w = 4 THEN r.mrs END), 6) AS rs4,
+        |  round(max(CASE WHEN r.w = 8 THEN r.mrs END), 6) AS rs8,
+        |  round(max(CASE WHEN r.w = 16 THEN r.mrs END), 6) AS rs16,
+        |  round(max((f.npts * f.sxy - f.sx * f.sy) / (f.npts * f.sxx - f.sx * f.sx)), 6) AS hurst
+        |FROM fit f JOIN rw r ON r.el = f.el
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val g = daily(s, d)
+      val pos = g.select(col("el"), col("v"),
+        row_number().over(Window.partitionBy(col("el")).orderBy(col("di"))).as("p"),
+        count(lit(1)).over(Window.partitionBy(col("el"))).as("n"))
+      val blk = pos.crossJoin(broadcast(Seq(4, 8, 16).toDF("w")))
+        .withColumn("b", expr("CAST((p - 1) DIV w AS INT)"))
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("el"), col("w"), col("b"))))
+        .where(col("bn") === col("w"))
+      val bm = blk.groupBy(col("el").as("mel"), col("w").as("mw"), col("b").as("mb"))
+        .agg(dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
+        .select(col("mel"), col("mw"), col("mb"),
+          (col("sv") / col("mw")).as("m"),
+          sqrt(col("svv") / col("mw") -
+            (col("sv") / col("mw")) * (col("sv") / col("mw"))).as("sd"))
+      val cum = blk.join(bm,
+          col("mel") === col("el") && col("mw") === col("w") && col("mb") === col("b"))
+        .withColumn("cs", sum(col("v") - col("m"))
+          .over(Window.partitionBy(col("el"), col("w"), col("b")).orderBy(col("p"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val rs = cum.groupBy("el", "w", "b")
+        .agg(((max(col("cs")) - min(col("cs"))) / max(col("sd"))).as("rs1"),
+          max(col("sd")).as("msd"))
+        .where(col("msd") > 0)
+      val rw = rs.groupBy("el", "w")
+        .agg((dsum(col("rs1")) / count(lit(1))).as("mrs"))
+      val lw = log(col("w").cast("double"))
+      val fit = rw.groupBy(col("el").as("fel"))
+        .agg(count(lit(1)).as("npts"),
+          dsum(lw).as("sx"), dsum(log(col("mrs"))).as("sy"),
+          dsum(lw * log(col("mrs"))).as("sxy"), dsum(lw * lw).as("sxx"))
+        .where(col("npts") === 3)
+      fit.join(rw, col("fel") === col("el"))
+        .groupBy(col("el"))
+        .agg(r6(max(when(col("w") === 4, col("mrs")))).as("rs4"),
+          r6(max(when(col("w") === 8, col("mrs")))).as("rs8"),
+          r6(max(when(col("w") === 16, col("mrs")))).as("rs16"),
+          r6(max((col("npts") * col("sxy") - col("sx") * col("sy")) /
+            (col("npts") * col("sxx") - col("sx") * col("sx")))).as("hurst"))
+        .orderBy("el")
+    },
+
+    /** Normalized spectral entropy over the first 8 Fourier
+      * frequencies of each element's (mean-removed) daily series:
+      * H = −Σ q_k ln q_k / ln 8 with q_k the normalized periodogram
+      * power — the standard forecastability index (H → 0: one clean
+      * cycle, H → 1: white noise), plus the dominant frequency and its
+      * power share. Complements q263's three fixed calendar periods
+      * with a full low-frequency scan, and ties into the causal
+      * dashboard: a low-entropy element's future is predictable from
+      * its OWN spectrum, so a high cross-map/Granger score there needs
+      * the q283-style self-memory discount. Power sums are decimal
+      * accumulations of (v−μ)·cos/sin terms with identical argument
+      * expressions on both engines; the dominant-k cut is a
+      * (power desc, k) row_number. Scale: grid × 8-row frequency
+      * broadcast → one O(P·8) readout.
+      */
+    QueryDef(
+      "q312_spectral_entropy",
+      s"""WITH $dailySql,
+        |pos AS (
+        |  SELECT el, v, row_number() OVER (PARTITION BY el ORDER BY di) AS p,
+        |    count(*) OVER (PARTITION BY el) AS n
+        |  FROM daily),
+        |mu AS (
+        |  SELECT el AS mel, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+        |  FROM pos GROUP BY 1),
+        |ks AS (SELECT unnest(range(1, 9)) AS k),
+        |tr AS (
+        |  SELECT el, k, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST((v - m) * cos(2 * pi() * k * p / n) AS DECIMAL(38,12))) AS DOUBLE) AS sc,
+        |    CAST(sum(CAST((v - m) * sin(2 * pi() * k * p / n) AS DECIMAL(38,12))) AS DOUBLE) AS ss
+        |  FROM pos JOIN mu ON mel = el CROSS JOIN ks
+        |  WHERE n >= 16 GROUP BY 1, 2),
+        |pw AS (SELECT el, k, n, sc * sc + ss * ss AS pk FROM tr),
+        |tp AS (SELECT el AS tel, CAST(sum(CAST(pk AS DECIMAL(38,12))) AS DOUBLE) AS tot
+        |       FROM pw GROUP BY 1),
+        |q AS (SELECT el, k, n, pk / tot AS qk FROM pw JOIN tp ON tel = el WHERE tot > 0),
+        |h AS (
+        |  SELECT el, CAST(max(n) AS BIGINT) AS n_days,
+        |    round(CAST(sum(CAST(-qk * ln(qk) AS DECIMAL(38,12))) AS DOUBLE) / ln(8.0), 6) AS h_spectral
+        |  FROM q WHERE qk > 0 GROUP BY 1),
+        |pk1 AS (
+        |  SELECT el, k, qk, row_number() OVER (PARTITION BY el ORDER BY qk DESC, k) AS r
+        |  FROM q)
+        |SELECT h.el, h.n_days, h.h_spectral,
+        |  CAST(max(p1.k) AS BIGINT) AS peak_k, round(max(p1.qk), 6) AS peak_share
+        |FROM h JOIN pk1 p1 ON p1.el = h.el AND p1.r = 1
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val g = daily(s, d)
+      val pos = g.select(col("el"), col("v"),
+          row_number().over(Window.partitionBy(col("el")).orderBy(col("di"))).as("p"),
+          count(lit(1)).over(Window.partitionBy(col("el"))).as("n"))
+        .where(col("n") >= 16)
+      val mu = pos.groupBy(col("el").as("mel"))
+        .agg((dsum(col("v")) / count(lit(1))).as("m"))
+      val tr = pos.join(broadcast(mu), col("mel") === col("el"))
+        .crossJoin(broadcast((1 to 8).toDF("k")))
+        .groupBy("el", "k")
+        .agg(max(col("n")).cast("long").as("n"),
+          dsum((col("v") - col("m")) * expr("cos(2 * pi() * k * p / n)")).as("sc"),
+          dsum((col("v") - col("m")) * expr("sin(2 * pi() * k * p / n)")).as("ss"))
+      val pw = tr.select(col("el"), col("k"), col("n"),
+        (col("sc") * col("sc") + col("ss") * col("ss")).as("pk"))
+      val tp = pw.groupBy(col("el").as("tel")).agg(dsum(col("pk")).as("tot"))
+      val q = pw.join(broadcast(tp), col("tel") === col("el"))
+        .where(col("tot") > 0)
+        .select(col("el"), col("k"), col("n"), (col("pk") / col("tot")).as("qk"))
+      val h = q.where(col("qk") > 0).groupBy(col("el").as("hel"))
+        .agg(max(col("n")).cast("long").as("n_days"),
+          (round(dsum(-col("qk") * log(col("qk"))) / log(lit(8.0)), 6)).as("h_spectral"))
+      val p1 = q.withColumn("r",
+          row_number().over(Window.partitionBy(col("el")).orderBy(col("qk").desc, col("k"))))
+        .where(col("r") === 1)
+      h.join(p1, col("hel") === col("el"))
+        .groupBy(col("el"))
+        .agg(max(col("n_days")).as("n_days"), max(col("h_spectral")).as("h_spectral"),
+          max(col("k")).cast("long").as("peak_k"), r6(max(col("qk"))).as("peak_share"))
+        .orderBy("el")
     }
   )
 }

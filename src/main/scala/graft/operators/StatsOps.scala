@@ -173,9 +173,11 @@ object StatsOps {
       val doc = Tables.documents(s, d)
       val src = concat(col("source"), lit(".example.com"))
       val dst = concat(lit("src"), expr("doc_id DIV 7") % 20, lit(".example.com"))
-      val links = doc.where(src =!= dst)
-        .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
-        .distinct().cache()
+      val links = graft.PlanCache.cached(s, s"tri_links|$d") {
+        doc.where(src =!= dst)
+          .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+          .distinct()
+      }
       val e1 = links
       val e2 = links.select(col("a").as("b2a"), col("b").as("c"))
       val e3 = links.select(col("a").as("a3"), col("b").as("c3"))

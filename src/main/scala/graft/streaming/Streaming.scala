@@ -1122,6 +1122,54 @@ object Streaming {
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
         graft.operators.DriftOps.conformalFromGrid, Seq("el"))
+    },
+
+    /** q281's PSI/JSD drift monitor maintained incrementally (round
+      * 10): the production drift shape — bin boundaries are PINNED
+      * up front from the reference period (the training snapshot,
+      * computed once from the static table and broadcast into the
+      * stream), then ONE watermarked streaming aggregation maintains
+      * per-(type, bin, period) counts as events arrive and every
+      * micro-batch re-derives the PSI/JSD readout from those O(types·
+      * 10·2) count rows via the exact expression tree the batch query
+      * uses ([[graft.operators.DriftOps.psiFromCounts]]). Count state
+      * merges are exact, so on the finite stream the final refresh
+      * hash-matches the batch q281 oracle bit-for-bit — streaming ==
+      * batch, the suite's standing contract. Per-refresh cost is
+      * independent of raw event volume.
+      */
+    QueryDef(
+      "q310_stream_psi",
+      graft.operators.DriftOps.defs.find(_.name == "q281_psi_drift").get
+        .oracle.get) { (s, d) =>
+      import graft.operators.DriftOps
+      val qs = DriftOps.refDeciles(s, d)
+      val typed = eventStream(s, d)
+        .withWatermark("ts", "40 days")
+        .select(col("event_type").as("et"), col("value").as("v"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+      val binned = typed.join(broadcast(qs), col("et") === col("qet"))
+        .select(col("et"), col("is_ref"),
+          (lit(1) + (1 to 9).map(k =>
+            when(round(col("v"), 9) > round(col(s"q$k"), 9), 1).otherwise(0))
+            .reduce(_ + _)).as("bin"))
+      val agg = binned.groupBy("et", "bin", "is_ref").agg(count(lit(1)).as("n"))
+      val latest = new java.util.concurrent.atomic.AtomicReference[
+        (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+      val q = withStreamConf(s) {
+        agg.writeStream.outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val c = b.groupBy("et", "bin")
+              .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("nr"),
+                sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("nc"))
+            val r = DriftOps.psiFromCounts(c)
+            latest.set((r.schema, r.collect()))
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val (schema, rows) = latest.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("event_type")
     }
   )
 
