@@ -30,6 +30,7 @@ object SparkEntry {
       operators.RobustOps.defs ++
       operators.CausalOps.defs ++
       operators.CcmOps.defs ++
+      operators.CointOps.defs ++
       operators.DriftOps.defs ++
       operators.SeriesOps.defs ++
       operators.GraphOps.defs ++

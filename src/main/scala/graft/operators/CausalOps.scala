@@ -351,8 +351,28 @@ object CausalOps {
     * z-normalized series vectors — which composes in front of this
     * screen without changing its contract.
     */
-  private def pairCorr(s: SparkSession, d: String): DataFrame =
-    pairCorrOf(daily(s, d))
+  /** Grid-parameterized screen (round-8 session 3): identical tree to
+    * [[screen]] but over a caller-supplied (el, di, v) grid, so the
+    * streaming refreshes (q317) can re-screen each micro-batch's grid
+    * state and stay bit-identical to the batch path. */
+  private[operators] def screenOf(s: SparkSession, grid: DataFrame): DataFrame = {
+    val pc = pairCorrOf(grid)
+    val dirp = pc.select(col("src").as("el"), col("dst").as("partner"), col("r0"))
+      .unionByName(pc.select(col("dst").as("el"), col("src").as("partner"), col("r0")))
+    val top = graft.plans.TopKPerGroupOps.topKPerGroup(s, dirp,
+      Seq(col("el")), Seq(abs(col("r0")).desc, col("partner")), ScreenTopM)
+    val ta = top.select(col("el").as("ael"), col("partner").as("apartner"),
+      lit(1).as("ahit"))
+    val tb = top.select(col("el").as("bel"), col("partner").as("bpartner"),
+      lit(1).as("bhit"))
+    pc.join(ta, col("src") === col("ael") && col("dst") === col("apartner"), "left")
+      .join(tb, col("dst") === col("bel") && col("src") === col("bpartner"), "left")
+      .select(col("src"), col("dst"), col("n"), col("r0"),
+        when(abs(col("r0")) >= ScreenTau, lit(1)).otherwise(lit(0)).as("by_tau"),
+        when(col("ahit").isNotNull || col("bhit").isNotNull, lit(1)).otherwise(lit(0))
+          .as("by_topm"))
+      .where(col("by_tau") === 1 || col("by_topm") === 1)
+  }
 
   /** Per-element compact series map: el → (di → v), entries in di
     * order. The causal family's "one row per element" representation. */
@@ -401,24 +421,8 @@ object CausalOps {
     * (src, dst, n, r0, by_tau, by_topm). Top-m partner rank runs through
     * the in-house bounded-heap TopKPerGroup operator — ≤m rows shuffle
     * per element, never the P² pair table. */
-  private[operators] def screen(s: SparkSession, d: String): DataFrame = {
-    val pc = pairCorr(s, d)
-    val dirp = pc.select(col("src").as("el"), col("dst").as("partner"), col("r0"))
-      .unionByName(pc.select(col("dst").as("el"), col("src").as("partner"), col("r0")))
-    val top = graft.plans.TopKPerGroupOps.topKPerGroup(s, dirp,
-      Seq(col("el")), Seq(abs(col("r0")).desc, col("partner")), ScreenTopM)
-    val ta = top.select(col("el").as("ael"), col("partner").as("apartner"),
-      lit(1).as("ahit"))
-    val tb = top.select(col("el").as("bel"), col("partner").as("bpartner"),
-      lit(1).as("bhit"))
-    pc.join(ta, col("src") === col("ael") && col("dst") === col("apartner"), "left")
-      .join(tb, col("dst") === col("bel") && col("src") === col("bpartner"), "left")
-      .select(col("src"), col("dst"), col("n"), col("r0"),
-        when(abs(col("r0")) >= ScreenTau, lit(1)).otherwise(lit(0)).as("by_tau"),
-        when(col("ahit").isNotNull || col("bhit").isNotNull, lit(1)).otherwise(lit(0))
-          .as("by_topm"))
-      .where(col("by_tau") === 1 || col("by_topm") === 1)
-  }
+  private[operators] def screen(s: SparkSession, d: String): DataFrame =
+    screenOf(s, daily(s, d))
 
   /** Oracle CTE chain for the screen (composes after `daily`): the
     * day-join moment-sum form — the SMALL-P formulation — which is
@@ -756,7 +760,7 @@ object CausalOps {
       * the expensive MI (q252) and transfer-entropy (q253) histograms
       * consume, so at large P they only ever see surviving pairs. The
       * engine computes pair correlations over COMPACT per-element
-      * series maps — see [[pairCorr]]: P×P rows of O(T) local work, no
+      * series maps — see [[pairCorrOf]]: P×P rows of O(T) local work, no
       * day-keyed shuffle, no O(P²·T) materialization — while the oracle
       * states the same decimal moment sums in day-join form; exact
       * decimal arithmetic makes the two bit-identical, so even the

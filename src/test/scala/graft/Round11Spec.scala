@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Invariants and measured parity margins of the cointegration /
+  * pre-whitening family (q314-q316): the Engle-Granger kernel agrees
+  * with an independent scalar implementation to 1e-9 and separates a
+  * planted cointegrated pair from a spurious-regression pair; the AR(1)
+  * pre-whitening filter recovers a planted coefficient; permutation
+  * entropy hits its closed-form values on constructed series; and the
+  * libm-sensitive readouts sit measurably clear of their round-6
+  * boundaries so a last-ulp engine difference cannot flip a hash.
+  */
+class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("round11-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Independent scalar Engle-Granger: OLS y~x, then the DF t-stat of
+    * the residual — plain-double sums in the same position order as the
+    * engine kernel, written from the formulas, not the kernel. */
+  private def scalarDfT(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
+    val n = xs.size
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+    for (i <- 0 until n) {
+      sx += xs(i); sy += ys(i); sxy += xs(i) * ys(i); sxx += xs(i) * xs(i)
+    }
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val e = (0 until n).map(i => ys(i) - a - b * xs(i))
+    var s1 = 0.0; var s2 = 0.0; var sdd = 0.0
+    for (i <- 1 until n) {
+      val d = e(i) - e(i - 1)
+      s1 += e(i - 1) * d; s2 += e(i - 1) * e(i - 1); sdd += d * d
+    }
+    val gamma = s1 / s2
+    val ssr = math.max(sdd - s1 * s1 / s2, 0.0)
+    (b, gamma / math.sqrt((ssr / (n - 2)) / s2))
+  }
+
+  private def kernelDfT(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
+    val n = xs.size
+    val r = spark.sql(
+      s"SELECT array(${xs.mkString(",")}) AS xv, array(${ys.mkString(",")}) AS yv, $n AS n")
+      .withColumn("m1", expr(operators.CointOps.mom1Spark))
+      .withColumn("beta", expr(operators.CointOps.betaExpr))
+      .withColumn("alpha", expr(operators.CointOps.alphaExpr))
+      .withColumn("ev", expr(operators.CointOps.residSpark))
+      .withColumn("md", expr(operators.CointOps.dfSpark))
+      .select(col("beta"), expr(operators.CointOps.dfTExpr).as("t"))
+      .head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  // Deterministic white-ish pseudo-noise (the GLSL fract-sin hash; no
+  // RNG state): uniform on (-0.5, 0.5), negligible lag-1 correlation —
+  // sin(i*c) alone is a SLOW sinusoid (period ~15 here), not noise.
+  private def noise(i: Int): Double = {
+    val x = math.sin(i * 12.9898) * 43758.5453
+    (x - math.floor(x)) - 0.5
+  }
+
+  test("q314 kernel == independent scalar Engle-Granger to 1e-9, and separates planted from spurious") {
+    val n = 60
+    // shared random walk driver
+    val walk = Iterator.iterate((0.0, 1)) { case (v, i) => (v + 4.0 * noise(i), i + 1) }
+      .take(n).map(_._1).toSeq
+    // planted: y = 2x + stationary noise (noise sd << walk sd so the OLS
+    // slope error cannot re-inject the walk into the residual)
+    val xs = walk
+    val ysCoint = walk.zipWithIndex.map { case (v, i) => 2.0 * v + 0.8 * noise(i + 7) }
+    // spurious: an unrelated smooth wandering series -> residual inherits the walk
+    val ysSpur = Iterator.iterate((5.0, 1)) { case (v, i) => (v + 0.4 * math.cos(i / 3.0), i + 1) }
+      .take(n).map(_._1).toSeq
+
+    val (bK, tK) = kernelDfT(xs, ysCoint)
+    val (bS, tS) = scalarDfT(xs, ysCoint)
+    assert(math.abs(bK - bS) < 1e-9 && math.abs(tK - tS) < 1e-9, s"kernel ($bK,$tK) vs scalar ($bS,$tS)")
+    assert(math.abs(bK - 2.0) < 0.05, s"OLS should recover the planted slope 2.0, got $bK")
+    assert(tK < -4.0, s"planted cointegration must reject the unit root strongly, got $tK")
+
+    val (_, tSpur) = kernelDfT(xs, ysSpur)
+    val (_, tSpurScalar) = scalarDfT(xs, ysSpur)
+    assert(math.abs(tSpur - tSpurScalar) < 1e-9)
+    assert(tSpur > tK + 2.0, s"spurious pair ($tSpur) must sit well above planted ($tK)")
+  }
+
+  test("q314 invariants on sf0.001: flag consistency, finite stats, n bound") {
+    val rows = SparkEntry.queries("q314_cointegration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("df_t")
+      assert(!t.isNaN && !t.isInfinite)
+      assert(r.getAs[Int]("cointegrated") == (if (t < -2.86) 1 else 0), s"$r")
+      assert(r.getAs[Long]("n_common") >= 10)
+    }
+  }
+
+  test("q315 pre-whitening recovers a planted AR(1) coefficient and kernel phi matches scalar") {
+    val n = 80
+    // x_t = 0.8 x_{t-1} + pulse train (deterministic innovations)
+    val xs = Iterator.iterate((1.0, 1)) { case (v, i) => (0.8 * v + noise(i), i + 1) }
+      .take(n).map(_._1).toSeq
+    var sa = 0.0; var sb = 0.0; var sab = 0.0; var saa = 0.0
+    for (i <- 1 until n) {
+      sa += xs(i - 1); sb += xs(i); sab += xs(i - 1) * xs(i); saa += xs(i - 1) * xs(i - 1)
+    }
+    val phiScalar = ((n - 1) * sab - sa * sb) / ((n - 1) * saa - sa * sa)
+    val phiK = spark.sql(
+      s"SELECT array(${xs.mkString(",")}) AS xv, $n AS n")
+      .withColumn("ma", expr(operators.CointOps.arSpark))
+      .select(expr(operators.CointOps.phiExpr).as("phi")).head().getDouble(0)
+    assert(math.abs(phiK - phiScalar) < 1e-9)
+    assert(math.abs(phiK - 0.8) < 0.15, s"AR(1) fit should recover ~0.8, got $phiK")
+  }
+
+  test("q315 invariants on sf0.001: rho bounds, per-pair constant phi, attenuation flag consistency") {
+    val rows = SparkEntry.queries("q315_prewhiten_xcorr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rho_raw")) <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("rho_prew")) <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("attenuated") ==
+        (if (math.abs(r.getAs[Double]("rho_prew")) < math.abs(r.getAs[Double]("rho_raw"))) 1 else 0))
+    }
+    val phis = rows.groupBy(r => (r.getAs[String]("src"), r.getAs[String]("dst")))
+      .values.map(_.map(_.getAs[Double]("phi")).distinct.size)
+    assert(phis.forall(_ == 1), "phi must not depend on the lag")
+  }
+
+  test("q316 closed forms: monotone series has zero entropy; 2-alternation hits ln2/ln6") {
+    val s = spark
+    import s.implicits._
+    val mono = (1 to 20).map(i => ("m", i, i.toDouble)).toDF("el", "di", "v")
+    val rm = operators.CointOps.permEntropyFromGrid(mono).head()
+    assert(rm.getAs[Long]("n_triples") == 18 && rm.getAs[Long]("n_patterns") == 1)
+    assert(rm.getAs[Double]("perm_entropy") == 0.0)
+
+    // v alternates 0,1,0,1,... -> patterns alternate between exactly two
+    // codes with counts 9/9 -> H = ln 2, normalized = ln2/ln6
+    val alt = (1 to 20).map(i => ("a", i, (i % 2).toDouble)).toDF("el", "di", "v")
+    val ra = operators.CointOps.permEntropyFromGrid(alt).head()
+    assert(ra.getAs[Long]("n_patterns") == 2)
+    val expected = BigDecimal(math.log(2) / math.log(6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(ra.getAs[Double]("perm_entropy") - expected) < 1e-9)
+  }
+
+  test("q316 invariants on sf0.001: entropy in [0, 1.2], triples = series length - 2") {
+    val grid = operators.CausalOps.daily(spark, sf)
+    val lens = grid.groupBy("el").count().collect()
+      .map(r => r.getAs[String]("el") -> r.getAs[Long]("count")).toMap
+    val rows = SparkEntry.queries("q316_perm_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pe = r.getAs[Double]("perm_entropy")
+      assert(pe >= 0.0 && pe <= 1.2, s"$r")
+      assert(r.getAs[Long]("n_triples") == lens(r.getAs[String]("el")) - 2)
+    }
+  }
+
+  test("q314/q315 round-6 rounding boundaries have measurable margin at sf0.01 (oracle-parity safety)") {
+    // Rebuild the UNROUNDED readouts through the same kernels and measure
+    // each value's distance to the nearest 0.5e-6 rounding boundary —
+    // the q281/q306 margin idiom: a libm last-ulp skew (~1e-15 relative)
+    // cannot cross a boundary that is >= 1e-9 away.
+    def boundaryMargin(v: Double): Double = {
+      val scaled = math.abs(v) * 1e6
+      math.abs(scaled - math.floor(scaled) - 0.5)
+    }
+    val grid = operators.CausalOps.daily(spark, sf01)
+    val co = operators.CointOps.pairSeriesOf(spark, grid)
+      .withColumn("m1", expr(operators.CointOps.mom1Spark))
+      .withColumn("beta", expr(operators.CointOps.betaExpr))
+      .withColumn("alpha", expr(operators.CointOps.alphaExpr))
+      .withColumn("ev", expr(operators.CointOps.residSpark))
+      .withColumn("md", expr(operators.CointOps.dfSpark))
+      .select(expr(operators.CointOps.dfTExpr).as("t"))
+      .collect().map(_.getDouble(0))
+    assert(co.nonEmpty)
+    val mCo = co.map(boundaryMargin).min
+    assert(mCo > 1e-6, s"df_t rounding margin too thin: $mCo")
+    // flag boundary: distance of rounded df_t to the -2.86 cut
+    val fCo = co.map(t => math.abs(BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 2.86)).min
+    assert(fCo > 1e-4, s"cointegration flag margin too thin: $fCo")
+  }
+}
