@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TimeSeries.defs ++
       operators.LLMPipeline.defs ++
       operators.CorpusOps.defs ++
+      operators.QualityOps.defs ++
       operators.Tensor.defs ++
       operators.Multimodal.defs ++
       operators.Extensions.defs ++

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators from the modern LLM-data-curation playbook
+  * — the three standard signals a 100 TB curation pipeline computes
+  * beyond the suite's existing dedup/quality/decontamination shelf:
+  *
+  *  - q317: bigram-LM perplexity filtering (the CCNet recipe, Wenzek
+  *    et al., LREC 2020): train an add-one-smoothed bigram model ON
+  *    the corpus itself, score each document's conditional
+  *    cross-entropy, surface the worst outliers (boilerplate, word
+  *    salad, wrong-language contamination). The conditional upgrade of
+  *    q297's unigram surprisal.
+  *  - q318: DSIR importance weights (Xie et al., NeurIPS 2023):
+  *    hashed-unigram bucket distributions for a TARGET slice vs the
+  *    RAW corpus; per-document average log-ratio = how target-like the
+  *    doc is. The importance-resampling selection score — here with
+  *    target = the `en` slice.
+  *  - q319: duplicated-span coverage (the substring view of Lee et
+  *    al., "Deduplicating Training Data Makes Language Models Better",
+  *    ACL 2022, at 8-gram granularity): fraction of each document's
+  *    tokens covered by the union of 8-gram spans that also appear in
+  *    some other document — the metric that catches partial/templated
+  *    overlap that whole-doc and chunk dedup (q60/q180) both miss.
+  *
+  * Scale shape, 100 TB discipline: every stage is token- or
+  * shingle-grain map work plus ONE hash shuffle on the n-gram key; LM
+  * and bucket distributions aggregate to tiny tables (bigram vocab
+  * shuffles; the 512-bucket DSIR and 1-row vocab totals broadcast
+  * back); span keys shuffle as fixed-width md5 digests, never raw
+  * 8-gram strings; the interval-union sweep is a per-doc window over
+  * only the SHARED positions. Nothing is quadratic in docs or tokens.
+  *
+  * Tokenization is the shared [[graft.functions.Text.wordsCol]]
+  * contract (whitespace split, empties dropped) in both dialects.
+  */
+object QualityOps {
+
+  private val duckWords = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** CCNet-style bigram perplexity outliers: p(w2|w1) add-one
+      * smoothed over the corpus vocabulary, per-doc mean −ln p over
+      * bigram positions, 20 worst docs. Engine↔oracle: counts are
+      * exact, the probability ratio is the same double division, and
+      * the per-doc sum is DECIMAL(38,12) — order-free. */
+    QueryDef(
+      "q317_bigram_perplexity",
+      s"""WITH wz AS (
+        |  SELECT doc_id, $duckWords AS ws FROM documents),
+        |wd AS (SELECT doc_id, ws FROM wz WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest([{'w1': ws[i], 'w2': ws[i + 1]} FOR i IN range(1, len(ws))]) AS u
+        |        FROM wd) z),
+        |bc AS (SELECT w1 AS b1, w2 AS b2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT b1 AS h1, sum(c12) AS c1 FROM bc GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |       FROM (SELECT unnest(ws) AS w FROM wz) t),
+        |sc AS (
+        |  SELECT g.doc_id, count(*) AS n,
+        |    CAST(sum(CAST(-ln((bc.c12 + 1) / (cc.c1 + vv.v)) AS DECIMAL(38,12)))
+        |      AS DOUBLE) / count(*) AS xent2
+        |  FROM bg g JOIN bc ON bc.b1 = g.w1 AND bc.b2 = g.w2
+        |            JOIN cc ON cc.h1 = g.w1
+        |            CROSS JOIN vv
+        |  GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, round(xent2, 6) AS xent2
+        |FROM sc ORDER BY round(xent2, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val wz = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
+      val wd = wz.where(size(col("ws")) >= 2)
+      val bg = wd.select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              |  i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))""".stripMargin))
+            .as("u"))
+        .select(col("doc_id"), col("u.w1").as("w1"), col("u.w2").as("w2"))
+      val bc = bg.groupBy(col("w1").as("b1"), col("w2").as("b2"))
+        .agg(count(lit(1)).as("c12"))
+      val cc = bc.groupBy(col("b1").as("h1")).agg(sum(col("c12")).as("c1"))
+      val vv = wz.select(explode(col("ws")).as("w"))
+        .agg(countDistinct(col("w")).cast("double").as("v"))
+      bg.join(bc, col("b1") === col("w1") && col("b2") === col("w2"))
+        .join(cc, col("h1") === col("w1"))
+        .crossJoin(broadcast(vv))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (sum((-log((col("c12") + 1) / (col("c1") + col("v"))))
+            .cast("decimal(38,12)")).cast("double") / count(lit(1))).as("xent2"))
+        .select(col("doc_id"), col("n").as("n_bigrams"), round(col("xent2"), 6).as("xent2"))
+        .orderBy(round(col("xent2"), 6).desc, col("doc_id")).limit(20)
+    },
+
+    /** DSIR importance weights, target = the `en` slice: hashed-unigram
+      * (md5 mod 512) bucket distributions with add-one smoothing; per
+      * doc the mean log-ratio ln p_target(b) − ln p_raw(b) over its
+      * tokens. High = target-like regardless of its own label — the
+      * resampling score. Both distributions are O(512) rows broadcast
+      * back into one token-grain pass. */
+    QueryDef(
+      "q318_dsir_weights",
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, unnest($duckWords) AS w FROM documents),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS b
+        |  FROM tok),
+        |tc AS (SELECT b AS tb, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b AS rb, count(*) AS cr FROM bk GROUP BY 1),
+        |nt AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+        |              CAST(count(*) AS DOUBLE) AS n_r FROM bk),
+        |lam AS (
+        |  SELECT rc.rb AS lb,
+        |    ln((coalesce(tc.ct, 0) + 1) / (nt.n_t + 512)) - ln((rc.cr + 1) / (nt.n_r + 512)) AS lam
+        |  FROM rc LEFT JOIN tc ON tc.tb = rc.rb CROSS JOIN nt),
+        |sc AS (
+        |  SELECT k.doc_id, k.lang, count(*) AS n,
+        |    CAST(sum(CAST(l.lam AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS dsir
+        |  FROM bk k JOIN lam l ON l.lb = k.b
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens, round(dsir, 6) AS dsir_logratio
+        |FROM sc ORDER BY round(dsir, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val bk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 512).as("b"))
+      val tc = bk.where(col("lang") === "en")
+        .groupBy(col("b").as("tb")).agg(count(lit(1)).as("ct"))
+      val rc = bk.groupBy(col("b").as("rb")).agg(count(lit(1)).as("cr"))
+      val nt = bk.agg(
+        sum(when(col("lang") === "en", 1).otherwise(0)).cast("double").as("n_t"),
+        count(lit(1)).cast("double").as("n_r"))
+      val lam = rc
+        .join(tc, col("tb") === col("rb"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("rb").as("lb"),
+          (log((coalesce(col("ct"), lit(0)) + 1) / (col("n_t") + 512)) -
+            log((col("cr") + 1) / (col("n_r") + 512))).as("lam"))
+      bk.join(broadcast(lam), col("lb") === col("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("lam").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("dsir"))
+        .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+          round(col("dsir"), 6).as("dsir_logratio"))
+        .orderBy(round(col("dsir"), 6).desc, col("doc_id")).limit(20)
+    },
+
+    /** Duplicated 8-gram span coverage: per doc, the fraction of tokens
+      * inside the interval union of 8-gram spans shared with ≥1 other
+      * document. Span keys shuffle as md5 digests; the union sweep is
+      * the islands running-max over shared positions only; all
+      * arithmetic is integer-exact, so the oracle matches bit-for-bit
+      * with no rounding concern beyond the final exact division. */
+    QueryDef(
+      "q319_span_dedup",
+      s"""WITH wz AS (
+        |  SELECT doc_id, $duckWords AS ws FROM documents),
+        |dn AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM wz
+        |       WHERE len(ws) >= 8),
+        |sh AS (
+        |  SELECT doc_id, u.i AS i, u.sg AS sg
+        |  FROM (SELECT doc_id,
+        |          unnest([{'i': i, 'sg': md5(array_to_string(ws[i:i+7], ' '))}
+        |                  FOR i IN range(1, len(ws) - 6)]) AS u
+        |        FROM dn) z),
+        |shc AS (SELECT sg AS csg, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1),
+        |sp AS (SELECT s.doc_id, s.i FROM sh s JOIN shc ON shc.csg = s.sg AND shc.nd >= 2),
+        |cov AS (
+        |  SELECT doc_id, i,
+        |    max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp),
+        |inc AS (
+        |  SELECT doc_id,
+        |    greatest((i + 7) - greatest(coalesce(pm, i - 1), i - 1), 0) AS tok_add
+        |  FROM cov),
+        |cv AS (SELECT doc_id, CAST(sum(tok_add) AS BIGINT) AS covered FROM inc GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        |  coalesce(cv.covered, 0) AS covered,
+        |  round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / d.n_tokens, 6) AS dup_frac
+        |FROM dn d LEFT JOIN cv ON cv.doc_id = d.doc_id
+        |ORDER BY round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / d.n_tokens, 6) DESC, d.doc_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val dn = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
+        .where(size(col("ws")) >= 8)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"), col("ws"))
+      val sh = dn.select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, size(ws) - 7),
+              |  i -> named_struct('i', i, 'sg', md5(concat_ws(' ', slice(ws, i, 8)))))""".stripMargin))
+            .as("u"))
+        .select(col("doc_id"), col("u.i").as("i"), col("u.sg").as("sg"))
+      val shc = sh.groupBy(col("sg").as("csg")).agg(countDistinct(col("doc_id")).as("nd"))
+      val sp = sh.join(shc, col("csg") === col("sg") && col("nd") >= 2)
+        .select(col("doc_id"), col("i"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("i")).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cv = sp
+        .withColumn("pm", max(col("i") + 7).over(w))
+        .select(col("doc_id"),
+          greatest((col("i") + 7) - greatest(coalesce(col("pm"), col("i") - 1), col("i") - 1),
+            lit(0)).as("tok_add"))
+        .groupBy(col("doc_id")).agg(sum(col("tok_add")).cast("long").as("covered"))
+      dn.join(cv.withColumnRenamed("doc_id", "cdoc"), col("cdoc") === col("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          round(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"), 6)
+            .as("dup_frac"))
+        .orderBy(col("dup_frac").desc, col("doc_id")).limit(20)
+    }
+  )
+}
