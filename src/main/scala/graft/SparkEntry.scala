@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Extensions.defs ++
       operators.RetainOps.defs ++
       operators.FeatureOps.defs ++
+      operators.SupervisedOps.defs ++
+      operators.PrivacyOps.defs ++
       operators.AnalyticsOps.defs ++
       operators.StatsOps.defs ++
       operators.CurriculumOps.defs ++

@@ -359,7 +359,12 @@ object CausalOps {
     val pc = pairCorrOf(grid)
     val dirp = pc.select(col("src").as("el"), col("dst").as("partner"), col("r0"))
       .unionByName(pc.select(col("dst").as("el"), col("src").as("partner"), col("r0")))
-    val top = graft.plans.TopKPerGroupOps.topKPerGroup(s, dirp,
+    // Register the TopK strategy on the GRID's session, not the caller's:
+    // inside foreachBatch the grid belongs to the stream's cloned session,
+    // which does not see strategies lazily added to the outer session
+    // after the clone was taken (q324's streaming refresh hit exactly
+    // this as a planner "No plan for TopKPerGroup" internal error).
+    val top = graft.plans.TopKPerGroupOps.topKPerGroup(grid.sparkSession, dirp,
       Seq(col("el")), Seq(abs(col("r0")).desc, col("partner")), ScreenTopM)
     val ta = top.select(col("el").as("ael"), col("partner").as("apartner"),
       lit(1).as("ahit"))

@@ -1105,6 +1105,25 @@ object Streaming {
         graft.operators.CausalOps.backtestFromGrid, Seq("el"))
     },
 
+    /** q314's Engle-Granger cointegration test as a per-micro-batch
+      * refreshed view (round 11): the live dashboard's spurious-
+      * causality guard — as events arrive, the screen, the OLS fit and
+      * the residual Dickey-Fuller t re-derive from the incrementally
+      * maintained grid, so a pair whose "causal" link is drifting
+      * apart (df_t rising toward 0) is flagged before the correlation
+      * panels mislead. Same [[causalRefresh]] harness: per-refresh
+      * cost O(P·T + survivors·T) independent of raw event volume;
+      * final refresh == batch q314 oracle bit-for-bit (shared
+      * cointFromGrid tree over exact decimal grid state).
+      */
+    QueryDef(
+      "q324_stream_coint",
+      graft.operators.CointOps.defs.find(_.name == "q314_cointegration").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        g => graft.operators.CointOps.cointFromGrid(s, g), Seq("src", "dst"))
+    },
+
     /** q286's split-conformal forecast intervals as a per-micro-batch
       * refreshed view (round 9): the live dashboard's honest-
       * uncertainty panel — as events arrive, the calibration order
