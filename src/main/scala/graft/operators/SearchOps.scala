@@ -825,6 +825,185 @@ object SearchOps {
         .select(col("n_vecs").cast("long").as("n_vecs"),
           round(col("avg_mse"), 9).as("avg_mse"),
           round(col("h") / 10.0, 2).as("recall10"))
+    },
+
+    /** Maximum-inner-product search + the simple-ALSH reduction
+      * (Neyshabur & Srebro, ICML 2015; Shrivastava & Li, NeurIPS 2014):
+      * MIPS is the retrieval problem for unnormalized embeddings
+      * (recommender scoring, final-layer logits) — cosine ANN does NOT
+      * solve it because dot favors long vectors. The reduction: augment
+      * each corpus vector to (x, √(M²−‖x‖²)) with M = max corpus norm
+      * and the query to (q, 0); cosine in the augmented space ranks
+      * exactly like the inner product, so the ENTIRE existing cosine-LSH
+      * shelf (q66/q90/q214) becomes a MIPS index for free. This query
+      * demonstrates the reduction in-engine: per query, top-5 by dot vs
+      * top-5 by augmented cosine (agree5 = overlap, 5 when no round-6
+      * tie collapses), plus the norm-bias readout (top-5 mean norm /
+      * corpus mean norm > 1 is MIPS's long-vector preference made
+      * visible). Scale: 8 broadcast query rows, ONE corpus pass, both
+      * top-5 cuts are rank-on-rounded windows the WindowTopKRewrite
+      * lowers to bounded heaps.
+      */
+    QueryDef(
+      "q326_mips_alsh",
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |nm AS (
+        |  SELECT max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS mx,
+        |    CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS avgn
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_dot_product(e.embedding::DOUBLE[], q.qv) AS dp,
+        |    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS xnorm,
+        |    list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |      / (nm.mx * sqrt(list_dot_product(q.qv, q.qv))) AS aug
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN nm
+        |  WHERE e.vec_id <> q.q_id),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY round(dp, 6) DESC, vec_id) AS rd,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY round(aug, 6) DESC, vec_id) AS ra
+        |  FROM sc),
+        |inter AS (
+        |  SELECT a.q_id, CAST(count(*) AS BIGINT) AS agree5
+        |  FROM (SELECT q_id, vec_id FROM rk WHERE rd <= 5) a
+        |  JOIN (SELECT q_id, vec_id FROM rk WHERE ra <= 5) b
+        |    ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+        |  GROUP BY 1),
+        |bias AS (
+        |  SELECT q_id, CAST(sum(CAST(xnorm AS DECIMAL(38,12))) AS DOUBLE) / 5 AS t5n
+        |  FROM rk WHERE rd <= 5 GROUP BY 1),
+        |t1 AS (SELECT q_id, vec_id, dp, xnorm FROM rk WHERE rd = 1)
+        |SELECT t1.q_id, t1.vec_id AS top1_id,
+        |  round(t1.dp, 6) AS top1_dot, round(t1.xnorm, 6) AS top1_norm,
+        |  coalesce(i.agree5, 0) AS agree5,
+        |  round(b.t5n / nm.avgn, 6) AS norm_bias
+        |FROM t1 LEFT JOIN inter i ON i.q_id = t1.q_id
+        |JOIN bias b ON b.q_id = t1.q_id CROSS JOIN nm
+        |ORDER BY t1.q_id""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+      val q = broadcast(e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("ev").as("qv")))
+      val nm = broadcast(e.agg(
+        max(sqrt(Kernels.arrayDot(col("ev"), col("ev")))).as("mx"),
+        (sum(sqrt(Kernels.arrayDot(col("ev"), col("ev"))).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("avgn")))
+      val sc = e.crossJoin(q).crossJoin(nm)
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Kernels.arrayDot(col("ev"), col("qv")).as("dp"),
+          sqrt(Kernels.arrayDot(col("ev"), col("ev"))).as("xnorm"),
+          (Kernels.arrayDot(col("ev"), col("qv")) /
+            (col("mx") * sqrt(Kernels.arrayDot(col("qv"), col("qv"))))).as("aug"))
+      val wq = Window.partitionBy(col("q_id"))
+      val rk = sc
+        .withColumn("rd", row_number().over(wq.orderBy(round(col("dp"), 6).desc, col("vec_id"))))
+        .withColumn("ra", row_number().over(wq.orderBy(round(col("aug"), 6).desc, col("vec_id"))))
+      val inter = rk.where(col("rd") <= 5).select(col("q_id"), col("vec_id"))
+        .join(rk.where(col("ra") <= 5).select(col("q_id").as("bq"), col("vec_id").as("bv")),
+          col("bq") === col("q_id") && col("bv") === col("vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("agree5"))
+        .withColumnRenamed("q_id", "iq")
+      val bias = rk.where(col("rd") <= 5)
+        .groupBy(col("q_id"))
+        .agg((sum(col("xnorm").cast("decimal(38,12)")).cast("double") / 5).as("t5n"))
+        .withColumnRenamed("q_id", "bq2")
+      rk.where(col("rd") === 1)
+        .join(inter, col("iq") === col("q_id"), "left")
+        .join(bias, col("bq2") === col("q_id")).crossJoin(nm)
+        .select(col("q_id"), col("vec_id").as("top1_id"),
+          round(col("dp"), 6).as("top1_dot"), round(col("xnorm"), 6).as("top1_norm"),
+          coalesce(col("agree5"), lit(0L)).as("agree5"),
+          round(col("t5n") / col("avgn"), 6).as("norm_bias"))
+        .orderBy("q_id")
+    },
+
+    /** Matryoshka / adaptive retrieval evaluation (Kusupati et al.,
+      * NeurIPS 2022): how much recall does a 16-of-64-dim PREFIX
+      * embedding keep, and how much does the production funnel —
+      * prefix shortlist of 30, full-precision rerank to 10 — buy back?
+      * The first-stage-cost/quality trade every large-scale vector
+      * system tunes. Same one-pass shape as q226: 8 broadcast queries,
+      * per-(query, vec) full + prefix cosines computed map-side, every
+      * cut a rank-on-rounded window lowered to bounded heaps.
+      */
+    QueryDef(
+      "q327_matryoshka",
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+        |    embedding[1:16]::DOUBLE[] AS qp
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cf,
+        |    list_cosine_similarity(e.embedding[1:16]::DOUBLE[], q.qp) AS cp
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY round(cf, 6) DESC, vec_id) AS rf,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY round(cp, 6) DESC, vec_id) AS rp
+        |  FROM sc),
+        |fun AS (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY round(cf, 6) DESC, vec_id) AS rr
+        |  FROM rk WHERE rp <= 30),
+        |hp AS (
+        |  SELECT a.q_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM (SELECT q_id, vec_id FROM rk WHERE rp <= 10) a
+        |  JOIN (SELECT q_id, vec_id FROM rk WHERE rf <= 10) x
+        |    ON a.q_id = x.q_id AND a.vec_id = x.vec_id GROUP BY 1),
+        |hf AS (
+        |  SELECT f.q_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM (SELECT q_id, vec_id FROM fun WHERE rr <= 10) f
+        |  JOIN (SELECT q_id, vec_id FROM rk WHERE rf <= 10) x
+        |    ON f.q_id = x.q_id AND f.vec_id = x.vec_id GROUP BY 1)
+        |SELECT q.q_id,
+        |  coalesce(hp.hits, 0) AS hits_prefix,
+        |  round(coalesce(hp.hits, 0) / 10.0, 6) AS recall_prefix,
+        |  coalesce(hf.hits, 0) AS hits_funnel,
+        |  round(coalesce(hf.hits, 0) / 10.0, 6) AS recall_funnel
+        |FROM q LEFT JOIN hp ON hp.q_id = q.q_id LEFT JOIN hf ON hf.q_id = q.q_id
+        |ORDER BY q.q_id""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+      val q = broadcast(e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("ev").as("qv"),
+          slice(col("ev"), 1, 16).as("qp")))
+      val sc = e.crossJoin(q)
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Kernels.cosine(col("ev"), col("qv")).as("cf"),
+          Kernels.cosine(slice(col("ev"), 1, 16), col("qp")).as("cp"))
+      val wq = Window.partitionBy(col("q_id"))
+      val rk = sc
+        .withColumn("rf", row_number().over(wq.orderBy(round(col("cf"), 6).desc, col("vec_id"))))
+        .withColumn("rp", row_number().over(wq.orderBy(round(col("cp"), 6).desc, col("vec_id"))))
+      val fun = rk.where(col("rp") <= 30)
+        .withColumn("rr", row_number().over(wq.orderBy(round(col("cf"), 6).desc, col("vec_id"))))
+      val ex = rk.where(col("rf") <= 10).select(col("q_id").as("xq"), col("vec_id").as("xv"))
+      val hp = rk.where(col("rp") <= 10).select(col("q_id"), col("vec_id"))
+        .join(ex, col("xq") === col("q_id") && col("xv") === col("vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("hitsp"))
+        .withColumnRenamed("q_id", "pq")
+      val hf = fun.where(col("rr") <= 10).select(col("q_id"), col("vec_id"))
+        .join(ex, col("xq") === col("q_id") && col("xv") === col("vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("hitsf"))
+        .withColumnRenamed("q_id", "fq")
+      q.select(col("q_id"))
+        .join(hp, col("pq") === col("q_id"), "left")
+        .join(hf, col("fq") === col("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hitsp"), lit(0L)).as("hits_prefix"),
+          round(coalesce(col("hitsp"), lit(0L)) / 10.0, 6).as("recall_prefix"),
+          coalesce(col("hitsf"), lit(0L)).as("hits_funnel"),
+          round(coalesce(col("hitsf"), lit(0L)) / 10.0, 6).as("recall_funnel"))
+        .orderBy("q_id")
     }
   )
 

@@ -58,6 +58,56 @@ object VarOps {
     "round(1 - syy / nullif(tss, 0), 6) AS var2_r2",
     "round(((sse_r - syy) / 2) / nullif(syy / (n - 5), 0), 6) AS fstat")
 
+  // ---- q325: VAR(1) coefficient matrix + impulse responses ----------
+  // Per screened pair, both VAR(1) equations (x_t and y_t on the lagged
+  // pair state) solved in closed form via 2×2 Cramer on the CENTERED
+  // lag Gram; the companion matrix A then unrolls to A² and A³ so the
+  // x→y dynamic multiplier at horizons 1-3 and the stability radius
+  // are plain column arithmetic. The COEFFICIENT/dynamics complement
+  // of q300's SSE-only F-test sweep. Stage strings shared verbatim
+  // between selectExpr and the oracle CTEs (the house discipline).
+
+  private val irfCm: Seq[String] = Seq(
+    "src", "dst", "n",
+    "sxlxl - sxl * sxl / n AS gxx",
+    "sxlyl - sxl * syl / n AS gxy",
+    "sylyl - syl * syl / n AS gyy",
+    "sxlxt - sxl * sxt / n AS rxx",
+    "sylxt - syl * sxt / n AS ryx",
+    "sxlyt - sxl * syt / n AS rxy",
+    "sylyt - syl * syt / n AS ryy")
+
+  private val irfSolve: Seq[String] = Seq(
+    "src", "dst", "n",
+    "(rxx * gyy - gxy * ryx) / nullif(gxx * gyy - gxy * gxy, 0) AS a11",
+    "(gxx * ryx - gxy * rxx) / nullif(gxx * gyy - gxy * gxy, 0) AS a12",
+    "(rxy * gyy - gxy * ryy) / nullif(gxx * gyy - gxy * gxy, 0) AS a21",
+    "(gxx * ryy - gxy * rxy) / nullif(gxx * gyy - gxy * gxy, 0) AS a22")
+
+  private val irfPow: Seq[String] = Seq(
+    "src", "dst", "n", "a11", "a12", "a21", "a22",
+    "a21 * a11 + a22 * a21 AS b21",
+    "a21 * a12 + a22 * a22 AS b22",
+    "a11 * a11 + a12 * a21 AS b11",
+    "a11 * a12 + a12 * a22 AS b12")
+
+  private val irfOut: Seq[String] = Seq(
+    "src", "dst", "CAST(n AS BIGINT) AS n_days",
+    "round(a11, 6) AS a_xx", "round(a12, 6) AS a_xy",
+    "round(a21, 6) AS a_yx", "round(a22, 6) AS a_yy",
+    "round(a21, 6) AS irf1_yx",
+    "round(b21, 6) AS irf2_yx",
+    "round(b21 * a11 + b22 * a21, 6) AS irf3_yx",
+    // spectral radius of A: real case max|eig|, complex case sqrt(det)
+    "round(CASE WHEN (a11 + a22) * (a11 + a22) / 4.0 - (a11 * a22 - a12 * a21) >= 0" +
+      " THEN greatest(abs((a11 + a22) / 2.0 + sqrt((a11 + a22) * (a11 + a22) / 4.0 - (a11 * a22 - a12 * a21)))," +
+      "               abs((a11 + a22) / 2.0 - sqrt((a11 + a22) * (a11 + a22) / 4.0 - (a11 * a22 - a12 * a21))))" +
+      " ELSE sqrt(a11 * a22 - a12 * a21) END, 6) AS spec_radius",
+    "CAST(round(CASE WHEN (a11 + a22) * (a11 + a22) / 4.0 - (a11 * a22 - a12 * a21) >= 0" +
+      " THEN greatest(abs((a11 + a22) / 2.0 + sqrt((a11 + a22) * (a11 + a22) / 4.0 - (a11 * a22 - a12 * a21)))," +
+      "               abs((a11 + a22) / 2.0 - sqrt((a11 + a22) * (a11 + a22) / 4.0 - (a11 * a22 - a12 * a21))))" +
+      " ELSE sqrt(a11 * a22 - a12 * a21) END, 6) < 1.0 AS INT) AS stable")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q300_var2_granger", {
@@ -127,6 +177,74 @@ object VarOps {
         .where(col("n") >= 8)
       val swept = stages.foldLeft(mom)((df, cols) => df.selectExpr(cols: _*))
       swept.selectExpr(finalCols: _*).orderBy("src", "dst")
+    },
+
+    /** VAR(1) companion matrix + impulse responses per screened pair:
+      * A from both closed-form OLS equations, the x→y dynamic
+      * multiplier [Aʰ]₂₁ at horizons 1-3, and the stability radius.
+      * One day-join moment aggregate per pair; everything downstream is
+      * shared-string column arithmetic (zero extra passes). */
+    QueryDef(
+      "q325_var_irf",
+      s"""WITH $dailySql,
+         |$screenSql,
+         |gr AS (
+         |  SELECT v.src, v.dst, x.v AS xt, y.v AS yt, xl.v AS xlag, yl.v AS ylag
+         |  FROM surv v
+         |  JOIN daily x ON x.el = v.src
+         |  JOIN daily y ON y.el = v.dst AND y.di = x.di
+         |  JOIN daily xl ON xl.el = v.src AND xl.di = x.di - 1
+         |  JOIN daily yl ON yl.el = v.dst AND yl.di = x.di - 1),
+         |mom AS (
+         |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(xlag AS DECIMAL(38,12))) AS DOUBLE) AS sxl,
+         |    CAST(sum(CAST(ylag AS DECIMAL(38,12))) AS DOUBLE) AS syl,
+         |    CAST(sum(CAST(xt AS DECIMAL(38,12))) AS DOUBLE) AS sxt,
+         |    CAST(sum(CAST(yt AS DECIMAL(38,12))) AS DOUBLE) AS syt,
+         |    CAST(sum(CAST(xlag * xlag AS DECIMAL(38,12))) AS DOUBLE) AS sxlxl,
+         |    CAST(sum(CAST(xlag * ylag AS DECIMAL(38,12))) AS DOUBLE) AS sxlyl,
+         |    CAST(sum(CAST(ylag * ylag AS DECIMAL(38,12))) AS DOUBLE) AS sylyl,
+         |    CAST(sum(CAST(xlag * xt AS DECIMAL(38,12))) AS DOUBLE) AS sxlxt,
+         |    CAST(sum(CAST(ylag * xt AS DECIMAL(38,12))) AS DOUBLE) AS sylxt,
+         |    CAST(sum(CAST(xlag * yt AS DECIMAL(38,12))) AS DOUBLE) AS sxlyt,
+         |    CAST(sum(CAST(ylag * yt AS DECIMAL(38,12))) AS DOUBLE) AS sylyt
+         |  FROM gr GROUP BY 1, 2 HAVING count(*) >= 8),
+         |cm AS (SELECT ${irfCm.mkString(", ")} FROM mom),
+         |sv AS (SELECT ${irfSolve.mkString(", ")} FROM cm),
+         |pw AS (SELECT ${irfPow.mkString(", ")} FROM sv)
+         |SELECT ${irfOut.mkString(", ")} FROM pw ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val g = daily(s, d)
+      val surv = CausalOps.screen(s, d).select(col("src"), col("dst"))
+      def gsel(alias: String, out: String) =
+        g.select(col("el").as(s"${alias}_el"), col("di").as(s"${alias}_di"),
+          col("v").as(out))
+      val gr = surv
+        .join(g.select(col("el").as("xel"), col("di"), col("v").as("xt")),
+          col("xel") === col("src"))
+        .join(gsel("y", "yt"),
+          col("y_el") === col("dst") && col("y_di") === col("di"))
+        .join(gsel("xl", "xlag"),
+          col("xl_el") === col("src") && col("xl_di") === col("di") - 1)
+        .join(gsel("yl", "ylag"),
+          col("yl_el") === col("dst") && col("yl_di") === col("di") - 1)
+        .select(col("src"), col("dst"), col("xt"), col("yt"), col("xlag"), col("ylag"))
+      val mom = gr.groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("xlag")).as("sxl"), dsum(col("ylag")).as("syl"),
+          dsum(col("xt")).as("sxt"), dsum(col("yt")).as("syt"),
+          dsum(col("xlag") * col("xlag")).as("sxlxl"),
+          dsum(col("xlag") * col("ylag")).as("sxlyl"),
+          dsum(col("ylag") * col("ylag")).as("sylyl"),
+          dsum(col("xlag") * col("xt")).as("sxlxt"),
+          dsum(col("ylag") * col("xt")).as("sylxt"),
+          dsum(col("xlag") * col("yt")).as("sxlyt"),
+          dsum(col("ylag") * col("yt")).as("sylyt"))
+        .where(col("n") >= 8)
+      mom.selectExpr(irfCm: _*)
+        .selectExpr(irfSolve: _*)
+        .selectExpr(irfPow: _*)
+        .selectExpr(irfOut: _*)
+        .orderBy("src", "dst")
     }
   )
 }

@@ -172,6 +172,50 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q325 recovers a planted VAR(1): a_yx ~ 0.4, a_xx ~ 0.5, stable, and the IRF unroll is self-consistent") {
+    val s = spark
+    import s.implicits._
+    val n = 60
+    var xv = 0.5; var yv = 0.3
+    val rows = (1 to n).flatMap { i =>
+      val nx = 0.5 * xv + noise(i)
+      val ny = 0.4 * xv + 0.3 * yv + noise(i + 1000)
+      xv = nx; yv = ny
+      Seq(("x", i, nx), ("y", i, ny))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_var").toString
+    rows.toDF("event_type", "dayi", "value")
+      .selectExpr("cast(dayi as long) * 2 + cast(event_type = 'y' as long) as event_id",
+        "timestamp(date_add(date'2024-01-01', dayi)) as ts",
+        "cast(1 as long) as user_id", "event_type", "value", "'{}' as props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q325_var_irf")(spark, tmp).collect()
+      .find(x => x.getAs[String]("src") == "x" && x.getAs[String]("dst") == "y").get
+    assert(math.abs(r.getAs[Double]("a_yx") - 0.4) < 0.15, s"$r")
+    assert(math.abs(r.getAs[Double]("a_xx") - 0.5) < 0.2, s"$r")
+    assert(r.getAs[Int]("stable") == 1, s"$r")
+    // IRF unroll consistency from the emitted (rounded) matrix entries
+    val irf2 = r.getAs[Double]("a_yx") * r.getAs[Double]("a_xx") +
+      r.getAs[Double]("a_yy") * r.getAs[Double]("a_yx")
+    assert(math.abs(r.getAs[Double]("irf2_yx") - irf2) < 1e-4, s"$r")
+  }
+
+  test("q326/q327 invariants on sf0.001: ALSH ranking agrees with MIPS; the rerank funnel dominates the prefix cut") {
+    val m = SparkEntry.queries("q326_mips_alsh")(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getAs[Long]("agree5") == 5L, s"ALSH order must match MIPS order: $r")
+      assert(r.getAs[Double]("norm_bias") > 0.0)
+    }
+    val mk = SparkEntry.queries("q327_matryoshka")(spark, sf).collect()
+    assert(mk.nonEmpty)
+    mk.foreach { r =>
+      val rp = r.getAs[Double]("recall_prefix"); val rf = r.getAs[Double]("recall_funnel")
+      assert(rp >= 0.0 && rp <= 1.0 && rf >= 0.0 && rf <= 1.0)
+      assert(rf >= rp, s"funnel top-10 must contain at least the prefix-top-10 exact hits: $r")
+    }
+  }
+
   test("q314/q315 round-6 rounding boundaries have measurable margin at sf0.01 (oracle-parity safety)") {
     // Rebuild the UNROUNDED readouts through the same kernels and measure
     // each value's distance to the nearest 0.5e-6 rounding boundary —
