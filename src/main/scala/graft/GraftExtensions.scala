@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SortedIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_sim"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerSim].getName,
+        "jaro_winkler_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "jaro_winkler_sim(a, b) takes exactly 2 arguments")
+        graft.functions.JaroWinklerSim(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sigmoid_ce"),
       new ExpressionInfo(classOf[SigmoidCE].getName, "sigmoid_ce"),
       (children: Seq[Expression]) => {

@@ -100,6 +100,47 @@ object GraphOps {
         .orderBy(r6(col("score")).desc, col("u"), col("v")).limit(20)
     },
 
+    /** Item-item collaborative-filtering similarity (the Amazon
+      * recommender primitive, Linden et al., IEEE IC 2003): cosine
+      * similarity co(u,v)/√(n_u·n_v) over the order×part incidence —
+      * the NORMALIZED companion of q218's raw support counts (support
+      * favors popular items; cosine surfaces genuinely associated
+      * ones). Same 100 TB shape as q285: baskets aggregate once,
+      * pairs expand MAP-SIDE per basket (never a fact self-join),
+      * item frequencies join on the part key. Integer counts →
+      * identical doubles on both engines; top-20 cut on the rounded
+      * score with (u, v) tie-break. */
+    QueryDef(
+      "q331_item_cf",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ni AS (SELECT p AS w, count(*) AS n FROM op GROUP BY 1),
+        |co AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS nco
+        |  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, v, CAST(nco AS BIGINT) AS n_co,
+        |  round(nco / sqrt(na.n * nb.n), 6) AS cosine_sim
+        |FROM co JOIN ni na ON na.w = u JOIN ni nb ON nb.w = v
+        |ORDER BY round(nco / sqrt(na.n * nb.n), 6) DESC, u, v
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ni = op.groupBy(col("p").as("w")).agg(count(lit(1)).as("n"))
+      val co = op.groupBy("o")
+        .agg(array_sort(collect_set(col("p"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("pr"))
+        .select(col("pr.u").as("u"), col("pr.v").as("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
+      co.join(ni.select(col("w").as("wa"), col("n").as("na")), col("wa") === col("u"))
+        .join(ni.select(col("w").as("wb"), col("n").as("nb")), col("wb") === col("v"))
+        .select(col("u"), col("v"), col("nco").cast("long").as("n_co"),
+          round(col("nco") / sqrt(col("na") * col("nb")), 6).as("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col("u"), col("v")).limit(20)
+    },
+
     /** Markov-chain (removal-effect) attribution: per-session journeys
       * (q54's 1800 s sessionization, consecutive duplicate states
       * collapsed, cut at the first purchase) define an absorbing chain

@@ -214,6 +214,107 @@ object QualityOps {
           round(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"), 6)
             .as("dup_frac"))
         .orderBy(col("dup_frac").desc, col("doc_id")).limit(20)
+    },
+
+    /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004), the
+      * GRAPH sibling of q296's RAKE scores: weighted PageRank over the
+      * corpus-wide adjacent-word co-occurrence graph, two unrolled
+      * iterations from uniform scores (the q311 HITS discipline —
+      * fixed iteration count, decimal-summed neighbor contributions,
+      * zero driver loops), top-15 words. Each iteration is ONE
+      * edge-grain join+aggregate on the word key; the edge table is
+      * corpus-vocabulary-grain, never token-grain, after its single
+      * build shuffle. */
+    QueryDef(
+      "q330_textrank",
+      s"""WITH wz AS (
+        |  SELECT doc_id, $duckWords AS ws FROM documents),
+        |wd AS (SELECT doc_id, ws FROM wz WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]} FOR i IN range(1, len(ws))]) AS u
+        |        FROM wd) z
+        |  WHERE u.w1 <> u.w2),
+        |ed AS (
+        |  SELECT w1, w2, count(*) AS c FROM (
+        |    SELECT w1, w2 FROM bg UNION ALL SELECT w2, w1 FROM bg) t
+        |  GROUP BY 1, 2),
+        |dg AS (SELECT w1 AS dw, CAST(sum(c) AS DOUBLE) AS wdeg FROM ed GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.w2 AS w,
+        |    0.15 + 0.85 * CAST(sum(CAST(e.c / d.wdeg AS DECIMAL(38,12))) AS DOUBLE) AS s
+        |  FROM ed e JOIN dg d ON d.dw = e.w1 GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.w2 AS w,
+        |    0.15 + 0.85 * CAST(sum(CAST(e.c / d.wdeg * p.s AS DECIMAL(38,12))) AS DOUBLE) AS s
+        |  FROM ed e JOIN dg d ON d.dw = e.w1 JOIN s1 p ON p.w = e.w1
+        |  GROUP BY 1)
+        |SELECT s2.w AS word, CAST(d.wdeg AS BIGINT) AS wdeg, round(s2.s, 6) AS textrank
+        |FROM s2 JOIN dg d ON d.dw = s2.w
+        |ORDER BY round(s2.s, 6) DESC, s2.w LIMIT 15""".stripMargin) { (s, d) =>
+      val wd = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+      val bg = wd.select(
+          explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              |  i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))""".stripMargin))
+            .as("u"))
+        .select(col("u.w1").as("w1"), col("u.w2").as("w2"))
+        .where(col("w1") =!= col("w2"))
+      val ed = bg.unionByName(bg.select(col("w2").as("w1"), col("w1").as("w2")))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val dg = ed.groupBy(col("w1").as("dw"))
+        .agg(sum(col("c")).cast("double").as("wdeg"))
+      val ej = ed.join(dg, col("dw") === col("w1"))
+      val s1 = ej.groupBy(col("w2").as("w"))
+        .agg((lit(0.15) + lit(0.85) *
+          sum((col("c") / col("wdeg")).cast("decimal(38,12)")).cast("double")).as("s"))
+      val s2 = ej.join(s1.withColumnRenamed("w", "pw"), col("pw") === col("w1"))
+        .groupBy(col("w2").as("w"))
+        .agg((lit(0.15) + lit(0.85) *
+          sum((col("c") / col("wdeg") * col("s")).cast("decimal(38,12)")).cast("double")).as("s2v"))
+      s2.join(dg, col("dw") === col("w"))
+        .select(col("w").as("word"), col("wdeg").cast("long").as("wdeg"),
+          round(col("s2v"), 6).as("textrank"))
+        .orderBy(round(col("s2v"), 6).desc, col("word")).limit(15)
+    },
+
+    /** Blocked fuzzy entity matching on the NATIVE Jaro-Winkler codegen
+      * expression ([[graft.functions.JaroWinklerSim]] — Spark has
+      * levenshtein built in but not the record-linkage community's
+      * standard comparator): distinct part names, blocked on their
+      * 4-char prefix (the classic blocking key), candidate pairs only
+      * WITHIN blocks, similarity ≥ 0.84 after the round-6 readout.
+      * Scale: blocking turns O(N²) into Σ\|block\|² — the same
+      * candidates-only discipline as the LSH dedup family, with the
+      * comparator fused into whole-stage codegen (zero per-row
+      * allocation, no UDF boundary). Oracle parity: DuckDB's
+      * jaro_winkler_similarity runs textbook semantics (probed:
+      * 0.7 boost threshold, prefix cap 4, p=0.1), matched exactly by
+      * the native expression; Round11Spec pins textbook values and
+      * measures the threshold margin. */
+    QueryDef(
+      "q332_fuzzy_blocking",
+      """WITH dn AS (SELECT DISTINCT p_name AS nm FROM part),
+        |bl AS (SELECT nm, substr(nm, 1, 4) AS blk FROM dn),
+        |pr AS (
+        |  SELECT a.nm AS u, b.nm AS v,
+        |    jaro_winkler_similarity(a.nm, b.nm) AS sim
+        |  FROM bl a JOIN bl b ON b.blk = a.blk AND b.nm > a.nm)
+        |SELECT u, v, round(sim, 6) AS sim
+        |FROM pr WHERE round(sim, 6) >= 0.84
+        |ORDER BY round(sim, 6) DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+      graft.functions.JaroWinklerSim.register(s)
+      val dn = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
+      val bl = dn.select(col("nm"), substring(col("nm"), 1, 4).as("blk"))
+      bl.join(bl.select(col("nm").as("vnm"), col("blk").as("vblk")),
+          col("vblk") === col("blk") && col("vnm") > col("nm"))
+        .select(col("nm").as("u"), col("vnm").as("v"),
+          expr("jaro_winkler_sim(nm, vnm)").as("simr"))
+        .where(round(col("simr"), 6) >= 0.84)
+        .select(col("u"), col("v"), round(col("simr"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("u"), col("v")).limit(20)
     }
   )
 }

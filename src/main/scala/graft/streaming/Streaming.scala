@@ -1124,6 +1124,38 @@ object Streaming {
         g => graft.operators.CointOps.cointFromGrid(s, g), Seq("src", "dst"))
     },
 
+    /** q315's pre-whitened cross-correlogram as a per-micro-batch
+      * refreshed view (round 11): the dashboard's autocorrelation-
+      * inflation monitor — each refresh re-fits the AR(1) filters and
+      * re-correlates at lags 0-3 from the maintained grid, so the gap
+      * between rho_raw and rho_prew (how much of the apparent coupling
+      * is persistence artifact) tracks live. Final refresh == batch
+      * q315 oracle bit-for-bit (shared prewhitenFromGrid tree).
+      */
+    QueryDef(
+      "q328_stream_prewhiten",
+      graft.operators.CointOps.defs.find(_.name == "q315_prewhiten_xcorr").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        g => graft.operators.CointOps.prewhitenFromGrid(s, g), Seq("src", "dst", "lag"))
+    },
+
+    /** q316's permutation entropy as a per-micro-batch refreshed view
+      * (round 11): the live "how predictable is this element at all"
+      * calibration — ordinal-pattern counts re-derive from the grid
+      * state each refresh, so a regime change shows as an entropy jump
+      * in the same dashboard that q258's CUSUM dates. Final refresh ==
+      * batch q316 oracle bit-for-bit (shared permEntropyFromGrid tree;
+      * pattern counts are integer-exact under the count-state merge).
+      */
+    QueryDef(
+      "q329_stream_perm_entropy",
+      graft.operators.CointOps.defs.find(_.name == "q316_perm_entropy").get
+        .oracle.get) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.CointOps.permEntropyFromGrid, Seq("el"))
+    },
+
     /** q286's split-conformal forecast intervals as a per-micro-batch
       * refreshed view (round 9): the live dashboard's honest-
       * uncertainty panel — as events arrive, the calibration order

@@ -216,6 +216,67 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q330/q331 invariants; q329 streaming permutation entropy == batch q316 row-for-row") {
+    val tr = SparkEntry.queries("q330_textrank")(spark, sf).collect()
+    assert(tr.nonEmpty && tr.length <= 15)
+    assert(tr.forall(_.getAs[Double]("textrank") > 0.15 - 1e-9),
+      "TextRank scores are bounded below by the damping floor")
+    val cf = SparkEntry.queries("q331_item_cf")(spark, sf).collect()
+    cf.foreach { r =>
+      val sim = r.getAs[Double]("cosine_sim")
+      assert(sim > 0.0 && sim <= 1.0 + 1e-9, s"$r")
+      assert(r.getAs[Long]("n_co") >= 2)
+    }
+    val batch = SparkEntry.queries("q316_perm_entropy")(spark, sf).collect().toSeq
+    val stream = SparkEntry.queries("q329_stream_perm_entropy")(spark, sf).collect().toSeq
+    assert(batch.nonEmpty && batch == stream)
+  }
+
+  test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
+    import graft.functions.JaroWinklerSim.jw
+    // textbook references (also probed against DuckDB 1.0)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-15)
+    assert(math.abs(jw("arnab", "aranb") - 0.9466666666666665) < 1e-15)
+    // the 0.7 boost threshold: prefix bonus NOT applied below it
+    assert(math.abs(jw("aXXXXX", "aYYYYY") - 0.4444444444444444) < 1e-15)
+    // edges per DuckDB: both-empty -> 0, identical -> 1, no matches -> 0
+    assert(jw("", "") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0 && jw("ab", "ba") == 0.0)
+    // codegen path == interpreted path on real data: evaluate through a
+    // projection (whole-stage codegen) and via the expression's eval
+    graft.functions.JaroWinklerSim.register(spark)
+    val names = SparkEntry.queries("q332_fuzzy_blocking")(spark, sf01).collect()
+    assert(names.nonEmpty)
+    names.foreach { r =>
+      val expect = BigDecimal(jw(r.getAs[String]("u"), r.getAs[String]("v")))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("sim") == expect, s"$r")
+    }
+  }
+
+  test("q332 threshold and rounding margins are measurable at sf0.01") {
+    graft.functions.JaroWinklerSim.register(spark)
+    val dn = graft.Tables.part(spark, sf01).select(col("p_name").as("nm")).distinct()
+    val bl = dn.select(col("nm"), substring(col("nm"), 1, 4).as("blk"))
+    val sims = bl.join(bl.select(col("nm").as("vnm"), col("blk").as("vblk")),
+        col("vblk") === col("blk") && col("vnm") > col("nm"))
+      .select(expr("jaro_winkler_sim(nm, vnm)").as("sim"))
+      .collect().map(_.getDouble(0))
+    assert(sims.nonEmpty)
+    // Membership is decided on ROUND-6 values, which are engine-identical
+    // as long as no unrounded sim sits within last-ulp reach of a 0.5e-6
+    // rounding boundary — THAT is the only flippable edge (a rounded
+    // value exactly AT 0.84 is stable: both engines compute the same
+    // double, round it the same way, and >= includes it). Measure it.
+    val roundMargin = sims.map { v =>
+      val scaled = v * 1e6
+      math.abs(scaled - math.floor(scaled) - 0.5)
+    }.min
+    assert(roundMargin > 1e-6, s"round-6 boundary margin too thin: $roundMargin")
+  }
+
   test("q314/q315 round-6 rounding boundaries have measurable margin at sf0.01 (oracle-parity safety)") {
     // Rebuild the UNROUNDED readouts through the same kernels and measure
     // each value's distance to the nearest 0.5e-6 rounding boundary —
