@@ -130,17 +130,27 @@ object QualityOps {
           explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 512).as("b"))
-      val tc = bk.where(col("lang") === "en")
-        .groupBy(col("b").as("tb")).agg(count(lit(1)).as("ct"))
-      val rc = bk.groupBy(col("b").as("rb")).agg(count(lit(1)).as("cr"))
-      val nt = bk.agg(
-        sum(when(col("lang") === "en", 1).otherwise(0)).cast("double").as("n_t"),
-        count(lit(1)).cast("double").as("n_r"))
+      // BOTH distributions and both totals from ONE corpus pass: a
+      // single 512-group aggregate carries (raw count, target count)
+      // per bucket; the totals fold from those 512 rows, not the
+      // corpus. (The naive tc/rc/nt-as-separate-aggregates shape scans
+      // the token stream three times — at 100 TB that is three corpus
+      // reads for numbers one pass already contains.)
+      val rc = bk.groupBy(col("b").as("rb"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      // totals as a global window OVER THE 512-ROW AGGREGATE (not the
+      // corpus): a one-partition window is exactly right at this size,
+      // and it keeps the whole distribution build one scan lineage —
+      // a separate rc.agg() would re-derive the subtree and re-read
+      // the corpus a third time
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
       val lam = rc
-        .join(tc, col("tb") === col("rb"), "left")
-        .crossJoin(broadcast(nt))
+        .withColumn("n_t", sum(col("ct")).over(wAll).cast("double"))
+        .withColumn("n_r", sum(col("cr")).over(wAll).cast("double"))
         .select(col("rb").as("lb"),
-          (log((coalesce(col("ct"), lit(0)) + 1) / (col("n_t") + 512)) -
+          (log((col("ct") + 1) / (col("n_t") + 512)) -
             log((col("cr") + 1) / (col("n_r") + 512))).as("lam"))
       bk.join(broadcast(lam), col("lb") === col("b"))
         .groupBy(col("doc_id"), col("lang"))

@@ -900,20 +900,26 @@ object SearchOps {
           sqrt(Kernels.arrayDot(col("ev"), col("ev"))).as("xnorm"),
           (Kernels.arrayDot(col("ev"), col("qv")) /
             (col("mx") * sqrt(Kernels.arrayDot(col("qv"), col("qv"))))).as("aug"))
-      val wq = Window.partitionBy(col("q_id"))
-      val rk = sc
-        .withColumn("rd", row_number().over(wq.orderBy(round(col("dp"), 6).desc, col("vec_id"))))
-        .withColumn("ra", row_number().over(wq.orderBy(round(col("aug"), 6).desc, col("vec_id"))))
-      val inter = rk.where(col("rd") <= 5).select(col("q_id"), col("vec_id"))
-        .join(rk.where(col("ra") <= 5).select(col("q_id").as("bq"), col("vec_id").as("bv")),
+      // every cut runs on the explicit bounded-heap TopKPerGroup (q226's
+      // convention — holds in ANY session, not just extensions-wired
+      // ones): an 8-value q_id window partition would funnel the whole
+      // scored table through 8 partitions at corpus scale
+      def cut5(score: org.apache.spark.sql.Column, k: Int) =
+        graft.plans.TopKPerGroupOps.topKPerGroup(s, sc,
+          Seq(col("q_id")), Seq(score.desc, col("vec_id")), k)
+          .select(col("q_id"), col("vec_id"), col("dp"), col("xnorm"))
+      val topd = cut5(round(col("dp"), 6), 5)
+      val topa = cut5(round(col("aug"), 6), 5)
+      val inter = topd.select(col("q_id"), col("vec_id"))
+        .join(topa.select(col("q_id").as("bq"), col("vec_id").as("bv")),
           col("bq") === col("q_id") && col("bv") === col("vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("agree5"))
         .withColumnRenamed("q_id", "iq")
-      val bias = rk.where(col("rd") <= 5)
+      val bias = topd
         .groupBy(col("q_id"))
         .agg((sum(col("xnorm").cast("decimal(38,12)")).cast("double") / 5).as("t5n"))
         .withColumnRenamed("q_id", "bq2")
-      rk.where(col("rd") === 1)
+      cut5(round(col("dp"), 6), 1)
         .join(inter, col("iq") === col("q_id"), "left")
         .join(bias, col("bq2") === col("q_id")).crossJoin(nm)
         .select(col("q_id"), col("vec_id").as("top1_id"),
@@ -980,18 +986,20 @@ object SearchOps {
         .select(col("q_id"), col("vec_id"),
           Kernels.cosine(col("ev"), col("qv")).as("cf"),
           Kernels.cosine(slice(col("ev"), 1, 16), col("qp")).as("cp"))
-      val wq = Window.partitionBy(col("q_id"))
-      val rk = sc
-        .withColumn("rf", row_number().over(wq.orderBy(round(col("cf"), 6).desc, col("vec_id"))))
-        .withColumn("rp", row_number().over(wq.orderBy(round(col("cp"), 6).desc, col("vec_id"))))
-      val fun = rk.where(col("rp") <= 30)
-        .withColumn("rr", row_number().over(wq.orderBy(round(col("cf"), 6).desc, col("vec_id"))))
-      val ex = rk.where(col("rf") <= 10).select(col("q_id").as("xq"), col("vec_id").as("xv"))
-      val hp = rk.where(col("rp") <= 10).select(col("q_id"), col("vec_id"))
+      // every cut on the explicit bounded-heap TopKPerGroup (q326's
+      // rationale); the funnel rerank runs on the already-cut 30-row
+      // shortlist
+      def cut(score: org.apache.spark.sql.Column, k: Int, df: org.apache.spark.sql.DataFrame) =
+        graft.plans.TopKPerGroupOps.topKPerGroup(s, df,
+          Seq(col("q_id")), Seq(score.desc, col("vec_id")), k)
+      val ex = cut(round(col("cf"), 6), 10, sc).select(col("q_id").as("xq"), col("vec_id").as("xv"))
+      val pre30 = cut(round(col("cp"), 6), 30, sc)
+      val fun = cut(round(col("cf"), 6), 10, pre30)
+      val hp = cut(round(col("cp"), 6), 10, sc).select(col("q_id"), col("vec_id"))
         .join(ex, col("xq") === col("q_id") && col("xv") === col("vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("hitsp"))
         .withColumnRenamed("q_id", "pq")
-      val hf = fun.where(col("rr") <= 10).select(col("q_id"), col("vec_id"))
+      val hf = fun.select(col("q_id"), col("vec_id"))
         .join(ex, col("xq") === col("q_id") && col("xv") === col("vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("hitsf"))
         .withColumnRenamed("q_id", "fq")

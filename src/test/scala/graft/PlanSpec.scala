@@ -683,4 +683,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eventScans.size <= 1,
       s"q288 must reuse the cached grid, got ${eventScans.size} events scans")
   }
+
+  test("q326/q327 rank cuts plan as bounded-heap TopKPerGroup, never an 8-partition q_id window") {
+    for (q <- Seq("q326_mips_alsh", "q327_matryoshka")) {
+      val nodes = allNodes(finalPlan(SparkEntry.queries(q)(spark, sf)))
+      val heaps = nodes.collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(heaps.exists(!_.partial),
+        s"$q: every top-k cut must lower to TopKPerGroup; plan had none")
+      val windows = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty,
+        s"$q: no WindowExec should survive the rewrite, got ${windows.size}")
+    }
+  }
+
+  test("q318 builds both DSIR distributions in one corpus pass and broadcasts them back") {
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q318_dsir_weights")(spark, sf)))
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.size <= 2,
+      s"q318: one pass for the bucket distributions + one for scoring, got ${docScans.size}")
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "the 512-row lambda table must broadcast onto the token stream")
+  }
+
+  test("q321 encodes map-side: category and global stats broadcast, no category-partition window") {
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q321_target_encoding")(spark, sf)))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "LOO encoding must not use a low-cardinality category window")
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "the category stats must broadcast onto the fact rows")
+  }
+
+  test("q331 builds co-purchase pairs from baskets: exactly one lineitem scan, no fact self-join") {
+    val nodes = allNodes(finalPlan(SparkEntry.queries("q331_item_cf")(spark, sf)))
+    val liScans = nodes.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(liScans.size <= 2,
+      s"baskets + item frequencies, never a fact self-join: got ${liScans.size} scans")
+  }
 }
