@@ -108,6 +108,52 @@ object DriftOps {
       psiFromCounts(binnedCounts(s, d))
     },
 
+    /** Wasserstein-1 (earth-mover) drift distance on q281's decile
+      * bins — the CUMULATIVE drift metric completing the divergence
+      * shelf: PSI/JSD (q281) are bin-local and blind to direction, KS
+      * (q274) takes the max gap; W1 integrates |ΔCDF| across the whole
+      * distribution, and the companion signed_shift says WHICH WAY the
+      * current period moved. Bins densify to the full 1-10 grid (a
+      * types×10 broadcast cross) so absent bins still carry their CDF
+      * gap; the cumulative window runs over the 10-row-per-type count
+      * table, never event-grain. Unit: probability mass × bin index
+      * (ordinal transport on the reference's decile scale).
+      */
+    QueryDef(
+      "q333_wasserstein", {
+        val qsSql = (1 to 9).map(k => s"quantile_cont(v, 0.$k) AS q$k").mkString(", ")
+        val binSql = (1 to 9).map(k =>
+          s"(CASE WHEN round(v, 9) > round(q$k, 9) THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT event_type AS et, value AS v,
+           |    ts < TIMESTAMP '2024-01-16' AS is_ref
+           |  FROM events),
+           |q AS (SELECT et AS qet, $qsSql FROM e WHERE is_ref GROUP BY 1),
+           |b AS (
+           |  SELECT et, is_ref, 1 + $binSql AS bin
+           |  FROM e JOIN q ON et = qet),
+           |c AS (
+           |  SELECT et, bin, count_if(is_ref) AS nr, count_if(NOT is_ref) AS nc
+           |  FROM b GROUP BY 1, 2),
+           |dense AS (
+           |  SELECT ty.et, g.bin, coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+           |  FROM (SELECT DISTINCT et FROM c) ty
+           |  CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) g
+           |  LEFT JOIN c ON c.et = ty.et AND c.bin = g.bin),
+           |t AS (SELECT et AS tet, sum(nr) AS tr, sum(nc) AS tc FROM dense GROUP BY 1),
+           |cu AS (
+           |  SELECT et, bin,
+           |    CAST(sum(nr) OVER (PARTITION BY et ORDER BY bin) AS DOUBLE) / tr AS cr,
+           |    CAST(sum(nc) OVER (PARTITION BY et ORDER BY bin) AS DOUBLE) / tc AS cc
+           |  FROM dense JOIN t ON tet = et)
+           |SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n_bins,
+           |  round(CAST(sum(CAST(abs(cr - cc) AS DECIMAL(38,12))) AS DOUBLE), 6) AS w1_bins,
+           |  round(CAST(sum(CAST(cc - cr AS DECIMAL(38,12))) AS DOUBLE), 6) AS signed_shift
+           |FROM cu GROUP BY 1 ORDER BY 1""".stripMargin
+      }) { (s, d) =>
+      w1FromCounts(s, binnedCounts(s, d))
+    },
+
     /** Split-conformal prediction intervals on the seasonal-naive
       * forecast (q269's evaluation rows): calibration days (di ≤ 21)
       * yield the k-th smallest absolute residual with
@@ -248,6 +294,32 @@ object DriftOps {
           .reduce(_ + _)).as("bin"))
       .groupBy("et", "bin")
       .agg(count_if(col("is_ref")).as("nr"), count_if(!col("is_ref")).as("nc"))
+
+  /** q333's W1 readout from (et, bin, nr, nc) count rows: densify to
+    * the full 1-10 bin grid, cumulate per type (a 10-row window), and
+    * decimal-sum the |ΔCDF| / ΔCDF terms. Counts are exact ⇒ identical
+    * doubles on both engines. */
+  private[graft] def w1FromCounts(s: SparkSession, c: DataFrame): DataFrame = {
+    import s.implicits._
+    val bins10 = (1 to 10).toDF("gbin")
+    val dense = c.select(col("et")).distinct().crossJoin(broadcast(bins10))
+      .join(c.withColumnRenamed("et", "cet").withColumnRenamed("bin", "cbin"),
+        col("cet") === col("et") && col("cbin") === col("gbin"), "left")
+      .select(col("et"), col("gbin").as("bin"),
+        coalesce(col("nr"), lit(0L)).as("nr"), coalesce(col("nc"), lit(0L)).as("nc"))
+    val t = dense.groupBy(col("et").as("tet"))
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    val w = Window.partitionBy(col("et")).orderBy(col("bin"))
+    val cu = dense.join(t, col("tet") === col("et"))
+      .select(col("et"), col("bin"),
+        (sum(col("nr")).over(w).cast("double") / col("tr")).as("cr"),
+        (sum(col("nc")).over(w).cast("double") / col("tc")).as("cc"))
+    cu.groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_bins"),
+        r6(dsum(abs(col("cr") - col("cc")))).as("w1_bins"),
+        r6(dsum(col("cc") - col("cr"))).as("signed_shift"))
+      .orderBy("event_type")
+  }
 
   /** PSI/JSD readout from (et, bin, nr, nc) count rows — the shared
     * expression tree of q281 and q310 (bit-identical doubles from

@@ -431,6 +431,154 @@ object TemporalOps {
         .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
           max(col("id")).as("max_id"))
         .orderBy("change")
+    },
+
+    /** Sequential pattern mining, PrefixSpan's first pass (Pei et al.,
+      * ICDE 2001) at length 3: per-user event-type journeys in
+      * (ts, event_id) order, consecutive 3-step motifs, support =
+      * distinct users + total occurrences, top-15. The ORDERED
+      * counterpart of q218's unordered baskets and the discovery
+      * companion of q153's FIXED funnel pattern. One groupBy(user)
+      * builds each journey; motifs expand map-side from the sequence
+      * array (the basket idiom applied to ordered data).
+      */
+    QueryDef(
+      "q334_seq_patterns",
+      """WITH j AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT user_id,
+        |    unnest([seq[i] || '>' || seq[i+1] || '>' || seq[i+2]
+        |            FOR i IN range(1, len(seq) - 1)]) AS motif
+        |  FROM j WHERE len(seq) >= 3),
+        |c AS (
+        |  SELECT motif, count(DISTINCT user_id) AS n_users, count(*) AS n_occ
+        |  FROM m GROUP BY 1)
+        |SELECT motif, CAST(n_users AS BIGINT) AS n_users, CAST(n_occ AS BIGINT) AS n_occ
+        |FROM c ORDER BY n_users DESC, n_occ DESC, motif LIMIT 15""".stripMargin) { (s, d) =>
+      val j = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")).as("seq"))
+        .where(size(col("seq")) >= 3)
+      j.select(col("user_id"),
+          explode(expr(
+            """transform(sequence(1, size(seq) - 2),
+              |  i -> concat(element_at(seq, i), '>', element_at(seq, i + 1),
+              |              '>', element_at(seq, i + 2)))""".stripMargin)).as("motif"))
+        .groupBy(col("motif"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_occ"))
+        .select(col("motif"), col("n_users").cast("long").as("n_users"),
+          col("n_occ").cast("long").as("n_occ"))
+        .orderBy(col("n_users").desc, col("n_occ").desc, col("motif")).limit(15)
+    },
+
+    /** Watermark-lateness planning sweep: how much data would each
+      * candidate watermark delay drop? Arrival order is approximated by
+      * event_id batches of 500 (the ingestion-batch proxy); each
+      * event's lateness is measured against the max event-time of all
+      * PRIOR batches (exactly what a per-batch watermark tracker sees),
+      * and the 1h/6h/24h/72h sweep reduces to four rows in one pass.
+      * The tuning readout for every withWatermark() in the streaming
+      * layer (q80/q83/q216): pick the delay whose drop fraction is
+      * acceptable. Scale: batch maxes are an O(B)-row aggregate; the
+      * cumulative prior-max window runs over those B rows, never
+      * events; the sweep is a 4-row broadcast fan-out.
+      */
+    QueryDef(
+      "q335_lateness_sweep",
+      """WITH e AS (
+        |  SELECT event_id, ts, event_id // 500 AS batch FROM events),
+        |bm AS (SELECT batch, max(ts) AS bmax FROM e GROUP BY 1),
+        |pm AS (
+        |  SELECT batch,
+        |    max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND 1 PRECEDING) AS prior_max
+        |  FROM bm),
+        |lt AS (
+        |  SELECT e.event_id,
+        |    CASE WHEN pm.prior_max IS NULL THEN 0
+        |         ELSE greatest(0, epoch_us(pm.prior_max) - epoch_us(e.ts)) END AS late_us
+        |  FROM e JOIN pm ON pm.batch = e.batch)
+        |SELECT d.hours,
+        |  CAST(count_if(late_us > d.hours * 3600000000) AS BIGINT) AS n_dropped,
+        |  round(CAST(count_if(late_us > d.hours * 3600000000) AS DOUBLE) / count(*), 6)
+        |    AS frac_dropped
+        |FROM lt CROSS JOIN (VALUES (1), (6), (24), (72)) AS d(hours)
+        |GROUP BY d.hours ORDER BY d.hours""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // exact integer MICROSECONDS end to end: ts carries sub-second
+      // precision, and a seconds-truncating comparison would disagree
+      // between engines on events within a second of a cut
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), (col("event_id") / 500).cast("long").as("batch"))
+      val bm = e.groupBy(col("batch").as("bmb")).agg(max(col("ts")).as("bmax"))
+      val wb = Window.orderBy(col("bmb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pm = bm.select(col("bmb"), max(col("bmax")).over(wb).as("prior_max"))
+      val lt = e.join(broadcast(pm), col("bmb") === col("batch"))
+        .select(col("event_id"),
+          when(col("prior_max").isNull, lit(0L))
+            .otherwise(greatest(lit(0L),
+              unix_micros(col("prior_max")) - unix_micros(col("ts"))))
+            .as("late_us"))
+      val sweep = Seq(1, 6, 24, 72).toDF("hours")
+      lt.crossJoin(broadcast(sweep))
+        .groupBy(col("hours"))
+        .agg(count_if(col("late_us") > col("hours").cast("long") * 3600000000L)
+            .cast("long").as("n_dropped"),
+          round(count_if(col("late_us") > col("hours").cast("long") * 3600000000L)
+            .cast("double") / count(lit(1)), 6).as("frac_dropped"))
+        .orderBy("hours")
+    },
+
+    /** Right-to-be-forgotten erasure audit: given the deletion cohort
+      * (user_id / custkey ≡ 0 mod 97 — the stand-in for a DSAR list),
+      * count surviving rows per table BEFORE the purge runs, including
+      * the indirect reach through foreign keys (orders via custkey,
+      * lineitem via its order). The compliance pre-flight every
+      * lakehouse purge pipeline runs; each table is one scan + one
+      * tiny-dim semi-join, output is O(tables) rows.
+      */
+    QueryDef(
+      "q336_erasure_audit",
+      """WITH del_users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+        |del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_cust)),
+        |a AS (
+        |  SELECT 'events' AS tbl,
+        |    count_if(user_id % 97 = 0) AS n_erase, count(*) AS n_total FROM events
+        |  UNION ALL
+        |  SELECT 'customer', count_if(c_custkey % 97 = 0), count(*) FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', count_if(o_custkey % 97 = 0), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    count_if(l_orderkey IN (SELECT o_orderkey FROM del_orders)), count(*)
+        |  FROM lineitem)
+        |SELECT tbl, CAST(n_erase AS BIGINT) AS n_erase, CAST(n_total AS BIGINT) AS n_total,
+        |  round(CAST(n_erase AS DOUBLE) / n_total, 6) AS frac
+        |FROM a ORDER BY tbl""".stripMargin) { (s, d) =>
+      def audit(name: String, df: DataFrame, flag: Column): DataFrame =
+        df.agg(count_if(flag).as("n_erase"), count(lit(1)).as("n_total"))
+          .select(lit(name).as("tbl"), col("n_erase"), col("n_total"))
+      val delOrders = Tables.orders(s, d)
+        .where(col("o_custkey") % 97 === 0).select(col("o_orderkey").as("dok"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(delOrders), col("dok") === col("l_orderkey"), "left")
+        .agg(count_if(col("dok").isNotNull).as("n_erase"), count(lit(1)).as("n_total"))
+        .select(lit("lineitem").as("tbl"), col("n_erase"), col("n_total"))
+      audit("events", Tables.events(s, d), col("user_id") % 97 === 0)
+        .unionByName(audit("customer", Tables.customer(s, d), col("c_custkey") % 97 === 0))
+        .unionByName(audit("orders", Tables.orders(s, d), col("o_custkey") % 97 === 0))
+        .unionByName(li)
+        .select(col("tbl"), col("n_erase").cast("long").as("n_erase"),
+          col("n_total").cast("long").as("n_total"),
+          round(col("n_erase").cast("double") / col("n_total"), 6).as("frac"))
+        .orderBy("tbl")
     }
   )
 

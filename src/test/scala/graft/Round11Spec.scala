@@ -232,6 +232,53 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.nonEmpty && batch == stream)
   }
 
+  test("q333-q336 invariants: W1 bounds, motif structure, monotone lateness sweep, erasure bounds") {
+    val w1 = SparkEntry.queries("q333_wasserstein")(spark, sf).collect()
+    assert(w1.nonEmpty)
+    w1.foreach { r =>
+      val w = r.getAs[Double]("w1_bins"); val sft = r.getAs[Double]("signed_shift")
+      assert(r.getAs[Long]("n_bins") == 10L)
+      assert(w >= math.abs(sft) - 1e-9, s"W1 dominates the signed shift: $r")
+      assert(w >= 0.0 && w <= 9.0 + 1e-9, s"ordinal W1 is bounded by the bin span: $r")
+    }
+    val sp = SparkEntry.queries("q334_seq_patterns")(spark, sf).collect()
+    assert(sp.nonEmpty)
+    sp.foreach { r =>
+      assert(r.getAs[String]("motif").count(_ == '>') == 2)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_users"))
+    }
+    val ls = SparkEntry.queries("q335_lateness_sweep")(spark, sf).collect()
+    assert(ls.length == 4)
+    val fracs = ls.sortBy(_.getAs[Int]("hours")).map(_.getAs[Double]("frac_dropped"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a >= b },
+      s"drop fraction must not increase with watermark delay: ${fracs.toSeq}")
+    val ea = SparkEntry.queries("q336_erasure_audit")(spark, sf).collect()
+    assert(ea.length == 4)
+    ea.foreach(r => assert(r.getAs[Long]("n_erase") <= r.getAs[Long]("n_total")))
+  }
+
+  test("q335 detects planted out-of-order arrivals and the sweep separates the deltas") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // batches of 500 by event_id; batch 1 carries events 26h older than
+    // batch 0's max -> dropped at 1h/6h/24h, kept at 72h
+    val rows = (0 until 1500).map { i =>
+      val base = 1704067200000000L // 2024-01-01T00:00Z in micros
+      val ts = if (i >= 500 && i < 600) base - 26L * 3600 * 1000000
+               else base + i.toLong * 1000000
+      (i.toLong, ts, 1L, "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(tsus) AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q335_lateness_sweep")(spark, tmp).collect()
+      .map(r => r.getAs[Int]("hours") -> r.getAs[Long]("n_dropped")).toMap
+    assert(out(1) == 100L && out(6) == 100L && out(24) == 100L, s"$out")
+    assert(out(72) == 0L, s"$out")
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
