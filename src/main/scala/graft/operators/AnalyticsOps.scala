@@ -293,6 +293,61 @@ object AnalyticsOps {
         .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
           col("week_n"), col("n_users"))
         .orderBy("cohort_week", "week_n")
+    },
+
+    /** Cohort lifetime-value curves — q154's retention grid upgraded
+      * from presence to MONEY: per signup-week cohort, cumulative
+      * purchase value per cohort member at each week of age. The
+      * payback-period readout every acquisition team reads ("when does
+      * a cohort's cumulative LTV cross CAC"). One user-grain first-day
+      * aggregate joined back, one (cohort, age) decimal-sum aggregate,
+      * then the cumulative window runs over the TINY cohort×age grid —
+      * never event grain; spend/size division is an exact ratio of
+      * decimal-summed values so both engines emit identical doubles.
+      */
+    QueryDef(
+      "q337_cohort_ltv",
+      """WITH first_ev AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+        |csize AS (
+        |  SELECT CAST(date_trunc('week', d0) AS DATE) AS cw, count(*) AS nu
+        |  FROM first_ev GROUP BY 1),
+        |spend AS (
+        |  SELECT CAST(date_trunc('week', f.d0) AS DATE) AS cw,
+        |    CAST(floor(date_diff('day', date_trunc('week', f.d0),
+        |                         date_trunc('week', CAST(e.ts AS DATE))) / 7) AS BIGINT) AS age_w,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v
+        |  FROM events e JOIN first_ev f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cw, age_w,
+        |    sum(v) OVER (PARTITION BY cw ORDER BY age_w) AS cv
+        |  FROM spend)
+        |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, cum.age_w,
+        |  CAST(c.nu AS BIGINT) AS n_users,
+        |  round(cum.cv / c.nu, 6) AS cum_ltv
+        |FROM cum JOIN csize c ON c.cw = cum.cw
+        |ORDER BY cohort_week, age_w""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val firstEv = e.groupBy("user_id")
+        .agg(min(col("ts").cast("date")).as("d0"))
+      val csize = firstEv
+        .groupBy(date_trunc("week", col("d0")).cast("date").as("cw"))
+        .agg(count(lit(1)).as("nu"))
+      val spend = e.join(firstEv, Seq("user_id"))
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("week", col("d0")).cast("date").as("cw"),
+          floor(datediff(date_trunc("week", col("ts").cast("date")),
+            date_trunc("week", col("d0"))) / 7).cast("long").as("age_w"))
+        .agg(sum(col("value").cast("decimal(18,3)")).cast("double").as("v"))
+      val wcw = Window.partitionBy(col("cw")).orderBy(col("age_w"))
+      val cum = spend.withColumn("cv", sum(col("v")).over(wcw))
+      cum.join(csize.withColumnRenamed("cw", "ccw"), col("ccw") === col("cw"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("age_w"), col("nu").cast("long").as("n_users"),
+          round(col("cv") / col("nu"), 6).as("cum_ltv"))
+        .orderBy("cohort_week", "age_w")
     }
   )
 

@@ -141,6 +141,82 @@ object GraphOps {
         .orderBy(col("cosine_sim").desc, col("u"), col("v")).limit(20)
     },
 
+    /** Shapley-value channel attribution (Shapley 1953 applied to
+      * conversion credit, Zhao et al. 2018) — the ORDER-FREE
+      * counterpart of q284's path-based Markov removal effect: each
+      * user's touched-channel SET is a coalition, v(S) = observed
+      * conversion rate of users with exactly that set (0 for unseen
+      * coalitions), and each channel's credit is the
+      * coalition-weighted marginal Σ w(\|S\|)·(v(S) − v(S∖i)). With
+      * the 4-channel universe the coalition table is ≤16 rows, so
+      * everything after the one user-grain aggregate is constant-size
+      * joins — the classic "aggregate to coalitions, then game-theory
+      * on tiny tables" shape that holds at any event volume.
+      */
+    QueryDef(
+      "q338_shapley_attribution",
+      """WITH fe AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) t WHERE rn <= 5),
+        |us AS (
+        |  SELECT user_id,
+        |    coalesce(list_sort(list_distinct(list(event_type)
+        |      FILTER (WHERE event_type IN ('click', 'error', 'signup', 'view')))),
+        |      CAST([] AS VARCHAR[])) AS s,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM fe GROUP BY 1),
+        |co AS (
+        |  SELECT array_to_string(s, ',') AS k, len(s) AS sz,
+        |    count(*) AS nu, sum(conv) AS nc
+        |  FROM us GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ch.c, co.sz, CAST(co.nc AS DOUBLE) / co.nu AS v,
+        |    array_to_string(list_filter(string_split(co.k, ','), x -> x <> ch.c), ',') AS mk
+        |  FROM co JOIN (VALUES ('click'), ('error'), ('signup'), ('view')) ch(c)
+        |    ON list_contains(string_split(co.k, ','), ch.c)),
+        |j AS (
+        |  SELECT p.c, p.sz, p.v,
+        |    coalesce(CAST(c2.nc AS DOUBLE) / c2.nu, 0.0) AS v0
+        |  FROM pairs p LEFT JOIN co c2 ON c2.k = p.mk)
+        |SELECT c AS channel, CAST(count(*) AS BIGINT) AS n_coalitions,
+        |  round(CAST(sum(CAST(
+        |    (CASE sz WHEN 1 THEN 0.25 WHEN 2 THEN 1.0/12 WHEN 3 THEN 1.0/12 ELSE 0.25 END)
+        |      * (v - v0) AS DECIMAL(38,12))) AS DOUBLE), 6) AS shapley
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // early-journey window (first 5 events per user, the onboarding
+      // attribution frame): at full history every user touches every
+      // channel and the coalition table degenerates to one row
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val fe = Tables.events(s, d)
+        .withColumn("rn", row_number().over(wu)).where(col("rn") <= 5)
+      val us = fe
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(
+            when(col("event_type").isin(Channels: _*), col("event_type")))).as("st"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val co = us.groupBy(array_join(col("st"), ",").as("k"), size(col("st")).as("sz"))
+        .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+      val chDf = Channels.toDF("c")
+      val pairs = co.join(broadcast(chDf),
+          array_contains(split(col("k"), ","), col("c")))
+        .select(col("c"), col("sz"), (col("nc").cast("double") / col("nu")).as("v"),
+          array_join(filter(split(col("k"), ","), x => x =!= col("c")), ",").as("mk"))
+      val co2 = co.select(col("k").as("k2"),
+        (col("nc").cast("double") / col("nu")).as("v2"))
+      pairs.join(co2, col("k2") === col("mk"), "left")
+        .select(col("c"), col("sz"), col("v"), coalesce(col("v2"), lit(0.0)).as("v0"))
+        .groupBy(col("c").as("channel"))
+        .agg(count(lit(1)).cast("long").as("n_coalitions"),
+          r6(dsum((when(col("sz") === 1, 0.25)
+            .when(col("sz") === 2, 1.0 / 12).when(col("sz") === 3, 1.0 / 12)
+            .otherwise(0.25)) * (col("v") - col("v0")))).as("shapley"))
+        .orderBy("channel")
+    },
+
     /** Markov-chain (removal-effect) attribution: per-session journeys
       * (q54's 1800 s sessionization, consecutive duplicate states
       * collapsed, cut at the first purchase) define an absorbing chain

@@ -1189,6 +1189,49 @@ object Streaming {
       * batch, the suite's standing contract. Per-refresh cost is
       * independent of raw event volume.
       */
+    /** q333's Wasserstein-1 drift distance as a per-micro-batch
+      * refreshed view (round 11): the same pinned-boundary streaming
+      * count state as q310 (ONE watermarked (type, bin, period)
+      * aggregation), re-derived each refresh through the shared
+      * w1FromCounts tree — so the live drift panel reads PSI/JSD AND
+      * the cumulative, signed W1 from the same O(types·20) state rows.
+      * Final refresh == batch q333 oracle bit-for-bit (count-state
+      * merges are exact).
+      */
+    QueryDef(
+      "q339_stream_wasserstein",
+      graft.operators.DriftOps.defs.find(_.name == "q333_wasserstein").get
+        .oracle.get) { (s, d) =>
+      import graft.operators.DriftOps
+      val qs = DriftOps.refDeciles(s, d)
+      val typed = eventStream(s, d)
+        .withWatermark("ts", "40 days")
+        .select(col("event_type").as("et"), col("value").as("v"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+      val binned = typed.join(broadcast(qs), col("et") === col("qet"))
+        .select(col("et"), col("is_ref"),
+          (lit(1) + (1 to 9).map(k =>
+            when(round(col("v"), 9) > round(col(s"q$k"), 9), 1).otherwise(0))
+            .reduce(_ + _)).as("bin"))
+      val agg = binned.groupBy("et", "bin", "is_ref").agg(count(lit(1)).as("n"))
+      val latest = new java.util.concurrent.atomic.AtomicReference[
+        (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+      val q = withStreamConf(s) {
+        agg.writeStream.outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val c = b.groupBy("et", "bin")
+              .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("nr"),
+                sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("nc"))
+            val r = DriftOps.w1FromCounts(s, c)
+            latest.set((r.schema, r.collect()))
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val (schema, rows) = latest.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("event_type")
+    },
+
     QueryDef(
       "q310_stream_psi",
       graft.operators.DriftOps.defs.find(_.name == "q281_psi_drift").get

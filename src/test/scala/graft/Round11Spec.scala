@@ -279,6 +279,36 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(72) == 0L, s"$out")
   }
 
+  test("q337 LTV curves are cumulative; q338 Shapley matches the closed form on a one-channel world") {
+    val ltv = SparkEntry.queries("q337_cohort_ltv")(spark, sf).collect()
+    assert(ltv.nonEmpty)
+    ltv.groupBy(_.getAs[String]("cohort_week")).values.foreach { rows =>
+      val byAge = rows.sortBy(_.getAs[Long]("age_w")).map(_.getAs[Double]("cum_ltv"))
+      assert(byAge.zip(byAge.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"cumulative LTV must not decrease: ${byAge.toSeq}")
+      assert(rows.map(_.getAs[Long]("n_users")).distinct.length == 1)
+    }
+    // one-channel world: 5 of 10 click-users convert -> phi_click =
+    // w(1)*(v({click}) - v(empty-set)) = 0.25 * (0.5 - 0) = 0.125
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shap").toString
+    val rows = (0 until 10).flatMap { u =>
+      val base = 1704067200000000L + u * 1000000L
+      val click = Seq((u * 10L, base, u.toLong, "click", 1.0, "{}"))
+      val buy = if (u < 5) Seq((u * 10L + 1, base + 1000000L, u.toLong, "purchase", 5.0, "{}"))
+                else Seq.empty
+      click ++ buy
+    }
+    rows.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(tsus) AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val sh = SparkEntry.queries("q338_shapley_attribution")(spark, tmp).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("shapley")).toMap
+    assert(sh == Map("click" -> 0.125), s"$sh")
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
