@@ -303,6 +303,107 @@ object FeatureOps {
     QueryDef("q173_null_semantics", FeatureOps.nullParitySql) { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events")
       s.sql(FeatureOps.nullParitySql)
+    },
+
+    /** Time-decayed activity counters — the feature-store primitive
+      * behind "clicks in the last week, exponentially weighted": at
+      * each purchase, Σ over the user's PRIOR clicks of exp(−λ·Δt),
+      * λ = 0.1/day (≈7-day half-life). The naive per-row rescan is
+      * O(events²); the engine form is the log-space prefix trick —
+      * decompose exp(−λ(t−t_i)) = exp(−λt)·exp(λt_i), so one per-user
+      * cumulative window over exp(λt_i) terms gives every event's
+      * counter in a single pass (exponent bounded by λ·calendar-span,
+      * safe by construction — td is anchored at the dataset epoch
+      * 2024-01-01, NOT the unix epoch, precisely so the exponent stays
+      * small). User-partitioned window = the natural high-cardinality
+      * key.
+      */
+    QueryDef(
+      "q341_decay_features",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS td
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, td,
+        |    sum(CASE WHEN event_type = 'click' THEN exp(0.1 * td) ELSE 0.0 END)
+        |      OVER (PARTITION BY user_id ORDER BY td, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumg
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  round(exp(-0.1 * td) * coalesce(cumg, 0.0), 6) AS decayed_clicks
+        |FROM g WHERE event_type = 'purchase'
+        |ORDER BY round(exp(-0.1 * td) * coalesce(cumg, 0.0), 6) DESC, event_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ((unix_micros(col("ts")) - lit(1704067200000000L)) / 86400000000.0).as("td"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("td"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("cumg",
+          sum(when(col("event_type") === "click", exp(lit(0.1) * col("td")))
+            .otherwise(0.0)).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          round(exp(lit(-0.1) * col("td")) * coalesce(col("cumg"), lit(0.0)), 6)
+            .as("decayed_clicks"))
+        .orderBy(col("decayed_clicks").desc, col("event_id")).limit(20)
+    },
+
+    /** Column-encoding advisor — the layout audit a lakehouse compactor
+      * (q234) consults per column: distinct-value ratio and mean
+      * same-value run length along the table's natural sort
+      * (orderkey, linenumber), mapped to dictionary / RLE / plain
+      * recommendations. Runs are counted inside orderkey groups (the
+      * high-cardinality window key — never a global sort); the four
+      * audited columns unpivot into one pass.
+      */
+    QueryDef(
+      "q342_encoding_advisor",
+      """WITH v AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, cname, val FROM (
+        |    SELECT l_orderkey, l_linenumber,
+        |      unnest(['l_returnflag', 'l_linestatus', 'l_shipdate', 'l_quantity']) AS cname,
+        |      unnest([CAST(l_returnflag AS VARCHAR), CAST(l_linestatus AS VARCHAR),
+        |              CAST(l_shipdate AS VARCHAR), CAST(l_quantity AS VARCHAR)]) AS val
+        |    FROM lineitem) t),
+        |r AS (
+        |  SELECT cname, val,
+        |    CASE WHEN lag(val) OVER (PARTITION BY cname, ok ORDER BY ln, val) IS DISTINCT FROM val
+        |         THEN 1 ELSE 0 END AS run_start
+        |  FROM v),
+        |a AS (
+        |  SELECT cname, count(*) AS n, count(DISTINCT val) AS ndv,
+        |    sum(run_start) AS runs
+        |  FROM r GROUP BY 1)
+        |SELECT cname AS col_name, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+        |  round(CAST(n AS DOUBLE) / runs, 4) AS mean_run,
+        |  CASE WHEN CAST(ndv AS DOUBLE) / n < 0.001 AND CAST(n AS DOUBLE) / runs >= 2.0
+        |         THEN 'rle'
+        |       WHEN CAST(ndv AS DOUBLE) / n < 0.01 THEN 'dictionary'
+        |       ELSE 'plain' END AS advice
+        |FROM a ORDER BY cname""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val v = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        expr("""stack(4,
+          | 'l_returnflag', cast(l_returnflag as string),
+          | 'l_linestatus', cast(l_linestatus as string),
+          | 'l_shipdate', cast(l_shipdate as string),
+          | 'l_quantity', cast(l_quantity as string)) AS (cname, val)""".stripMargin))
+      val w = Window.partitionBy(col("cname"), col("ok")).orderBy(col("ln"), col("val"))
+      val r = v.withColumn("run_start",
+        when(not(lag(col("val"), 1).over(w) <=> col("val")), 1).otherwise(0))
+      r.groupBy(col("cname"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("val")).as("ndv"),
+          sum(col("run_start")).as("runs"))
+        .select(col("cname").as("col_name"), col("n").cast("long").as("n"),
+          col("ndv").cast("long").as("ndv"),
+          round(col("n").cast("double") / col("runs"), 4).as("mean_run"),
+          when(col("ndv").cast("double") / col("n") < 0.001 &&
+              col("n").cast("double") / col("runs") >= 2.0, "rle")
+            .when(col("ndv").cast("double") / col("n") < 0.01, "dictionary")
+            .otherwise("plain").as("advice"))
+        .orderBy("col_name")
     }
   )
 }

@@ -94,6 +94,54 @@ object PrivacyOps {
           sum(when(col("sz") < 5, col("sz")).otherwise(0)).cast("long").as("records_lt5"),
           (min(col("sz")) >= 5).cast("int").as("k5_ok"))
         .orderBy("width")
+    },
+
+    /** Differentially-private count release via the Laplace mechanism
+      * (Dwork et al., TCC 2006): per-(type, day) event counts +
+      * Laplace(Δf/ε) noise at ε = 1, sensitivity 1. The noise stream
+      * here is SEEDED (md5 of the cell key → uniform → inverse-CDF
+      * Laplace) so the release is reproducible and oracle-verifiable —
+      * the mechanism, scale calibration, and post-processing
+      * (max(0, round)) are the real thing; a production deployment
+      * swaps the hash draw for a CSPRNG, which changes no plan shape.
+      * Map-side per cell after the one grouped count; the ε ledger is
+      * the single summary row every DP pipeline must carry.
+      */
+    QueryDef(
+      "q340_dp_release",
+      """WITH c AS (
+        |  SELECT event_type AS et,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT et, di, n,
+        |    CAST(('0x' || substr(md5(et || '#' || di || '#dp1'), 1, 13))::BIGINT AS DOUBLE)
+        |      / 4503599627370496.0 - 0.5 AS u
+        |  FROM c),
+        |r AS (
+        |  SELECT et, di, n,
+        |    -1.0 * (CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END)
+        |      * ln(greatest(1.0 - 2.0 * abs(u), 1e-15)) AS lap
+        |  FROM z)
+        |SELECT et AS event_type, CAST(di AS BIGINT) AS di,
+        |  greatest(0, CAST(round(n + lap, 0) AS BIGINT)) AS dp_count,
+        |  round(lap, 6) AS noise
+        |FROM r ORDER BY et, di LIMIT 40""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("u",
+          conv(substring(md5(concat(col("et"), lit("#"), col("di"), lit("#dp1"))), 1, 13), 16, 10)
+            .cast("double") / 4503599627370496.0 - 0.5)
+        .withColumn("lap",
+          lit(-1.0) * when(col("u") < 0, -1.0).otherwise(1.0) *
+            log(greatest(lit(1.0) - lit(2.0) * abs(col("u")), lit(1e-15))))
+        .select(col("et").as("event_type"), col("di").cast("long").as("di"),
+          greatest(lit(0L), round(col("n") + col("lap"), 0).cast("long")).as("dp_count"),
+          round(col("lap"), 6).as("noise"))
+        .orderBy("event_type", "di").limit(40)
     }
   )
 }

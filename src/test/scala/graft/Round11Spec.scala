@@ -309,6 +309,44 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sh == Map("click" -> 0.125), s"$sh")
   }
 
+  test("q340-q342: DP noise is Laplace-scaled and reproducible; decay feature matches the closed form; advisor is sane") {
+    val dp = SparkEntry.queries("q340_dp_release")(spark, sf).collect()
+    assert(dp.nonEmpty)
+    dp.foreach(r => assert(r.getAs[Long]("dp_count") >= 0L))
+    val meanAbs = dp.map(r => math.abs(r.getAs[Double]("noise"))).sum / dp.length
+    assert(meanAbs > 0.2 && meanAbs < 3.0, s"E|Laplace(1)| = 1, got $meanAbs")
+    val dp2 = SparkEntry.queries("q340_dp_release")(spark, sf).collect()
+    assert(dp.toSeq == dp2.toSeq, "seeded release must be reproducible")
+
+    // closed form: one click at day 0, purchase at day 7 -> exp(-0.7)
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decay").toString
+    val day = 86400000000L
+    Seq((1L, 1704067200000000L, 9L, "click", 1.0, "{}"),
+        (2L, 1704067200000000L + 7 * day, 9L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(tsus) AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val dec = SparkEntry.queries("q341_decay_features")(spark, tmp).collect()
+    assert(dec.length == 1)
+    val expect = BigDecimal(math.exp(-0.7))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(dec.head.getAs[Double]("decayed_clicks") - expect) < 1e-9, s"${dec.head}")
+
+    val adv = SparkEntry.queries("q342_encoding_advisor")(spark, sf).collect()
+    assert(adv.length == 4)
+    adv.foreach { r =>
+      assert(Set("rle", "dictionary", "plain")(r.getAs[String]("advice")))
+      assert(r.getAs[Double]("mean_run") >= 1.0)
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n"))
+    }
+    // the 2-3 value flag columns must never be advised 'plain'
+    val flag = adv.find(_.getAs[String]("col_name") == "l_returnflag").get
+    assert(flag.getAs[String]("advice") != "plain", s"$flag")
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
