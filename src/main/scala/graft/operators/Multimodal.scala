@@ -112,6 +112,77 @@ object Multimodal {
           sum("n_vowels").as("total_vowels"),
           sum("n_spaces").as("total_spaces"))
         .orderBy("source")
+    },
+
+    /** Budgeted frame-sampling PLAN — the scheduling half of video
+      * ingestion: a global budget of 200 "frames" is split across the
+      * sampled assets proportionally to payload length by
+      * largest-remainder (Hamilton) apportionment — pure integer
+      * arithmetic, so the plan is bit-deterministic and the oracle
+      * recomputes it exactly — then each asset's quota becomes evenly
+      * spaced byte offsets with an md5 "frame read" at each (the
+      * seek-pattern a real decoder executes). Shapes that matter at
+      * 100 TB: apportionment runs on the ASSET-grain row set (one row
+      * per asset, windows over that tiny table), plan rows explode
+      * map-side from each asset row, and the payload is only ever
+      * touched at the planned offsets.
+      */
+    QueryDef(
+      "q343_frame_plan",
+      """WITH assets AS (
+        |  SELECT doc_id, text, length(text) AS n_bytes
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tot AS (SELECT sum(n_bytes) AS w, count(*) AS na FROM assets),
+        |quota AS (
+        |  SELECT doc_id, text, n_bytes,
+        |    CAST(200 * n_bytes // w AS BIGINT) AS base,
+        |    200 * n_bytes % w AS rem
+        |  FROM assets CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, doc_id) AS rr,
+        |    200 - sum(base) OVER () AS leftover
+        |  FROM quota),
+        |alloc AS (
+        |  SELECT doc_id, text, n_bytes,
+        |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS q
+        |  FROM ranked),
+        |plan AS (
+        |  SELECT doc_id, n_bytes, q, unnest(range(0, q)) AS frame_idx
+        |  FROM alloc WHERE q > 0),
+        |reads AS (
+        |  SELECT p.doc_id, p.q, p.frame_idx,
+        |    CAST(p.frame_idx * p.n_bytes // p.q AS BIGINT) AS byte_offset,
+        |    md5(substr(a.text, 1 + CAST(p.frame_idx * p.n_bytes // p.q AS INT), 8)) AS frame_md5
+        |  FROM plan p JOIN alloc a ON a.doc_id = p.doc_id)
+        |SELECT doc_id, CAST(q AS BIGINT) AS quota, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  byte_offset, frame_md5
+        |FROM reads ORDER BY doc_id, frame_idx LIMIT 60""".stripMargin) { (s, d) =>
+      val assets = Tables.documents(s, d)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n_bytes"))
+      val tot = assets.agg(sum(col("n_bytes")).as("w"), count(lit(1)).as("na"))
+      val quota = assets.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("text"), col("n_bytes"),
+          expr("(200 * n_bytes) div w").as("base"),
+          (lit(200L) * col("n_bytes") % col("w")).as("rem"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("doc_id"))
+      val alloc = quota
+        .withColumn("rr", row_number().over(wRank))
+        .withColumn("leftover", lit(200L) - sum(col("base")).over(wAll))
+        .select(col("doc_id"), col("text"), col("n_bytes"),
+          (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("q"))
+      alloc.where(col("q") > 0)
+        .select(col("doc_id"), col("text"), col("n_bytes"), col("q"),
+          explode(sequence(lit(0L), col("q") - 1)).as("frame_idx"))
+        .select(col("doc_id"), col("q").as("quota"), col("frame_idx"),
+          expr("(frame_idx * n_bytes) div q").as("byte_offset"),
+          md5(col("text").substr(
+            (lit(1L) + expr("(frame_idx * n_bytes) div q")).cast("int"),
+            lit(8))).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx").limit(60)
     }
   )
 }

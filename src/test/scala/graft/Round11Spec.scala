@@ -347,6 +347,22 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flag.getAs[String]("advice") != "plain", s"$flag")
   }
 
+  test("q343 frame plan: contiguous frame indices, monotone offsets, quota-consistent") {
+    val rows = SparkEntry.queries("q343_frame_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { fr =>
+      val sorted = fr.sortBy(_.getAs[Long]("frame_idx"))
+      val idxs = sorted.map(_.getAs[Long]("frame_idx"))
+      assert(idxs.head == 0L && idxs.zip(idxs.tail).forall { case (a, b) => b == a + 1 },
+        s"frame indices must be contiguous from 0: ${idxs.toSeq}")
+      val offs = sorted.map(_.getAs[Long]("byte_offset"))
+      assert(offs.zip(offs.tail).forall { case (a, b) => b > a },
+        s"byte offsets must strictly increase: ${offs.toSeq}")
+      assert(fr.map(_.getAs[Long]("quota")).distinct.length == 1)
+      assert(idxs.length <= fr.head.getAs[Long]("quota"))
+    }
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
