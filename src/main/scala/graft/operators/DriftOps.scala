@@ -154,6 +154,71 @@ object DriftOps {
       w1FromCounts(s, binnedCounts(s, d))
     },
 
+    /** Drift-gated retrain trigger — the DECISION layer on top of the
+      * divergence shelf: per event type, PSI (bin-local), W1
+      * (cumulative) and the signed shift from the SAME binned count
+      * state, mapped to the standard alerting policy (PSI > 0.2 = the
+      * industry "significant shift" cut, or |W1| evidence of a
+      * directional move). One count table feeds all three metrics —
+      * the whole decision costs nothing beyond q281's two aggregates.
+      */
+    QueryDef(
+      "q345_retrain_trigger", {
+        val qsSql = (1 to 9).map(k => s"quantile_cont(v, 0.$k) AS q$k").mkString(", ")
+        val binSql = (1 to 9).map(k =>
+          s"(CASE WHEN round(v, 9) > round(q$k, 9) THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT event_type AS et, value AS v,
+           |    ts < TIMESTAMP '2024-01-16' AS is_ref
+           |  FROM events),
+           |q AS (SELECT et AS qet, $qsSql FROM e WHERE is_ref GROUP BY 1),
+           |b AS (
+           |  SELECT et, is_ref, 1 + $binSql AS bin
+           |  FROM e JOIN q ON et = qet),
+           |c AS (
+           |  SELECT et, bin, count_if(is_ref) AS nr, count_if(NOT is_ref) AS nc
+           |  FROM b GROUP BY 1, 2),
+           |t AS (SELECT et AS tet, sum(nr) AS tr, sum(nc) AS tc FROM c GROUP BY 1),
+           |f AS (
+           |  SELECT et, bin,
+           |    greatest(CAST(nr AS DOUBLE) / tr, 1e-6) AS rf,
+           |    greatest(CAST(nc AS DOUBLE) / tc, 1e-6) AS cf
+           |  FROM c JOIN t ON tet = et),
+           |psi AS (
+           |  SELECT et,
+           |    round(CAST(sum(CAST((cf - rf) * ln(cf / rf) AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+           |  FROM f GROUP BY 1),
+           |dense AS (
+           |  SELECT ty.et, g.bin, coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+           |  FROM (SELECT DISTINCT et FROM c) ty
+           |  CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) g
+           |  LEFT JOIN c ON c.et = ty.et AND c.bin = g.bin),
+           |t2 AS (SELECT et AS tet, sum(nr) AS tr, sum(nc) AS tc FROM dense GROUP BY 1),
+           |cu AS (
+           |  SELECT et, bin,
+           |    CAST(sum(nr) OVER (PARTITION BY et ORDER BY bin) AS DOUBLE) / tr AS cr,
+           |    CAST(sum(nc) OVER (PARTITION BY et ORDER BY bin) AS DOUBLE) / tc AS cc
+           |  FROM dense JOIN t2 ON tet = et),
+           |w1 AS (
+           |  SELECT et,
+           |    round(CAST(sum(CAST(abs(cr - cc) AS DECIMAL(38,12))) AS DOUBLE), 6) AS w1_bins,
+           |    round(CAST(sum(CAST(cc - cr AS DECIMAL(38,12))) AS DOUBLE), 6) AS signed_shift
+           |  FROM cu GROUP BY 1)
+           |SELECT psi.et AS event_type, psi.psi, w1.w1_bins, w1.signed_shift,
+           |  CAST(psi.psi > 0.2 OR w1.w1_bins > 0.5 OR abs(w1.signed_shift) > 0.3 AS INT)
+           |    AS retrain
+           |FROM psi JOIN w1 ON w1.et = psi.et ORDER BY event_type""".stripMargin
+      }) { (s, d) =>
+      val c = binnedCounts(s, d)
+      val psi = psiFromCounts(c).select(col("event_type").as("pet"), col("psi"))
+      val w1 = w1FromCounts(s, c)
+      w1.join(psi, col("pet") === col("event_type"))
+        .select(col("event_type"), col("psi"), col("w1_bins"), col("signed_shift"),
+          (col("psi") > 0.2 || col("w1_bins") > 0.5 || abs(col("signed_shift")) > 0.3)
+            .cast("int").as("retrain"))
+        .orderBy("event_type")
+    },
+
     /** Split-conformal prediction intervals on the seasonal-naive
       * forecast (q269's evaluation rows): calibration days (di ≤ 21)
       * yield the k-th smallest absolute residual with

@@ -624,6 +624,65 @@ object StatsOps {
         .select(col("scope"), round(col("est"), 2).as("est"), col("truth"),
           r6(abs(col("est") - col("truth")) / col("truth")).as("rel_err"))
         .orderBy("scope")
+    },
+
+    /** Join-cardinality estimation bake-off — the statistic a
+      * cost-based planner actually consumes (q255 proved stats flip a
+      * join strategy; this measures how good the estimate is): for the
+      * filtered orders ⋈ lineitem equi-join, the TRUE output size
+      * Σ_k ca_k·cb_k (computed from per-key count tables — the join
+      * itself never runs), the 1024-bucket hashed-histogram estimate
+      * Σ_b ca_b·cb_b (what a bounded-memory planner stores; an upper
+      * bound by Cauchy-Schwarz within buckets), and the textbook
+      * containment estimate |A|·|B|/max(ndv) — with their error
+      * ratios. All integer arithmetic on count tables; the widest
+      * shuffle is key-grain counts.
+      */
+    QueryDef(
+      "q346_join_card_estimate",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, count(*) AS ca FROM orders
+        |  WHERE o_totalprice > 200000 GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+        |ex AS (SELECT sum(a.ca * b.cb) AS true_card FROM a JOIN b ON b.k = a.k),
+        |ab AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bk,
+        |              sum(ca) AS ca FROM a GROUP BY 1),
+        |bb AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 1024 AS bk,
+        |              sum(cb) AS cb FROM b GROUP BY 1),
+        |es AS (SELECT sum(ab.ca * bb.cb) AS bucket_est FROM ab JOIN bb ON bb.bk = ab.bk),
+        |tot AS (
+        |  SELECT (SELECT sum(ca) FROM a) AS na, (SELECT sum(cb) FROM b) AS nb,
+        |    (SELECT count(*) FROM a) AS ndva, (SELECT count(*) FROM b) AS ndvb)
+        |SELECT CAST(ex.true_card AS BIGINT) AS true_card,
+        |  CAST(es.bucket_est AS BIGINT) AS bucket_est,
+        |  round(CAST(es.bucket_est AS DOUBLE) / ex.true_card, 4) AS bucket_ratio,
+        |  CAST(tot.na * tot.nb // greatest(tot.ndva, tot.ndvb) AS BIGINT) AS containment_est,
+        |  round(CAST(tot.na * tot.nb // greatest(tot.ndva, tot.ndvb) AS DOUBLE)
+        |    / ex.true_card, 4) AS containment_ratio
+        |FROM ex CROSS JOIN es CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).where(col("o_totalprice") > 200000)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val b = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k2")).agg(count(lit(1)).as("cb"))
+      val ex = a.join(b, col("k2") === col("k"))
+        .agg(sum(col("ca") * col("cb")).as("true_card"))
+      def bucketed(df: DataFrame, key: String, cnt: String) =
+        df.groupBy((conv(substring(md5(col(key).cast("string")), 1, 15), 16, 10)
+            .cast("long") % 1024).as("bk"))
+          .agg(sum(col(cnt)).as(cnt))
+      val es = bucketed(a, "k", "ca")
+        .join(bucketed(b, "k2", "cb").withColumnRenamed("bk", "bk2"),
+          col("bk2") === col("bk"))
+        .agg(sum(col("ca") * col("cb")).as("bucket_est"))
+      val tot = a.agg(sum(col("ca")).as("na"), count(lit(1)).as("ndva"))
+        .crossJoin(b.agg(sum(col("cb")).as("nb"), count(lit(1)).as("ndvb")))
+      ex.crossJoin(es).crossJoin(tot)
+        .select(col("true_card").cast("long").as("true_card"),
+          col("bucket_est").cast("long").as("bucket_est"),
+          round(col("bucket_est").cast("double") / col("true_card"), 4).as("bucket_ratio"),
+          expr("(na * nb) div greatest(ndva, ndvb)").as("containment_est"),
+          round(expr("(na * nb) div greatest(ndva, ndvb)").cast("double") /
+            col("true_card"), 4).as("containment_ratio"))
     }
   )
 }

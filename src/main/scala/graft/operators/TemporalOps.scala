@@ -579,6 +579,68 @@ object TemporalOps {
           col("n_total").cast("long").as("n_total"),
           round(col("n_erase").cast("double") / col("n_total"), 6).as("frac"))
         .orderBy("tbl")
+    },
+
+    /** Bitemporal (valid-time × transaction-time) reconstruction — the
+      * dimension q150's SCD2 and q164's as-of snapshot each cover HALF
+      * of: "what did we believe on tx-date T_k the world looked like on
+      * valid-date T_v". Versions are synthesized deterministically
+      * (every 10th order receives a +1% restated price recorded 150
+      * days later); the readout reconstructs the SAME effective date
+      * 1998-01-01 as known at two transaction cuts, so the restatement
+      * wave is visible as n_corrected and total drift between the two
+      * snapshots. Per-(cut, order) version pick = max_by on
+      * (tx_from, version) — one key-grain aggregate after a 2-row cut
+      * fan-out; no window wider than the order key.
+      */
+    QueryDef(
+      "q344_bitemporal",
+      """WITH v AS (
+        |  SELECT o_orderkey AS ok, o_orderstatus AS st, o_orderdate AS valid_from,
+        |    o_orderdate AS tx_from, o_totalprice AS price, 1 AS ver
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |    o_orderdate + INTERVAL 150 DAY, o_totalprice * 1.01, 2
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |cuts AS (SELECT unnest(['1998-06-01', '1999-06-01']) AS tx_cut),
+        |vis AS (
+        |  SELECT c.tx_cut, v.ok, v.st, v.price, v.ver,
+        |    row_number() OVER (PARTITION BY c.tx_cut, v.ok
+        |                       ORDER BY v.tx_from DESC, v.ver DESC) AS rn
+        |  FROM v CROSS JOIN cuts c
+        |  WHERE v.valid_from <= TIMESTAMP '1998-01-01'
+        |    AND v.tx_from <= CAST(c.tx_cut AS TIMESTAMP)),
+        |st AS (SELECT tx_cut, ok, st, price, ver FROM vis WHERE rn = 1)
+        |SELECT tx_cut, st AS status, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(price, 2) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        |  CAST(sum(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected
+        |FROM st GROUP BY 1, 2 ORDER BY tx_cut, status""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val v1 = o.select(col("o_orderkey").as("ok"), col("o_orderstatus").as("st"),
+        col("o_orderdate").as("valid_from"), col("o_orderdate").as("tx_from"),
+        col("o_totalprice").as("price"), lit(1).as("ver"))
+      val v2 = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("ok"), col("o_orderstatus").as("st"),
+          col("o_orderdate").as("valid_from"),
+          (col("o_orderdate") + expr("INTERVAL 150 DAY")).as("tx_from"),
+          (col("o_totalprice") * 1.01).as("price"), lit(2).as("ver"))
+      val cuts = Seq("1998-06-01", "1999-06-01").toDF("tx_cut")
+      v1.unionByName(v2)
+        .crossJoin(broadcast(cuts))
+        .where(col("valid_from") <= lit("1998-01-01").cast("timestamp") &&
+          col("tx_from") <= col("tx_cut").cast("timestamp"))
+        .groupBy(col("tx_cut"), col("ok"))
+        .agg(max_by(struct(col("st"), col("price"), col("ver")),
+          struct(col("tx_from"), col("ver"))).as("pick"))
+        .select(col("tx_cut"), col("pick.st").as("status"),
+          col("pick.price").as("price"), col("pick.ver").as("ver"))
+        .groupBy(col("tx_cut"), col("status"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(round(col("price"), 2).cast("decimal(18,2)")).cast("double"), 2).as("total"),
+          sum(when(col("ver") === 2, 1).otherwise(0)).cast("long").as("n_corrected"))
+        .orderBy("tx_cut", "status")
     }
   )
 

@@ -363,6 +363,40 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q344-q346: bitemporal corrections only appear at the later tx cut; trigger composes its inputs; estimator brackets truth") {
+    val bt = SparkEntry.queries("q344_bitemporal")(spark, sf).collect()
+    val byCut = bt.groupBy(_.getAs[String]("tx_cut"))
+    assert(byCut.keySet == Set("1998-06-01", "1999-06-01"))
+    val nCorr = byCut.map { case (c, rows) => c -> rows.map(_.getAs[Long]("n_corrected")).sum }
+    assert(nCorr("1999-06-01") >= nCorr("1998-06-01"),
+      s"later knowledge can only add corrections: $nCorr")
+    // same effective date: row counts per status must MATCH across cuts
+    val nByCut = byCut.map { case (c, rows) => c -> rows.map(r =>
+      r.getAs[String]("status") -> r.getAs[Long]("n")).toMap }
+    assert(nByCut("1998-06-01") == nByCut("1999-06-01"),
+      "the effective-date population is fixed; only prices restate")
+
+    val tr = SparkEntry.queries("q345_retrain_trigger")(spark, sf).collect()
+    val psi = SparkEntry.queries("q281_psi_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("psi")).toMap
+    val w1 = SparkEntry.queries("q333_wasserstein")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("w1_bins")).toMap
+    tr.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Double]("psi") == psi(et), "trigger must reuse q281's exact psi")
+      assert(r.getAs[Double]("w1_bins") == w1(et), "trigger must reuse q333's exact W1")
+      val expect = if (r.getAs[Double]("psi") > 0.2 || r.getAs[Double]("w1_bins") > 0.5 ||
+        math.abs(r.getAs[Double]("signed_shift")) > 0.3) 1 else 0
+      assert(r.getAs[Int]("retrain") == expect)
+    }
+
+    val ce = SparkEntry.queries("q346_join_card_estimate")(spark, sf).head()
+    assert(ce.getAs[Long]("bucket_est") >= ce.getAs[Long]("true_card"),
+      "bucketed product over-counts cross-key collisions, never under")
+    assert(ce.getAs[Double]("bucket_ratio") >= 1.0)
+    assert(ce.getAs[Long]("true_card") > 0L)
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
