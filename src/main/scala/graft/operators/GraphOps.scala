@@ -217,6 +217,71 @@ object GraphOps {
         .orderBy("channel")
     },
 
+    /** Degree assortativity (Newman, PRL 89:208701, 2002) of the
+      * co-purchase graph: the Pearson correlation of endpoint degrees
+      * across directed edge instances — do popular parts co-occur with
+      * popular parts (assortative, r > 0) or with niche ones
+      * (disassortative, r < 0)? The one-number mixing summary
+      * completing the structural shelf (q151 PageRank, q159 triangles,
+      * q285 Adamic-Adar, q311 HITS, q331 item-CF). Basket-idiom edge
+      * build (no fact self-join), degree table joined to both
+      * endpoints, decimal moment sums — one scalar row out.
+      */
+    QueryDef(
+      "q349_assortativity",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |dg AS (SELECT u AS w, count(*) AS deg FROM sym GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(du.deg AS DOUBLE) AS x, CAST(dv.deg AS DOUBLE) AS y
+        |  FROM sym JOIN dg du ON du.w = sym.u JOIN dg dv ON dv.w = sym.v),
+        |mm AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM pe)
+        |SELECT CAST(n AS BIGINT) AS n_edge_ends,
+        |  round(sx / n, 4) AS mean_deg,
+        |  round((n * sxy - sx * sy)
+        |    / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6) AS assortativity
+        |FROM mm""".stripMargin) { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val ed = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("pr"))
+        .select(col("pr.u").as("u"), col("pr.v").as("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
+        .select(col("u"), col("v"))
+      val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+      val dg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      val pe = sym
+        .join(dg.select(col("w").as("wu"), col("deg").as("du")), col("wu") === col("u"))
+        .join(dg.select(col("w").as("wv"), col("deg").as("dv")), col("wv") === col("v"))
+        .select(col("du").cast("double").as("x"), col("dv").cast("double").as("y"))
+      pe.agg(count(lit(1)).as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"))
+        .select(col("n").cast("long").as("n_edge_ends"),
+          round(col("sx") / col("n"), 4).as("mean_deg"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)))
+            .as("assortativity"))
+    },
+
     /** Markov-chain (removal-effect) attribution: per-session journeys
       * (q54's 1800 s sessionization, consecutive duplicate states
       * collapsed, cut at the first purchase) define an absorbing chain

@@ -245,6 +245,109 @@ object SeriesOps {
         .orderBy("el")
     },
 
+    /** Automatic AR order selection by BIC — the missing step between
+      * q283's PACF diagnostics and the AR-family models (q230/q300/
+      * q325 all FIX their lag order): Durbin-Levinson's variance
+      * recursion σ²_p = σ²_{p−1}(1 − φ²_pp) gives the exact in-sample
+      * innovation variance of AR(p) for p = 1..3 straight from the
+      * ACF — no per-order refits — and BIC_p = n·ln σ²_p + p·ln n
+      * picks the order (ties → smaller p, compared on round-6 values
+      * so the choice is engine-deterministic). Same grid-only cost as
+      * q283: decimal ACF sums, then O(P) scalar arithmetic.
+      */
+    QueryDef(
+      "q348_ar_order_bic",
+      s"""WITH $dailySql,
+        |m AS (
+        |  SELECT el, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS vb
+        |  FROM daily GROUP BY 1),
+        |dv AS (
+        |  SELECT d.el, d.di, d.v - m.vb AS dev
+        |  FROM daily d JOIN m ON m.el = d.el),
+        |c0 AS (
+        |  SELECT el, count(*) AS n_days,
+        |    CAST(sum(CAST(dev * dev AS DECIMAL(38,12))) AS DOUBLE) AS c0
+        |  FROM dv GROUP BY 1),
+        |ck AS (
+        |  SELECT a.el, l.k,
+        |    CAST(sum(CAST(a.dev * b.dev AS DECIMAL(38,12))) AS DOUBLE) AS ck
+        |  FROM dv a
+        |  CROSS JOIN (VALUES (1), (2), (3)) l(k)
+        |  JOIN dv b ON b.el = a.el AND b.di = a.di + l.k
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c0.el, max(c0.n_days) AS n_days, max(c0.c0) AS c0,
+        |    max(CASE WHEN k = 1 THEN ck / c0 END) AS r1,
+        |    max(CASE WHEN k = 2 THEN ck / c0 END) AS r2,
+        |    max(CASE WHEN k = 3 THEN ck / c0 END) AS r3
+        |  FROM ck JOIN c0 ON ck.el = c0.el GROUP BY 1),
+        |dl AS (
+        |  SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+        |  FROM r),
+        |dl2 AS (
+        |  SELECT *, r1 - phi22 * r1 AS phi21,
+        |    c0 / n_days AS s0
+        |  FROM dl),
+        |dl3 AS (
+        |  SELECT *,
+        |    (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2) AS phi33,
+        |    s0 * (1 - r1 * r1) AS v1
+        |  FROM dl2),
+        |dl4 AS (
+        |  SELECT *, v1 * (1 - phi22 * phi22) AS v2 FROM dl3),
+        |dl5 AS (
+        |  SELECT *, v2 * (1 - phi33 * phi33) AS v3 FROM dl4),
+        |bic AS (
+        |  SELECT el, n_days,
+        |    round(n_days * ln(v1) + 1 * ln(CAST(n_days AS DOUBLE)), 6) AS bic1,
+        |    round(n_days * ln(v2) + 2 * ln(CAST(n_days AS DOUBLE)), 6) AS bic2,
+        |    round(n_days * ln(v3) + 3 * ln(CAST(n_days AS DOUBLE)), 6) AS bic3
+        |  FROM dl5)
+        |SELECT el, CAST(n_days AS BIGINT) AS n_days, bic1, bic2, bic3,
+        |  CAST(CASE WHEN bic1 <= bic2 AND bic1 <= bic3 THEN 1
+        |            WHEN bic2 <= bic3 THEN 2 ELSE 3 END AS INT) AS best_p
+        |FROM bic ORDER BY el""".stripMargin) { (s, d) =>
+      val g = daily(s, d)
+      val m = g.groupBy(col("el").as("mel"))
+        .agg((dsum(col("v")) / count(lit(1))).as("vb"))
+      val dv = g.join(broadcast(m), col("mel") === col("el"))
+        .select(col("el"), col("di"), (col("v") - col("vb")).as("dev"))
+      val c0 = dv.groupBy(col("el").as("cel"))
+        .agg(count(lit(1)).as("n_days"), dsum(col("dev") * col("dev")).as("c0"))
+      import s.implicits._
+      val lags = Seq(1, 2, 3).toDF("k")
+      val b = dv.select(col("el").as("elb"), col("di").as("dib"), col("dev").as("devb"))
+      val ck = dv.crossJoin(broadcast(lags))
+        .join(b, col("elb") === col("el") && col("dib") === col("di") + col("k"))
+        .groupBy("el", "k")
+        .agg(dsum(col("dev") * col("devb")).as("ck"))
+      val r = ck.join(broadcast(c0), col("cel") === col("el"))
+        .groupBy("el")
+        .agg(max(col("n_days")).as("n_days"), max(col("c0")).as("c0"),
+          max(when(col("k") === 1, col("ck") / col("c0"))).as("r1"),
+          max(when(col("k") === 2, col("ck") / col("c0"))).as("r2"),
+          max(when(col("k") === 3, col("ck") / col("c0"))).as("r3"))
+      val out = r
+        .withColumn("phi22",
+          (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1")))
+        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+        .withColumn("s0", col("c0") / col("n_days"))
+        .withColumn("phi33",
+          (col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1")) /
+            (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2")))
+        .withColumn("v1", col("s0") * (lit(1) - col("r1") * col("r1")))
+        .withColumn("v2", col("v1") * (lit(1) - col("phi22") * col("phi22")))
+        .withColumn("v3", col("v2") * (lit(1) - col("phi33") * col("phi33")))
+        .select(col("el"), col("n_days").cast("long").as("n_days"),
+          round(col("n_days") * log(col("v1")) + lit(1) * log(col("n_days").cast("double")), 6).as("bic1"),
+          round(col("n_days") * log(col("v2")) + lit(2) * log(col("n_days").cast("double")), 6).as("bic2"),
+          round(col("n_days") * log(col("v3")) + lit(3) * log(col("n_days").cast("double")), 6).as("bic3"))
+      out.select(col("el"), col("n_days"), col("bic1"), col("bic2"), col("bic3"),
+          when(col("bic1") <= col("bic2") && col("bic1") <= col("bic3"), 1)
+            .when(col("bic2") <= col("bic3"), 2).otherwise(3).cast("int").as("best_p"))
+        .orderBy("el")
+    },
+
     /** Banded dynamic-time-warping distance between element series, for
       * the pairs surviving the q251 causal screen — lag-tolerant shape
       * similarity where plain correlation (which the screen itself

@@ -1232,6 +1232,53 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    /** q345's retrain trigger evaluated LIVE (round 11): the decision
+      * layer on the same pinned-boundary count state as q310/q339 —
+      * every micro-batch re-derives PSI, W1 and the signed shift and
+      * re-evaluates the alerting policy, so "this type's model needs
+      * retraining" flips in the dashboard the moment the thresholds
+      * are crossed. Final refresh == batch q345 oracle bit-for-bit.
+      */
+    QueryDef(
+      "q347_stream_retrain",
+      graft.operators.DriftOps.defs.find(_.name == "q345_retrain_trigger").get
+        .oracle.get) { (s, d) =>
+      import graft.operators.DriftOps
+      val qs = DriftOps.refDeciles(s, d)
+      val typed = eventStream(s, d)
+        .withWatermark("ts", "40 days")
+        .select(col("event_type").as("et"), col("value").as("v"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+      val binned = typed.join(broadcast(qs), col("et") === col("qet"))
+        .select(col("et"), col("is_ref"),
+          (lit(1) + (1 to 9).map(k =>
+            when(round(col("v"), 9) > round(col(s"q$k"), 9), 1).otherwise(0))
+            .reduce(_ + _)).as("bin"))
+      val agg = binned.groupBy("et", "bin", "is_ref").agg(count(lit(1)).as("n"))
+      val latest = new java.util.concurrent.atomic.AtomicReference[
+        (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+      val q = withStreamConf(s) {
+        agg.writeStream.outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val c = b.groupBy("et", "bin")
+              .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("nr"),
+                sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("nc"))
+            val psi = DriftOps.psiFromCounts(c)
+              .select(col("event_type").as("pet"), col("psi"))
+            val r = DriftOps.w1FromCounts(s, c)
+              .join(psi, col("pet") === col("event_type"))
+              .select(col("event_type"), col("psi"), col("w1_bins"), col("signed_shift"),
+                (col("psi") > 0.2 || col("w1_bins") > 0.5 ||
+                  abs(col("signed_shift")) > 0.3).cast("int").as("retrain"))
+            latest.set((r.schema, r.collect()))
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      val (schema, rows) = latest.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("event_type")
+    },
+
     QueryDef(
       "q310_stream_psi",
       graft.operators.DriftOps.defs.find(_.name == "q281_psi_drift").get

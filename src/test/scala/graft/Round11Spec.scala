@@ -397,6 +397,36 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ce.getAs[Long]("true_card") > 0L)
   }
 
+  test("q348 picks order 2 on a planted AR(2); q349 assortativity is a bounded correlation") {
+    val s = spark
+    import s.implicits._
+    // AR(2) with a strong second lag: x_t = 0.2 x_{t-1} + 0.6 x_{t-2} + noise
+    val n = 120
+    var x1 = 0.3; var x2 = 0.1
+    val rows = (1 to n).map { i =>
+      val x = 0.2 * x1 + 0.6 * x2 + noise(i)
+      x2 = x1; x1 = x
+      ("a", i, x)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arbic").toString
+    rows.toDF("event_type", "dayi", "value")
+      .selectExpr("cast(dayi as long) as event_id",
+        "timestamp(date_add(date'2024-01-01', dayi)) as ts",
+        "cast(1 as long) as user_id", "event_type", "value", "'{}' as props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q348_ar_order_bic")(spark, tmp).head()
+    assert(r.getAs[Int]("best_p") == 2, s"planted AR(2) must select order 2: $r")
+    // BIC consistency with the emitted values
+    val (b1, b2, b3) = (r.getAs[Double]("bic1"), r.getAs[Double]("bic2"), r.getAs[Double]("bic3"))
+    assert(b2 <= b1 && b2 <= b3, s"$r")
+
+    val a = SparkEntry.queries("q349_assortativity")(spark, sf).head()
+    val rho = a.getAs[Double]("assortativity")
+    assert(math.abs(rho) <= 1.0 + 1e-9)
+    assert(a.getAs[Long]("n_edge_ends") % 2 == 0, "symmetric edge list has even size")
+    assert(a.getAs[Double]("mean_deg") > 0.0)
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
