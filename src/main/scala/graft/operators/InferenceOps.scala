@@ -1186,6 +1186,62 @@ object InferenceOps {
           r6(col("p_seq")).as("p_always_valid"),
           (col("p_seq") < 0.05).cast("int").as("signif"))
         .orderBy("di")
+    },
+
+    /** Intraclass correlation ICC(1) via one-way random-effects ANOVA
+      * (Shrout & Fleiss 1979) — how much of the value variance is
+      * BETWEEN users vs within: the clustering diagnostic that decides
+      * whether per-user modeling (and clustered standard errors in the
+      * A/B shelf q163/q275) is warranted at all. Unbalanced-design
+      * form: MSB/MSW from per-user decimal moments, n₀ the standard
+      * unbalanced group-size correction. One user-grain aggregate +
+      * one global fold — nothing wider than the user key shuffles.
+      */
+    QueryDef(
+      "q352_icc",
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS ni,
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS k,
+        |    CAST(sum(ni) AS DOUBLE) AS nt,
+        |    CAST(sum(CAST(sx AS DECIMAL(38,12))) AS DOUBLE) AS gx,
+        |    CAST(sum(CAST(sxx AS DECIMAL(38,12))) AS DOUBLE) AS gxx,
+        |    CAST(sum(CAST(sx * sx / ni AS DECIMAL(38,12))) AS DOUBLE) AS ssb_raw,
+        |    CAST(sum(CAST(CAST(ni AS DOUBLE) * ni AS DECIMAL(38,12))) AS DOUBLE) AS sn2
+        |  FROM u),
+        |f AS (
+        |  SELECT k, nt,
+        |    (ssb_raw - gx * gx / nt) / (k - 1) AS msb,
+        |    (gxx - ssb_raw) / (nt - k) AS msw,
+        |    (nt - sn2 / nt) / (k - 1) AS n0
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS n_users, CAST(nt AS BIGINT) AS n_obs,
+        |  round(msb, 6) AS msb, round(msw, 6) AS msw, round(n0, 6) AS n0,
+        |  round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc1
+        |FROM f""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("ni"),
+          sum(col("value").cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      val g = u.agg(count(lit(1)).as("k"),
+        sum(col("ni")).cast("double").as("nt"),
+        sum(col("sx").cast("decimal(38,12)")).cast("double").as("gx"),
+        sum(col("sxx").cast("decimal(38,12)")).cast("double").as("gxx"),
+        sum((col("sx") * col("sx") / col("ni")).cast("decimal(38,12)")).cast("double").as("ssb_raw"),
+        sum((col("ni").cast("double") * col("ni")).cast("decimal(38,12)")).cast("double").as("sn2"))
+      g.select(col("k"), col("nt"),
+          ((col("ssb_raw") - col("gx") * col("gx") / col("nt")) / (col("k") - 1)).as("msb"),
+          ((col("gxx") - col("ssb_raw")) / (col("nt") - col("k"))).as("msw"),
+          ((col("nt") - col("sn2") / col("nt")) / (col("k") - 1)).as("n0"))
+        .select(col("k").cast("long").as("n_users"), col("nt").cast("long").as("n_obs"),
+          round(col("msb"), 6).as("msb"), round(col("msw"), 6).as("msw"),
+          round(col("n0"), 6).as("n0"),
+          round((col("msb") - col("msw")) /
+            (col("msb") + (col("n0") - 1) * col("msw")), 6).as("icc1"))
     }
   )
 }

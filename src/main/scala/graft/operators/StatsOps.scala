@@ -683,6 +683,145 @@ object StatsOps {
           expr("(na * nb) div greatest(ndva, ndvb)").as("containment_est"),
           round(expr("(na * nb) div greatest(ndva, ndvb)").cast("double") /
             col("true_card"), 4).as("containment_ratio"))
+    },
+
+    /** Foreign-key discovery by inclusion-dependency profiling — the
+      * data-catalog pass that finds joinable columns without schema
+      * metadata: for each candidate (child, parent) key pair, the
+      * fraction of the child's DISTINCT values contained in the parent
+      * (semi-join on the key-grain distinct sets, never row-grain);
+      * containment ≥ 0.999 flags an FK candidate. Includes a designed
+      * NEGATIVE pair so the flag demonstrably discriminates.
+      */
+    QueryDef(
+      "q350_fk_discovery",
+      """WITH t AS (
+        |  SELECT 'events.user_id->customer.c_custkey' AS pair,
+        |    (SELECT count(DISTINCT user_id) FROM events) AS child_ndv,
+        |    (SELECT count(*) FROM (SELECT DISTINCT user_id AS k FROM events) c
+        |     WHERE c.k IN (SELECT c_custkey FROM customer)) AS contained
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+        |     WHERE c.k IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+        |     WHERE c.k IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+        |     WHERE c.k IN (SELECT p_partkey FROM part))
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey->part.p_partkey',
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS k FROM orders) c
+        |     WHERE c.k IN (SELECT p_partkey FROM part)))
+        |SELECT pair, CAST(child_ndv AS BIGINT) AS child_ndv,
+        |  CAST(contained AS BIGINT) AS contained,
+        |  round(CAST(contained AS DOUBLE) / child_ndv, 6) AS containment,
+        |  CAST(CAST(contained AS DOUBLE) / child_ndv >= 0.999 AS INT) AS fk_candidate
+        |FROM t ORDER BY pair""".stripMargin) { (s, d) =>
+      def probe(name: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame = {
+        val ck = child.select(col(childKey).as("k")).distinct()
+        val pk = parent.select(col(parentKey).as("pk")).distinct()
+        ck.join(pk, col("pk") === col("k"), "left")
+          .agg(count(lit(1)).as("child_ndv"), count(col("pk")).as("contained"))
+          .select(lit(name).as("pair"), col("child_ndv"), col("contained"))
+      }
+      val e = Tables.events(s, d); val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      probe("events.user_id->customer.c_custkey", e, "user_id", c, "c_custkey")
+        .unionByName(probe("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey"))
+        .unionByName(probe("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(probe("lineitem.l_partkey->part.p_partkey", li, "l_partkey", p, "p_partkey"))
+        .unionByName(probe("orders.o_orderkey->part.p_partkey", o, "o_orderkey", p, "p_partkey"))
+        .select(col("pair"), col("child_ndv").cast("long").as("child_ndv"),
+          col("contained").cast("long").as("contained"),
+          round(col("contained").cast("double") / col("child_ndv"), 6).as("containment"),
+          (col("contained").cast("double") / col("child_ndv") >= 0.999)
+            .cast("int").as("fk_candidate"))
+        .orderBy("pair")
+    },
+
+    /** Neyman-optimal stratified sampling allocation (Neyman 1934):
+      * split a 1000-row sample budget across event-type strata
+      * ∝ N_h·σ_h (big AND volatile strata get more), integerized by
+      * the same Hamilton largest-remainder as q343, with proportional
+      * allocation (∝ N_h) alongside to show what variance-awareness
+      * changes. Per-stratum moments are one decimal aggregate; the
+      * apportionment windows run over the 5-row stratum table.
+      */
+    QueryDef(
+      "q351_neyman_allocation",
+      """WITH m AS (
+        |  SELECT event_type AS h, count(*) AS nh,
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |sd AS (
+        |  SELECT h, nh,
+        |    sqrt((nh * sxx - sx * sx) / (CAST(nh AS DOUBLE) * (nh - 1))) AS sh
+        |  FROM m),
+        |w AS (
+        |  SELECT h, nh, sh, nh * sh AS wh,
+        |    sum(nh * sh) OVER () AS wt, sum(nh) OVER () AS nt
+        |  FROM sd),
+        |alloc AS (
+        |  SELECT h, nh, sh,
+        |    CAST(floor(1000 * wh / wt) AS BIGINT) AS nbase,
+        |    1000 * wh / wt - floor(1000 * wh / wt) AS nrem,
+        |    CAST(floor(1000.0 * nh / nt) AS BIGINT) AS pbase,
+        |    1000.0 * nh / nt - floor(1000.0 * nh / nt) AS prem
+        |  FROM w),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY nrem DESC, h) AS nr,
+        |    row_number() OVER (ORDER BY prem DESC, h) AS pr,
+        |    1000 - sum(nbase) OVER () AS nleft,
+        |    1000 - sum(pbase) OVER () AS pleft
+        |  FROM alloc)
+        |SELECT h AS stratum, CAST(nh AS BIGINT) AS n_pop, round(sh, 6) AS sd,
+        |  CAST(nbase + CASE WHEN nr <= nleft THEN 1 ELSE 0 END AS BIGINT) AS neyman_n,
+        |  CAST(pbase + CASE WHEN pr <= pleft THEN 1 ELSE 0 END AS BIGINT) AS proportional_n
+        |FROM rk ORDER BY stratum""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d)
+        .groupBy(col("event_type").as("h"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("value").cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      val sd = m.select(col("h"), col("nh"),
+        sqrt((col("nh") * col("sxx") - col("sx") * col("sx")) /
+          (col("nh").cast("double") * (col("nh") - 1))).as("sh"))
+      val wAll = Window.partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+      val w = sd
+        .withColumn("wh", col("nh") * col("sh"))
+        .withColumn("wt", sum(col("nh") * col("sh")).over(wAll))
+        .withColumn("nt", sum(col("nh")).over(wAll))
+      val alloc = w.select(col("h"), col("nh"), col("sh"),
+        floor(lit(1000) * col("wh") / col("wt")).cast("long").as("nbase"),
+        (lit(1000) * col("wh") / col("wt") -
+          floor(lit(1000) * col("wh") / col("wt"))).as("nrem"),
+        floor(lit(1000.0) * col("nh") / col("nt")).cast("long").as("pbase"),
+        (lit(1000.0) * col("nh") / col("nt") -
+          floor(lit(1000.0) * col("nh") / col("nt"))).as("prem"))
+      alloc
+        .withColumn("nr", row_number().over(Window.orderBy(col("nrem").desc, col("h"))))
+        .withColumn("pr", row_number().over(Window.orderBy(col("prem").desc, col("h"))))
+        .withColumn("nleft", lit(1000L) - sum(col("nbase")).over(wAll))
+        .withColumn("pleft", lit(1000L) - sum(col("pbase")).over(wAll))
+        .select(col("h").as("stratum"), col("nh").cast("long").as("n_pop"),
+          round(col("sh"), 6).as("sd"),
+          (col("nbase") + when(col("nr") <= col("nleft"), 1L).otherwise(0L))
+            .cast("long").as("neyman_n"),
+          (col("pbase") + when(col("pr") <= col("pleft"), 1L).otherwise(0L))
+            .cast("long").as("proportional_n"))
+        .orderBy("stratum")
     }
   )
 }

@@ -427,6 +427,34 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.getAs[Double]("mean_deg") > 0.0)
   }
 
+  test("q350-q352: FK flag discriminates; allocations sum to budget; planted clustering drives ICC to 1") {
+    val fk = SparkEntry.queries("q350_fk_discovery")(spark, sf).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Int]("fk_candidate")).toMap
+    assert(fk("lineitem.l_orderkey->orders.o_orderkey") == 1)
+    assert(fk("orders.o_orderkey->part.p_partkey") == 0,
+      "the designed negative pair must not flag")
+
+    val al = SparkEntry.queries("q351_neyman_allocation")(spark, sf).collect()
+    assert(al.map(_.getAs[Long]("neyman_n")).sum == 1000L)
+    assert(al.map(_.getAs[Long]("proportional_n")).sum == 1000L)
+
+    val icc = SparkEntry.queries("q352_icc")(spark, sf).head().getAs[Double]("icc1")
+    assert(icc >= -1.0 && icc <= 1.0)
+    // planted: user means far apart, within-user noise tiny -> ICC ~ 1
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_icc").toString
+    val rows = for (u <- 1 to 10; i <- 1 to 20) yield
+      ((u * 100 + i).toLong, 1704067200000000L + i * 1000000L, u.toLong, "view",
+        u * 100.0 + noise(u * 20 + i), "{}")
+    rows.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(tsus) AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = SparkEntry.queries("q352_icc")(spark, tmp).head().getAs[Double]("icc1")
+    assert(planted > 0.95, s"planted user clustering must dominate: $planted")
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
