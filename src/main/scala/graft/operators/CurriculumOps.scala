@@ -773,6 +773,83 @@ object CurriculumOps {
         .select(col("center"), col("context"), col("n_pos").cast("long").as("n_pos"),
           col("neg1"), col("neg2"))
         .orderBy(col("n_pos").desc, col("center"), col("context")).limit(20)
+    },
+
+    /** LSH parameter planner — the (bands × rows) tuning readout every
+      * MinHash deployment needs (Leskovec-Rajaraman-Ullman §3.4): for
+      * each budget-equal config (16,1)/(8,2)/(4,4)/(2,8) over ONE
+      * shared 16-signature table, the theoretical S-curve threshold
+      * s* = (1/b)^(1/r) AND the measured candidate workload
+      * Σ_buckets C(n,2) on THIS corpus — the number the theory can't
+      * give you (it depends on the actual bucket occupancy and the
+      * template clusters). Reading the two columns together is the
+      * tuning decision: more rows/band ⇒ higher precision threshold
+      * AND fewer candidate pairs. One signature aggregate, map-side
+      * band fan-outs, (config, band, key) counts — pairs are COUNTED
+      * from occupancy, never materialized.
+      */
+    QueryDef(
+      "q353_lsh_planner", {
+        val mins = (0 until 16).map(si =>
+          s"min(('0x' || substr(md5(w || '#$si'), 1, 15))::BIGINT) AS mh$si")
+          .mkString(",\n        |    ")
+        val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+        def keyOf(band: Int, r: Int): String =
+          (0 until r).map(j => s"CAST(mh${band * r + j} AS VARCHAR)")
+            .mkString(" || '_' || ")
+        val cfgCtes = configs.map { case (b, r) =>
+          val bandsList = (0 until b).mkString(", ")
+          val keysList = (0 until b).map(keyOf(_, r)).mkString(", ")
+          s"""SELECT $b AS b, $r AS r, u.band, u.key FROM mh, LATERAL (
+             |    SELECT unnest([$bandsList]) AS band, unnest([$keysList]) AS key) u"""
+            .stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(list_filter(string_split(text,' '), w -> w != ''))) AS w
+           |  FROM documents),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM tok GROUP BY doc_id),
+           |cb AS (
+           |  $cfgCtes),
+           |bc AS (SELECT b, r, band, key, count(*) AS n FROM cb GROUP BY 1, 2, 3, 4)
+           |SELECT b, r, round(pow(1.0 / b, 1.0 / r), 4) AS s_star,
+           |  CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+           |FROM bc GROUP BY b, r ORDER BY b DESC""".stripMargin
+      }) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(words(col("text")))).as("w"))
+      val mh = tok.groupBy("doc_id")
+        .agg(
+          min(conv(substring(md5(concat(col("w"), lit("#0"))), 1, 15), 16, 10)
+            .cast("long")).as("mh0"),
+          (1 until 16).map(si =>
+            min(conv(substring(md5(concat(col("w"), lit(s"#$si"))), 1, 15), 16, 10)
+              .cast("long")).as(s"mh$si")): _*)
+      val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      val cb = configs.map { case (b, r) =>
+        val bandStructs = (0 until b).map { band =>
+          val key = (0 until r).map(j => col(s"mh${band * r + j}").cast("string"))
+            .reduce((a, x) => concat(a, lit("_"), x))
+          struct(lit(b).as("b"), lit(r).as("r"), lit(band).as("band"), key.as("key"))
+        }
+        mh.select(explode(array(bandStructs: _*)).as("bk"))
+          .select(col("bk.b").as("b"), col("bk.r").as("r"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+      }.reduce(_ unionByName _)
+      cb.groupBy("b", "r", "band", "key")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("b", "r")
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          sum(expr("(n * (n - 1)) div 2")).cast("long").as("candidate_pairs"))
+        .select(col("b"), col("r"),
+          round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 4).as("s_star"),
+          col("n_buckets"), col("candidate_pairs"))
+        .orderBy(col("b").desc)
     }
   )
 }

@@ -455,6 +455,18 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted > 0.95, s"planted user clustering must dominate: $planted")
   }
 
+  test("q353 LSH planner: closed-form thresholds pinned; candidate workload falls as the threshold rises") {
+    val rows = SparkEntry.queries("q353_lsh_planner")(spark, sf).collect()
+      .sortBy(-_.getAs[Int]("b"))
+    assert(rows.length == 4)
+    val sStars = rows.map(_.getAs[Double]("s_star"))
+    assert(sStars.toSeq == Seq(0.0625, 0.3536, 0.7071, 0.917),
+      s"(1/b)^(1/r) closed forms: ${sStars.toSeq}")
+    val pairs = rows.map(_.getAs[Long]("candidate_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, bb) => a >= bb },
+      s"more rows per band must prune candidates: ${pairs.toSeq}")
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
