@@ -775,6 +775,63 @@ object CurriculumOps {
         .orderBy(col("n_pos").desc, col("center"), col("context")).limit(20)
     },
 
+    /** Tokenizer vocabulary-budget planner: the smallest vocabulary
+      * covering 90/95/99% of corpus token mass — the number that sizes
+      * a BPE/unigram tokenizer (q195's budget input) and the embedding
+      * table above it. Frequency-ranked cumulative mass with a
+      * (count desc, word) total order so the cut is deterministic;
+      * the ranking runs on the VOCABULARY grain (a 3-row threshold
+      * fan-out over it), never the token stream.
+      */
+    QueryDef(
+      "q355_vocab_coverage",
+      """WITH vc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |    FROM documents) t GROUP BY 1),
+        |rk AS (
+        |  SELECT w, c,
+        |    row_number() OVER (ORDER BY c DESC, w) AS rn,
+        |    sum(c) OVER (ORDER BY c DESC, w) AS cum,
+        |    sum(c) OVER () AS tot,
+        |    count(*) OVER () AS nv
+        |  FROM vc),
+        |th AS (
+        |  SELECT t.tau, r.rn, r.cum, r.tot, r.nv,
+        |    row_number() OVER (PARTITION BY t.tau ORDER BY r.rn) AS pick
+        |  FROM rk r CROSS JOIN (VALUES (0.90), (0.95), (0.99)) t(tau)
+        |  WHERE CAST(r.cum AS DOUBLE) / r.tot >= t.tau)
+        |SELECT tau, CAST(rn AS BIGINT) AS vocab_size, CAST(nv AS BIGINT) AS total_vocab,
+        |  round(CAST(cum AS DOUBLE) / tot, 6) AS mass_covered,
+        |  round(CAST(rn AS DOUBLE) / nv, 6) AS vocab_frac
+        |FROM th WHERE pick = 1 ORDER BY tau""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val vc = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+      val rk = vc
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("cum", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))
+            .rowsBetween(Long.MinValue, 0)))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .withColumn("nv", count(lit(1)).over(wAll))
+      val taus = Seq(0.90, 0.95, 0.99).toDF("tau")
+      val th = rk.crossJoin(broadcast(taus))
+        .where(col("cum").cast("double") / col("tot") >= col("tau"))
+        .withColumn("pick", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("tau")).orderBy(col("rn"))))
+        .where(col("pick") === 1)
+      th.select(col("tau"), col("rn").cast("long").as("vocab_size"),
+          col("nv").cast("long").as("total_vocab"),
+          round(col("cum").cast("double") / col("tot"), 6).as("mass_covered"),
+          round(col("rn").cast("double") / col("nv"), 6).as("vocab_frac"))
+        .orderBy("tau")
+    },
+
     /** LSH parameter planner — the (bands × rows) tuning readout every
       * MinHash deployment needs (Leskovec-Rajaraman-Ullman §3.4): for
       * each budget-equal config (16,1)/(8,2)/(4,4)/(2,8) over ONE

@@ -290,6 +290,103 @@ object QualityOps {
         .orderBy(round(col("s2v"), 6).desc, col("word")).limit(15)
     },
 
+    /** Selection-lift curve for the q318 DSIR selector — the
+      * "does the score actually concentrate the target?" readout every
+      * data-selection method must publish (the tabular ROC): docs
+      * ranked by DSIR score into deciles, each decile's cumulative
+      * recall of `en` docs vs the uniform baseline = lift. Decile 1
+      * lift ≫ 1 means the cheap hashed-n-gram score really does
+      * front-load target-like data. The rank is a round-6-score
+      * window (doc_id tiebreak ⇒ engine-deterministic); at corpus
+      * scale this global ranking lifts to the q174 two-phase
+      * range-partition pattern — the readout itself stays O(10) rows.
+      */
+    QueryDef(
+      "q354_dsir_lift",
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, unnest($duckWords) AS w FROM documents),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS b
+        |  FROM tok),
+        |rc AS (
+        |  SELECT b AS rb, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM bk GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_t, CAST(sum(cr) AS DOUBLE) AS n_r FROM rc),
+        |lam AS (
+        |  SELECT rb AS lb,
+        |    ln((ct + 1) / (nt.n_t + 512)) - ln((cr + 1) / (nt.n_r + 512)) AS lam
+        |  FROM rc CROSS JOIN nt),
+        |sc AS (
+        |  SELECT k.doc_id, k.lang,
+        |    CAST(sum(CAST(l.lam AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS dsir
+        |  FROM bk k JOIN lam l ON l.lb = k.b GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (ORDER BY round(dsir, 6) DESC, doc_id) AS rn,
+        |    count(*) OVER () AS nd,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER () AS ne
+        |  FROM sc),
+        |dec AS (
+        |  SELECT CAST((rn - 1) * 10 // nd + 1 AS INT) AS decile,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en, nd, ne
+        |  FROM rk),
+        |agg AS (
+        |  SELECT decile, count(*) AS n_docs, sum(is_en) AS n_en,
+        |    max(nd) AS nd, max(ne) AS ne
+        |  FROM dec GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_docs, n_en, nd, ne,
+        |    sum(n_en) OVER (ORDER BY decile) AS cum_en,
+        |    sum(n_docs) OVER (ORDER BY decile) AS cum_docs
+        |  FROM agg)
+        |SELECT decile, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_en AS BIGINT) AS n_en,
+        |  round(CAST(cum_en AS DOUBLE) / ne, 6) AS cum_recall,
+        |  round((CAST(cum_en AS DOUBLE) / ne) / (CAST(cum_docs AS DOUBLE) / nd), 6) AS lift
+        |FROM cum ORDER BY decile""".stripMargin) { (s, d) =>
+      val bk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 512).as("b"))
+      val rc = bk.groupBy(col("b").as("rb"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+      val lam = rc
+        .withColumn("n_t", sum(col("ct")).over(wAll).cast("double"))
+        .withColumn("n_r", sum(col("cr")).over(wAll).cast("double"))
+        .select(col("rb").as("lb"),
+          (log((col("ct") + 1) / (col("n_t") + 512)) -
+            log((col("cr") + 1) / (col("n_r") + 512))).as("lam"))
+      val sc = bk.join(broadcast(lam), col("lb") === col("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((sum(col("lam").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("dsir"))
+      val rk = sc
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(round(col("dsir"), 6).desc, col("doc_id"))))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("ne", sum(when(col("lang") === "en", 1L).otherwise(0L)).over(wAll))
+      val agg = rk
+        .select(expr("cast((rn - 1) * 10 div nd + 1 as int)").as("decile"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"), col("nd"), col("ne"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"),
+          max(col("nd")).as("nd"), max(col("ne")).as("ne"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      agg
+        .withColumn("cum_en", sum(col("n_en")).over(wCum))
+        .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+        .select(col("decile"), col("n_docs").cast("long").as("n_docs"),
+          col("n_en").cast("long").as("n_en"),
+          round(col("cum_en").cast("double") / col("ne"), 6).as("cum_recall"),
+          round((col("cum_en").cast("double") / col("ne")) /
+            (col("cum_docs").cast("double") / col("nd")), 6).as("lift"))
+        .orderBy("decile")
+    },
+
     /** Blocked fuzzy entity matching on the NATIVE Jaro-Winkler codegen
       * expression ([[graft.functions.JaroWinklerSim]] — Spark has
       * levenshtein built in but not the record-linkage community's

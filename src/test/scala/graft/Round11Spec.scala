@@ -467,6 +467,24 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"more rows per band must prune candidates: ${pairs.toSeq}")
   }
 
+  test("q354 lift curve ends at exactly 1.0 and the selector beats random; q355 coverage brackets its thresholds") {
+    val lift = SparkEntry.queries("q354_dsir_lift")(spark, sf01).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(lift.length == 10)
+    val recalls = lift.map(_.getAs[Double]("cum_recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    assert(recalls.last == 1.0 && lift.last.getAs[Double]("lift") == 1.0)
+    assert(lift.head.getAs[Double]("lift") > 1.0,
+      s"the DSIR score must front-load target docs: ${lift.head}")
+
+    val cov = SparkEntry.queries("q355_vocab_coverage")(spark, sf01).collect()
+      .sortBy(_.getAs[Double]("tau"))
+    assert(cov.length == 3)
+    cov.foreach(r => assert(r.getAs[Double]("mass_covered") >= r.getAs[Double]("tau")))
+    val sizes = cov.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b >= a })
+  }
+
   test("JaroWinklerSim pins textbook values, DuckDB edge semantics, and codegen==interpreted parity") {
     import graft.functions.JaroWinklerSim.jw
     // textbook references (also probed against DuckDB 1.0)
