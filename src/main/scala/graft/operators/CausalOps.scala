@@ -350,11 +350,13 @@ object CausalOps {
     * SRP/SimHash bucketing in operators/Lsh.scala applied to the
     * z-normalized series vectors — which composes in front of this
     * screen without changing its contract.
+    *
+    * Grid-parameterized (round 11): the screen runs over a
+    * caller-supplied (el, di, v) grid so the streaming refreshes
+    * (q324/q328) can re-screen each micro-batch's grid state and stay
+    * bit-identical to the batch path; [[screen]] passes the PlanCache'd
+    * batch grid.
     */
-  /** Grid-parameterized screen (round-8 session 3): identical tree to
-    * [[screen]] but over a caller-supplied (el, di, v) grid, so the
-    * streaming refreshes (q317) can re-screen each micro-batch's grid
-    * state and stay bit-identical to the batch path. */
   private[operators] def screenOf(s: SparkSession, grid: DataFrame): DataFrame = {
     val pc = pairCorrOf(grid)
     val dirp = pc.select(col("src").as("el"), col("dst").as("partner"), col("r0"))
