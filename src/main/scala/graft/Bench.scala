@@ -22,17 +22,25 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q71_minhash_lsh); driver leaves it
     // unset and benches everything.
     val only = SparkEntry.nameFilter("SPARK_GRAFT_BENCH_ONLY")
+    // Per-query output file: defaults to the sf0.1 record; a scale run
+    // (e.g. the sf1 evidence run, round 9) sets SPARK_GRAFT_BENCH_OUT so
+    // it neither clobbers BENCH_FULL.json nor compares its timings
+    // against the wrong scale's noise-fence baseline — the fence always
+    // reads the SAME file this run will write.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     // Noise fence (round 8): the box's IO-credit bursts keep flagging
     // queries whose clean times are 3-5x lower (q65 9.1s vs 1.8s in
     // round 7). Any query whose first run exceeds 3x its committed
-    // BENCH_FULL.json entry (and 1s absolute) is timed a SECOND time;
-    // both timings are recorded under "retimed" and the re-run becomes
-    // the reported scalar. A real regression stays slow on both runs
-    // and still surfaces; only one-off burst noise is fenced.
+    // entry in `outFile` (and 1s absolute) is timed a SECOND time; both
+    // timings are recorded under "retimed" and — round-9 policy fix
+    // (VERDICT r8 #5) — min(t1, t2) becomes the reported scalar: both
+    // are honest timings of the same plan, so a noisy SECOND run must
+    // not inflate the committed number (q306's 3.9s -> 8.7s in r8). A
+    // real regression is slow on BOTH runs and still surfaces.
     val prior: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+          java.nio.file.Paths.get(outFile)), "UTF-8")
         """"(q\d+[A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
@@ -51,7 +59,7 @@ object Bench {
         case Some(p) if t1 > 3 * p && t1 > 1.0 =>
           val t2 = timeOnce()
           retimed(name) = (t1, t2)
-          t2
+          math.min(t1, t2)
         case _ => t1
       }
       name -> t
@@ -73,12 +81,12 @@ object Bench {
     // an earlier stdout line for human readers.
     val headline = results.sortBy(-_._2).take(16).sortBy(_._1)
     val compactJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(headline)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    // Only a FULL run may replace BENCH_FULL.json: a SPARK_GRAFT_BENCH_ONLY
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(headline)},"queries_full":"$outFile","sf":"$sfDir"}"""
+    // Only a FULL run may replace the record file: a SPARK_GRAFT_BENCH_ONLY
     // run covers a subset, and overwriting would both lose the committed
     // full-suite record and destroy the noise fence's per-query baseline.
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (fullJson + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     // Print after every other writer is done: silence logging, stop Spark

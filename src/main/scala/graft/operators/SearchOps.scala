@@ -24,6 +24,18 @@ object SearchOps {
   private[graft] val pqQueryVec: Array[Double] =
     Array.tabulate(64)(i => (((i * 29 + 7) % 23) - 11) / 12.0)
 
+  /** ||a − c||² as a zip_with/aggregate HOF kernel over an array column
+    * and a constant codebook vector (round 9, VERDICT r8 #3). The fold
+    * is the left-associative double sum starting at 0.0 — bit-identical
+    * to a `(1 to n).map(term).reduce(_ + _)` chain (0.0 + t₁ is exact;
+    * every term is a nonnegative square) and to the oracles'
+    * left-associative `+` chains — while serializing as ONE constant
+    * array instead of n literal-expanded arithmetic nodes.
+    */
+  private def sqdistA(a: org.apache.spark.sql.Column, c: Array[Double]) =
+    aggregate(zip_with(a, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Deterministic driver-side Lloyd: fixed seeds, fixed iteration
     * count, points visited in ascending-id order with left-associative
     * double accumulation — bit-reproducible run over run. Used to train
@@ -546,32 +558,40 @@ object SearchOps {
            |FROM adc ORDER BY dist, vec_id LIMIT 10""".stripMargin
       }) { (s, d) =>
       val q = pqQueryVec
-      val v = Tables.embeddings(s, d).select(col("vec_id") +:
-        (1 to 64).map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      // Round-9 shave (with q250, VERDICT r8 #3): array-column HOF
+      // kernels instead of 64 literal-expanded scalar columns — the
+      // fold order (left-associative from 0.0 over nonnegative
+      // squares) is bit-identical to the old (lo until lo+n).reduce
+      // chain, so the hash is unchanged while the serialized plan
+      // drops from megabytes to a few constant arrays.
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       // codebook (8) + cell centers (10): O(K) rows collected once —
       // the "quantizer ships with the index" contract
-      val cb = v.where(col("vec_id") < 8).orderBy("vec_id").collect()
-      val cells = v.where(col("vec_id").between(8, 17)).orderBy("vec_id").collect()
-      def l2(r: org.apache.spark.sql.Row, lo: Int, n: Int) =
-        (lo until lo + n).map(i =>
-          (col(s"x$i") - r.getDouble(i)) * (col(s"x$i") - r.getDouble(i)))
-          .reduce(_ + _)
-      def l2q(r: org.apache.spark.sql.Row, lo: Int, n: Int): Double =
+      def arrs(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] =
+        df.orderBy("vec_id").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val cb = arrs(v.where(col("vec_id") < 8))
+      val cells = arrs(v.where(col("vec_id").between(8, 17)))
+      def l2q(a: Array[Double], lo: Int, n: Int): Double =
         (lo until lo + n).map(i => {
-          val dd = q(i - 1) - r.getDouble(i); dd * dd
+          val dd = q(i - 1) - a(i - 1); dd * dd
         }).sum
       // probe: the query's 2 nearest cells (driver-side, O(cells))
-      val probed = cells.sortBy(r => (l2q(r, 1, 64), r.getLong(0))).take(2)
-        .map(_.getLong(0)).toSeq
-      val cellAssign = least(cells.map(r =>
-        struct(l2(r, 1, 64).as("d"), lit(r.getLong(0)).as("c"))): _*)("c")
-      def code(s0: Int) = least(cb.map(r =>
-        struct(l2(r, s0 * 8 + 1, 8).as("d"), lit(r.getLong(0)).as("c"))): _*)("c")
+      val probed = cells.sortBy { case (id, a) => (l2q(a, 1, 64), id) }.take(2)
+        .map(_._1).toSeq
+      val cellAssign = least(cells.map { case (id, a) =>
+        struct(sqdistA(col("e"), a).as("d"), lit(id).as("c"))
+      }: _*)("c")
+      def code(s0: Int) = least(cb.map { case (id, a) =>
+        struct(sqdistA(slice(col("e"), s0 * 8 + 1, 8),
+          a.slice(s0 * 8, s0 * 8 + 8)).as("d"), lit(id).as("c"))
+      }: _*)("c")
       // ADC lookup tables: query-to-codebook distances as an 8-slot
       // array literal indexed by code (codes ARE vec_ids 0-7)
       def adcLut(s0: Int, codeCol: org.apache.spark.sql.Column) =
-        element_at(array(cb.map(r => lit(l2q(r, s0 * 8 + 1, 8))): _*),
-          (codeCol + 1).cast("int"))
+        element_at(array(cb.map { case (_, a) =>
+          lit(l2q(a, s0 * 8 + 1, 8)) }: _*), (codeCol + 1).cast("int"))
       v.withColumn("cell", cellAssign)
         .where(col("cell").isin(probed: _*))
         .select(col("vec_id") +: col("cell") +:
@@ -683,31 +703,38 @@ object SearchOps {
       }) { (s, d) =>
       val q = pqQueryVec
       val (cellsT, rcbT) = pqCodebooks(s, d)
-      val v = Tables.embeddings(s, d).select(col("vec_id") +:
-        (1 to 64).map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      // Round-9 shave (VERDICT r8 #3): the literal-expanded per-dim
+      // column arithmetic (64 scalar columns × 10 cells + 8×8×8 code
+      // terms) built a ~2 MB expression tree whose driver planning +
+      // codegen compile dominated the bench entry (9.4s standalone at
+      // sf0.1, execution itself trivial). Rewritten over the array
+      // column with typedlit codebook constants + zip_with/aggregate
+      // HOF kernels: aggregate's fold is the SAME left-associative
+      // double sum starting at 0.0 as the old (1 to 64).reduce(_ + _)
+      // chain (0.0 + t1 is bit-exact; every term is a nonnegative
+      // square), so every distance — and the hash — is bit-identical,
+      // while the plan serializes a handful of constant arrays instead
+      // of thousands of arithmetic nodes.
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       def l2full(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
         acc
       }
-      def l2cellCol(c: Array[Double]) =
-        (1 to 64).map(i => (col(s"x$i") - c(i - 1)) * (col(s"x$i") - c(i - 1)))
-          .reduce(_ + _)
       val cellAssign = least(cellsT.zipWithIndex.map { case (c, id) =>
-        struct(l2cellCol(c).as("d"), lit(id.toLong).as("c"))
+        struct(sqdistA(col("e"), c).as("d"), lit(id.toLong).as("c"))
       }: _*)("c")
       val probed: Seq[Int] =
         cellsT.indices.sortBy(id => (l2full(q, cellsT(id)), id)).take(2)
       val p0 = cellsT(probed(0)); val p1 = cellsT(probed(1))
-      val resCols = (1 to 64).map(i =>
-        (col(s"x$i") - when(col("cell") === probed(0).toLong, lit(p0(i - 1)))
-          .otherwise(lit(p1(i - 1)))).as(s"r$i"))
+      val resCol = zip_with(col("e"),
+        when(col("cell") === probed(0).toLong, typedlit(p0.toSeq))
+          .otherwise(typedlit(p1.toSeq)),
+        (x, y) => x - y).as("r")
       def codeRes(s0: Int) = least((0 until 8).map { j =>
-        val cbv = rcbT(s0)(j)
-        val dist = (1 to 8).map(i =>
-          (col(s"r${s0 * 8 + i}") - cbv(i - 1)) * (col(s"r${s0 * 8 + i}") - cbv(i - 1)))
-          .reduce(_ + _)
-        struct(dist.as("d"), lit(j.toLong).as("c"))
+        struct(sqdistA(slice(col("r"), s0 * 8 + 1, 8), rcbT(s0)(j)).as("d"),
+          lit(j.toLong).as("c"))
       }: _*)("c")
       // per-(probed cell, subspace) ADC tables over the 8 codes:
       // ||(q − center)_s0 − rcb[s0][j]||², left-associative like the SQL
@@ -728,7 +755,7 @@ object SearchOps {
           (codeCol + 1).cast("int"))
       v.withColumn("cell", cellAssign)
         .where(col("cell").isin(probed.map(_.toLong): _*))
-        .select(col("vec_id") +: col("cell") +: resCols: _*)
+        .select(col("vec_id"), col("cell"), resCol)
         .select(col("vec_id") +: col("cell") +:
           (0 until 8).map(s0 => codeRes(s0).as(s"code$s0")): _*)
         .select(col("vec_id"), col("cell"),
