@@ -522,10 +522,15 @@ object RetainOps {
 
     /** q76 in the reference's own precision (`model.py:45` float32
       * end-to-end): every op of the forward pass rounds to f32, closing
-      * the SURVEY §7.4 precision-divergence gap for scoring. Rows-only;
-      * RetainSpec pins f32-vs-f64 agreement and genuine f32 rounding.
+      * the SURVEY §7.4 precision-divergence gap for scoring.
+      * Hash-verified since round 9 (VERDICT r8 #4) against
+      * [[RetainOracleSqlF32]]'s list_reduce f32-fold oracle — every
+      * partial sum rounds to REAL in the JVM kernel's exact
+      * accumulation order; RetainSpec additionally pins f32-vs-f64
+      * agreement and genuine f32 rounding.
       */
-    QueryDef.noOracle("q204_retain_score_f32") { (s, d) =>
+    QueryDef("q204_retain_score_f32", RetainOracleSqlF32.q204(ckptGlob)) { (s, d) =>
+      oracleCkptDir(s)
       import s.implicits._
       // broadcast the PRE-CONVERTED float weights: the per-row hot loop
       // converts only the input grid, never the parameter matrices

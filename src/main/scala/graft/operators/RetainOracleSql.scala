@@ -32,9 +32,9 @@ object RetainOracleSql {
     * mirrors RetainGrad's pack layout, the GRU instance the layout of
     * [[graft.functions.RetainGrad.packGru]].
     */
-  private final case class Lay(offA: Int, offB: Int, offWAlpha: Int,
+  private[operators] final case class Lay(offA: Int, offB: Int, offWAlpha: Int,
       offBAlpha: Int, offWBeta: Int, offBBeta: Int, offHeads: Int, offHeadB: Int)
-  private val lstmLay =
+  private[operators] val lstmLay =
     Lay(OffACell, OffBCell, OffWAlpha, OffBAlpha, OffWBeta, OffBBeta, OffHeads, OffHeadB)
   private val gruSz = 2 * (H * 2 * H) + 2 * H + 2 * (H * H) + H
   private val gruLay = {
@@ -121,9 +121,12 @@ object RetainOracleSql {
     * `alpha(user_id, es, w, hBs, aRev)` / `betas(.., aRev, bRev)` and
     * `ctxt(user_id, w, ctx)`.
     */
-  private def pipeline(ckptGlob: String, lay: Lay,
-      step: (Int, Lay) => String): String = {
-    val zeros8 = s"list_transform(range($H), k -> 0.0)"
+  /** The weight-vector + per-user [T][F] grid assembly CTEs (ends with
+    * `grid(user_id, xs)` and `w0(w)`), shared with the f32 oracle
+    * ([[RetainOracleSqlF32]]) — the data prep is precision-independent
+    * (doubles straight from parquet); only the kernel math differs.
+    */
+  private[operators] def prepCtes(ckptGlob: String): String =
     s"""WITH w0 AS (
        |  SELECT list(value ORDER BY idx) AS w FROM read_parquet('$ckptGlob')),
        |feat AS (
@@ -150,7 +153,12 @@ object RetainOracleSql {
        |    list_transform(range($T), d ->
        |      CASE WHEN list_position(days, d) > 0 THEN xvs[list_position(days, d)]
        |           ELSE [0.0,0.0,0.0,0.0,0.0] END) AS xs
-       |  FROM byuser),
+       |  FROM byuser)""".stripMargin
+
+  private def pipeline(ckptGlob: String, lay: Lay,
+      step: (Int, Lay) => String): String = {
+    val zeros8 = s"list_transform(range($H), k -> 0.0)"
+    s"""${prepCtes(ckptGlob)},
        |emb AS (
        |  SELECT user_id, w,
        |    list_transform(xs, xrow ->
