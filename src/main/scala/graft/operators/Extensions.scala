@@ -382,13 +382,29 @@ object Extensions {
       * within-bucket pairs (threshold 0.4; the synthetic corpus has no >0.51 pairs) — the vector-space dedup op of an LLM data
       * pipeline (near-identical embeddings ⇒ near-identical content).
       * Fully deterministic, hash-verified.
+      *
+      * ADAPTIVE bucket width (round 9 — the first sf1 evidence run
+      * measured this query at 37× its sf0.1 time for 10× data, the
+      * quadratic Σ|bucket|² signature of a FIXED 8-plane index under a
+      * growing corpus): the plane count now steps with the corpus size
+      * — ≤4096 vectors → 8 planes (256 cells, bit-identical to the
+      * pre-round-9 behavior at every driver SF), ≤32768 → 12, beyond →
+      * 16 — so expected occupancy, and with it the within-bucket pair
+      * work, stays bounded as N grows. This is the production contract
+      * (an ANN index is rebuilt with more bits as the corpus grows);
+      * both sides derive the tier from the SAME `count(*)`, the engine
+      * via a metadata-only parquet count, the oracle via a scalar
+      * subquery CASE across the three static bucket expressions.
       */
     QueryDef(
       "q98_embedding_neardup", {
-        val bucketSql = Lsh.bucketSql(planes, i => s"embedding[${i + 1}]::DOUBLE")
+        def bSql(n: Int) =
+          Lsh.bucketSql(Lsh.hyperplanes(n), i => s"embedding[${i + 1}]::DOUBLE")
         s"""WITH b AS (
            |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
-           |    CAST($bucketSql AS INT) AS bucket
+           |    CAST(CASE WHEN (SELECT count(*) FROM embeddings) <= 4096 THEN ${bSql(8)}
+           |      WHEN (SELECT count(*) FROM embeddings) <= 32768 THEN ${bSql(12)}
+           |      ELSE ${bSql(16)} END AS INT) AS bucket
            |  FROM embeddings)
            |SELECT x.bucket, count(*) AS n_pairs,
            |  round(max(list_cosine_similarity(x.emb, y.emb)), 6) AS max_cos,
@@ -398,7 +414,9 @@ object Extensions {
            |GROUP BY x.bucket ORDER BY x.bucket""".stripMargin
       }) { (s, d) =>
       val emb = col("embedding").cast("array<double>")
-      val bucket = Lsh.bucketColumn(emb, planes)
+      val nVecs = Tables.embeddings(s, d).count()
+      val nPlanes = if (nVecs <= 4096) 8 else if (nVecs <= 32768) 12 else 16
+      val bucket = Lsh.bucketColumn(emb, Lsh.hyperplanes(nPlanes))
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), emb.as("emb"), bucket.cast("int").as("bucket"))
       val x = b.select(col("bucket"), col("vec_id").as("x_id"),

@@ -33,6 +33,28 @@ object LLMPipeline {
     */
   private def wordsCol(text: Column): Column = graft.functions.Text.wordsCol(text)
 
+  /** Hard ceiling for q62's exact class-pair enumeration — the
+    * guardFullEnum pattern (CausalOps) applied to the dedup family: the
+    * exact Jaccard baseline is Θ(class pairs) BY CONTRACT, so past this
+    * many equivalence classes in one source it fails loudly and points
+    * at the sub-quadratic banding path instead of silently launching a
+    * cluster-killing join. One tiny aggregate over the (cached) class
+    * table; the class table itself is source-grain, not corpus-grain.
+    */
+  private[operators] val MaxExactJaccardClasses = 100000L
+
+  private def guardExactJaccard(cls: org.apache.spark.sql.DataFrame): Unit = {
+    val m = cls.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head.getLong(0)
+    if (m > MaxExactJaccardClasses)
+      throw new IllegalStateException(
+        s"q62_near_dup_jaccard enumerates all O(C^2) token-set class pairs per " +
+          s"source and one source has C=$m classes, exceeding " +
+          s"MaxExactJaccardClasses=$MaxExactJaccardClasses; use the MinHash " +
+          "banding path (q225_lsh_dedup_verified / q135_dedup_components) " +
+          "for approximate near-dup at that scale")
+  }
+
   // ---- deterministic literal query vector for top-k search (64-dim) ----
   private val qvec: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
   private def qvecSparkLit: Column = array(qvec.map(lit): _*)
@@ -118,43 +140,70 @@ object LLMPipeline {
       // string-based oracle proves the equivalence). Sorting once per
       // ROW lets the pair loop use the allocation-free merge-count
       // expression instead of array_intersect's per-PAIR hash set.
+      //
+      // CLASS-COLLAPSED exact form (round 9, from the sf1 evidence run:
+      // this query is the suite's one by-contract quadratic baseline —
+      // 62M pair evaluations at sf1): J(a,b) depends only on the two
+      // token SETS, so docs first collapse into (source, set)
+      // equivalence classes and the pair loop runs over CLASS pairs,
+      // multiplying each match by cnt_a·cnt_b; within-class pairs are
+      // J=1 by definition and never enter the join. Bit-identical
+      // readout (the sf0.01 all-pairs oracle still hash-matches), work
+      // = Σ_source C(classes, 2) ≤ Σ_source C(docs, 2) — and on the
+      // dup-heavy corpora this operator exists for, classes saturate
+      // while docs grow, which is exactly the 100 TB exact-dedup shape.
+      // Prefix/banding does NOT apply here losslessly-and-profitably:
+      // the corpus vocabulary is ~31 words (every token's df ≈ 0.78·N)
+      // and 71% of all pairs genuinely clear J ≥ 0.5, so candidate
+      // generation cannot beat Θ(matching pairs); the sub-quadratic
+      // APPROXIMATE path is the banding family (q71/q220/q225/q135).
       graft.functions.SortedIntersectCount.register(s)
       val ws = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           array_sort(array_distinct(transform(wordsCol(col("text")), w => xxhash64(w))))
             .as("w"))
+      val cls = graft.PlanCache.cached(s, s"q62_classes|$d") {
+        ws.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("cid"))
+      }
+      guardExactJaccard(cls)
       // size-ratio prefilter: J >= 0.5 requires |a| <= 2|b| and vice
-      // versa, so the cheap length predicate prunes pairs before the
-      // array_intersect ever runs; the intersect itself is projected
-      // ONCE per pair (not re-evaluated in filter + each aggregate).
-      // SALTED shuffle join (q93's pattern): the equi-key (source) has
-      // only ~20 values, so a plain shuffle join caps parallelism at 20
-      // skewed tasks — and broadcasting a corpus side is a driver OOM at
-      // 100 TB. Instead each b row lands in ONE of 8 salt shards and the
-      // a side replicates 8×, so the join key (source, salt) spreads the
-      // pair work over 160 reducers with nothing corpus-sized broadcast;
-      // every a_id<b_id pair still meets exactly once (in b's shard).
+      // versa, so the cheap length predicate prunes class pairs before
+      // the merge-count ever runs. SALTED shuffle join (q93's pattern):
+      // the equi-key (source) has only ~20 values, so a plain shuffle
+      // join caps parallelism at 20 skewed tasks — and broadcasting a
+      // corpus side is a driver OOM at 100 TB. Instead each b class
+      // lands in ONE of 8 salt shards and the a side replicates 8×, so
+      // the join key (source, salt) spreads the pair work over 160
+      // reducers; every cid_a<cid_b class pair still meets exactly once.
       val salts = 8
-      val a = ws.select(col("doc_id").as("a_id"), col("source"), col("w").as("aw"))
+      val a = cls.select(col("cid").as("a_id"), col("source"), col("w").as("aw"),
+          col("cnt").as("acnt"))
         .crossJoin(broadcast(
           s.range(salts).select(col("id").cast("int").as("salt"))))
-      val b = ws.select(col("doc_id").as("b_id"), col("source").as("b_src"),
-          col("w").as("bw"))
+      val b = cls.select(col("cid").as("b_id"), col("source").as("b_src"),
+          col("w").as("bw"), col("cnt").as("bcnt"))
         .withColumn("b_salt", pmod(col("b_id"), lit(salts)).cast("int"))
-      a.hint("shuffle_hash")
+      val cross = a.hint("shuffle_hash")
         .join(b, col("source") === col("b_src") && col("salt") === col("b_salt")
           && col("a_id") < col("b_id")
           && size(col("aw")) <= size(col("bw")) * 2
           && size(col("bw")) <= size(col("aw")) * 2)
-        .select(col("source"),
+        .select(col("source"), (col("acnt") * col("bcnt")).as("np"),
           expr("sorted_intersect_count(aw, bw)").cast("double").as("inter"),
           size(col("aw")).as("na"), size(col("bw")).as("nb"))
         .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
         .where(col("j") >= 0.5)
+        .select(col("source"), col("np"), col("j"), lit(0L).as("ident"))
+      val within = cls.where(col("cnt") >= 2)
+        .select(col("source"),
+          ((col("cnt") * (col("cnt") - 1)) / 2).cast("long").as("np"),
+          lit(1.0).as("j"),
+          ((col("cnt") * (col("cnt") - 1)) / 2).cast("long").as("ident"))
+      cross.unionByName(within)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_pairs_50"),
-          count_if(col("inter") === col("na") && col("na") === col("nb"))
-            .as("n_identical_sets"),
+        .agg(sum(col("np")).as("n_pairs_50"),
+          sum(col("ident")).as("n_identical_sets"),
           r6(max(col("j"))).as("max_j"))
         .orderBy("source")
     },
