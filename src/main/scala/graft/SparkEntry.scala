@@ -44,6 +44,7 @@ object SparkEntry {
       operators.InferenceOps.defs ++
       operators.DialectOps.defs ++
       operators.MLOps.defs ++
+      operators.Round12Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -1,0 +1,398 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch: the training-data-pipeline operators a 100 TB curation
+  * stack still lacked after round 11 —
+  *
+  *  - q358 deterministic weighted MIXTURE sampling (Efraimidis–Spirakis
+  *    2006 keys from seeded md5 uniforms): the "hit this source mixture
+  *    under a document budget" selection step of every pretraining run,
+  *    reproducible bit-for-bit across engines and reruns;
+  *  - q360 incremental view maintenance of a join view (the
+  *    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB algebra): proven equal to the full
+  *    recompute by the oracle;
+  *  - q362 theta-sketch set intersection (KMV θ-intersection estimate
+  *    next to the exact answer, the q279 measured-error discipline).
+  *
+  * All hash-verified against DuckDB; md5-derived uniforms make every
+  * "random" choice a pure function of the data.
+  */
+object Round12Ops {
+  private def r6(c: Column) = round(c, 6)
+
+  /** md5-derived uniform in (0,1): 13 hex chars → 52 bits / 2^52 — the
+    * q340 idiom (both engines parse the same hex, divide by the same
+    * exact power of two). */
+  private def u01(seedExpr: Column): Column =
+    conv(substring(md5(seedExpr), 1, 13), 16, 10).cast("double") / 4503599627370496.0
+  private def u01Sql(seedExpr: String): String =
+    s"CAST(('0x' || substr(md5($seedExpr), 1, 13))::BIGINT AS DOUBLE) / 4503599627370496.0"
+
+  /** q359's deterministic 8-dim token embedding: byte j of
+    * md5("emb1#"+word) mapped to (byte − 127.5)/127.5 ∈ (−1, 1). The
+    * Scala form (for the literal query vectors) and the SQL form (for
+    * corpus tokens on both engines) produce identical doubles: integer
+    * bytes, one subtraction, one division — same IEEE ops either way.
+    */
+  private[graft] def tokVec(word: String): Array[Double] = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"emb1#$word".getBytes("UTF-8"))
+    Array.tabulate(8)(j => ((dig(j) & 0xff).toDouble - 127.5) / 127.5)
+  }
+  private val tokVecSql =
+    "list_transform(range(8), j -> (CAST(('0x' || substr(md5('emb1#' || w), CAST(j*2+1 AS INT), 2))::INT AS DOUBLE) - 127.5) / 127.5)"
+  private val tokVecSparkSql =
+    "transform(sequence(0, 7), j -> (cast(conv(substring(md5(concat('emb1#', w)), cast(j*2+1 as int), 2), 16, 10) as double) - 127.5) / 127.5)"
+
+  /** q359's fixed query: four corpus-vocabulary terms. */
+  private val maxsimQuery = Seq("spark", "vector", "join", "stream")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Late-interaction (ColBERT-style) MaxSim retrieval (Khattab &
+      * Zaharia 2020): instead of one pooled vector per document, every
+      * document token keeps its own embedding and the relevance score
+      * is Σ_q max_t cos(q, t) — each query term independently finds its
+      * best-matching document token. Token embeddings here are the
+      * deterministic md5-byte vectors (the container has no encoder —
+      * the SCORING operator, its plan shape, and its cross-engine
+      * bit-parity are the point; production swaps the embedding column
+      * source with no plan change). Docs keep their first 12 sorted
+      * distinct tokens; top-10 docs by (score, doc_id).
+      *
+      * Scale shape: one corpus pass, all MaxSim math as nested
+      * zip_with/aggregate HOF folds (identical association order to the
+      * oracle's list_reduce folds), query vectors and norms are
+      * Scala-precomputed literals, and the top-10 cut is the bounded
+      * TakeOrdered — nothing shuffles but 10 rows.
+      */
+    QueryDef(
+      "q359_late_interaction", {
+        def lits(a: Array[Double]) = a.mkString("[", ", ", "]::DOUBLE[]")
+        val arms = maxsimQuery.map { wq =>
+          val qv = tokVec(wq)
+          val qn = math.sqrt(qv.map(x => x * x).sum)
+          s"""list_max(list_transform(tvecs, tv ->
+             |      list_reduce(list_prepend(0.0, list_transform(range(8),
+             |          j -> tv[CAST(j+1 AS INT)] * (${lits(qv)})[CAST(j+1 AS INT)])), (a, b) -> a + b)
+             |      / ($qn * sqrt(list_reduce(list_prepend(0.0,
+             |          list_transform(tv, x -> x * x)), (a, b) -> a + b)))))""".stripMargin
+        }
+        s"""WITH ws AS (
+           |  SELECT doc_id,
+           |    list_sort(list_distinct(list_filter(string_split(text, ' '),
+           |      w -> w != '')))[1:12] AS toks
+           |  FROM documents),
+           |tv AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    list_transform(toks, w -> $tokVecSql) AS tvecs
+           |  FROM ws),
+           |sc AS (
+           |  SELECT doc_id, n_tokens,
+           |    ${arms.mkString("\n    + ")} AS score
+           |  FROM tv)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  round(score, 6) AS maxsim
+           |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"),
+          slice(array_sort(array_distinct(
+            graft.functions.Text.wordsCol(col("text")))), 1, 12).as("toks"))
+      val tv = ws.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"transform(toks, w -> $tokVecSparkSql)").as("tvecs"))
+      val score = maxsimQuery.map { wq =>
+        val qv = tokVec(wq)
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        aggregate(col("tvecs"), lit(-2.0), (acc, t) =>
+          greatest(acc,
+            aggregate(zip_with(t, typedlit(qv.toSeq), (x, y) => x * y),
+              lit(0.0), (a, b) => a + b) /
+              (lit(qn) * sqrt(aggregate(transform(t, x => x * x),
+                lit(0.0), (a, b) => a + b)))))
+      }.reduce(_ + _)
+      tv.select(col("doc_id"), col("n_tokens"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_tokens"), r6(col("score")).as("maxsim"))
+    },
+
+    /** Deterministic weighted mixture sampling under a document budget
+      * (Efraimidis–Spirakis 2006: weighted sampling WITHOUT replacement
+      * = top-B by key u^(1/w)): each source gets weight
+      * w = 0.5 + (srcnum mod 4)/2 ∈ {0.5, 1.0, 1.5, 2.0}, every doc
+      * draws its uniform from md5("mix1#"+doc_id), and the budget
+      * B = ceil(0.3·N) picks the global top-B keys — so heavier sources
+      * land proportionally more docs while the choice stays a pure
+      * function of the corpus (the reproducibility contract data-mixing
+      * pipelines need: rerunning the selection on the same corpus
+      * yields the same training set, on ANY engine). Readout: per
+      * source, its weight, corpus count, selected count, and selection
+      * rate — the achieved-vs-target mixture audit.
+      *
+      * Scale shape: one md5+pow projection over the corpus, the global
+      * budget cut through the bounded-heap TopKPerGroup (empty group =
+      * B·partitions rows shuffle, never a global sort), and two tiny
+      * source-grain aggregates. Cross-engine rank safety: adjacent
+      * E-S key order statistics are ~1/N apart — astronomically wider
+      * than pow/ln ulp divergence — and ties break on doc_id.
+      */
+    QueryDef(
+      "q358_mixture_sample",
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    0.5 + (CAST(substr(source, 4, 8) AS INT) % 4) / 2.0 AS wt,
+         |    ${u01Sql("'mix1#' || doc_id")} AS u
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, source, wt, pow(u, 1.0 / wt) AS key,
+         |    rank() OVER (ORDER BY pow(u, 1.0 / wt) DESC, doc_id) AS r
+         |  FROM w),
+         |sel AS (
+         |  SELECT source, count(*) AS n_selected
+         |  FROM k WHERE r <= (SELECT ceil(0.3 * count(*)) FROM documents)
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT source, 0.5 + (CAST(substr(source, 4, 8) AS INT) % 4) / 2.0 AS wt,
+         |    count(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT t.source, round(t.wt, 2) AS wt, CAST(t.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+         |  round(coalesce(s.n_selected, 0) / CAST(t.n_docs AS DOUBLE), 6) AS sel_rate
+         |FROM tot t LEFT JOIN sel s ON s.source = t.source
+         |ORDER BY t.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val budget = math.ceil(0.3 * docs.count()).toInt
+      val wt = lit(0.5) +
+        (substring(col("source"), 4, 8).cast("int") % 4).cast("double") / 2.0
+      val keyed = docs.select(col("doc_id"), col("source"), wt.as("wt"),
+          pow(u01(concat(lit("mix1#"), col("doc_id"))), lit(1.0) / wt).as("key"))
+      val sel = graft.plans.TopKPerGroupOps.topKPerGroup(s, keyed, Seq.empty,
+          Seq(col("key").desc, col("doc_id").asc), budget)
+        .groupBy("source").agg(count(lit(1)).as("n_selected"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt", wt)
+      tot.join(broadcast(sel), Seq("source"), "left")
+        .select(col("source"), round(col("wt"), 2).as("wt"),
+          col("n_docs"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          r6(coalesce(col("n_selected"), lit(0L)) / col("n_docs").cast("double"))
+            .as("sel_rate"))
+        .orderBy("source")
+    },
+
+    /** Incremental view maintenance of a join view — the delta algebra
+      * Δ(O ⋈ L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL every warehouse refresh
+      * pipeline runs instead of recomputing the join: orders and
+      * lineitem are each split at the 1999-01-01 cut into a base (the
+      * "already materialized" state) and a delta (the new batch), the
+      * monthly-revenue view is assembled as the FOUR part-joins'
+      * partial aggregates merged — and the oracle recomputes the view
+      * directly from the full join, so the hash compare IS the proof
+      * that the incremental algebra reproduces the full recompute.
+      * Decimal revenue sums make the merge order-free and exact.
+      *
+      * Scale shape: in production base⋈base is read from the stored
+      * view (O(months) rows, no join at all) and the three delta joins
+      * are delta-sized; here the base term is recomputed only to close
+      * the algebra end-to-end. Partial aggregation per part = map-side
+      * combine; the final merge is a months-grain shuffle.
+      */
+    QueryDef(
+      "q360_ivm_join",
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY month""".stripMargin) { (s, d) =>
+      val cut = lit("1999-01-01").cast("timestamp")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(38,6)").as("rev"))
+      val oBase = o.where(col("o_orderdate") < cut)
+      val oDelta = o.where(col("o_orderdate") >= cut)
+      val lBase = l.where(col("l_shipdate") < cut)
+      val lDelta = l.where(col("l_shipdate") >= cut)
+      def part(oo: DataFrame, ll: DataFrame): DataFrame =
+        ll.join(oo, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("pn"), sum(col("rev")).as("pr"))
+      Seq(part(oBase, lBase), part(oDelta, lBase),
+          part(oBase, lDelta), part(oDelta, lDelta))
+        .reduce(_.unionByName(_))
+        .groupBy("month")
+        .agg(sum(col("pn")).as("n_rows"),
+          round(sum(col("pr")).cast("double"), 2).as("revenue"))
+        .orderBy("month")
+    },
+
+    /** Duplicated-span REMOVAL — the step after q319's span-coverage
+      * audit that actually produces the cleaned corpus (Lee et al.
+      * 2022's "dedup the substrings, not the documents"): every 5-gram
+      * occurring in ≥2 distinct documents marks its word positions,
+      * per-doc covered positions merge, and the doc is REWRITTEN with
+      * those words dropped. Output per doc: word counts before/after,
+      * removed fraction, and md5 of the cleaned text — the hash makes
+      * the full rewritten corpus oracle-comparable without shipping
+      * strings through the compare.
+      *
+      * Scale shape: shingle-grain md5 shuffle (the q319 discipline) to
+      * find corpus-wide duplicated grams, positions explode map-side
+      * (×5), covered sets aggregate at doc grain, and the rewrite is a
+      * map-side array filter — no pair enumeration anywhere, cost
+      * linear in corpus tokens.
+      */
+    QueryDef(
+      "q361_span_removal",
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i + 1 AS p, md5(array_to_string(w[i+1:i+5], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - 4, 0))) AS i
+        |        FROM ws)),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT gr.doc_id, gr.p + t.o AS cp
+        |  FROM grams gr JOIN dup USING (g)
+        |  CROSS JOIN (VALUES (0), (1), (2), (3), (4)) t(o)),
+        |cova AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY 1),
+        |cl AS (
+        |  SELECT ws.doc_id, len(w) AS n_words,
+        |    list_transform(
+        |      list_filter(list_transform(w, (x, ix) -> {'x': x, 'i': ix}),
+        |        e -> NOT list_contains(coalesce(cps, CAST([] AS BIGINT[])), e.i)),
+        |      e -> e.x) AS kept
+        |  FROM ws LEFT JOIN cova ON cova.doc_id = ws.doc_id)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+        |  round((n_words - len(kept)) / CAST(n_words AS DOUBLE), 6) AS removed_frac,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+        |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("w"))
+      val grams = ws
+        .select(col("doc_id"),
+          when(size(col("w")) >= 5,
+            transform(sequence(lit(1), size(col("w")) - 4),
+              i => md5(concat_ws(" ", slice(col("w"), i, lit(5))))))
+            .otherwise(array().cast("array<string>")).as("gs"))
+        .select(col("doc_id"), posexplode(col("gs")).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+      val dup = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).select(col("g"))
+      val cov = grams.join(dup, "g")
+        .select(col("doc_id"),
+          explode(sequence(col("p").cast("long"), col("p").cast("long") + 4)).as("cp"))
+        .distinct()
+      val cova = cov.groupBy(col("doc_id")).agg(collect_set(col("cp")).as("cps"))
+      ws.join(cova, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          transform(
+            filter(transform(col("w"), (x, ix) =>
+              struct(x.as("x"), (ix + 1).cast("long").as("i"))),
+              e => !array_contains(
+                coalesce(col("cps"), array().cast("array<long>")), e.getField("i"))),
+            e => e.getField("x")).as("kept"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+          r6((col("n_words") - size(col("kept"))) / col("n_words").cast("double"))
+            .as("removed_frac"),
+          md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
+    /** Theta-sketch set intersection (the KMV/theta estimator of
+      * Dasgupta et al. 2016): per event type, the k=64 smallest
+      * md5-derived user hashes form the sketch with θ = its k-th
+      * value; a pair's intersection estimate is
+      * |{common sketch entries below min(θ_a, θ_b)}| / min(θ_a, θ_b).
+      * Emitted NEXT TO the exact intersection and the relative error —
+      * the q279 measured-error discipline: a sketch you have not
+      * measured is a sketch you cannot trust. Deterministic md5
+      * uniforms make sketches, estimates, and errors engine-portable.
+      *
+      * Scale shape: sketches are bounded-heap TopKPerGroup cuts (64
+      * rows per type ever shuffle); pair estimates join 64-row
+      * sketches; ONLY the exact-intersection audit column touches the
+      * full distinct set (at 100 TB you drop that column and keep the
+      * estimate — that is the point of the sketch).
+      */
+    QueryDef(
+      "q362_theta_intersect",
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type AS et, user_id FROM events),
+         |h AS (
+         |  SELECT et, user_id, ${u01Sql("'theta1#' || user_id")} AS u FROM du),
+         |sk AS (
+         |  SELECT et, user_id, u,
+         |    row_number() OVER (PARTITION BY et ORDER BY u, user_id) AS r
+         |  FROM h),
+         |kmv AS (SELECT et, user_id, u FROM sk WHERE r <= 64),
+         |theta AS (SELECT et, max(u) AS th FROM kmv GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.et AS et_a, b.et AS et_b, least(ta.th, tb.th) AS th
+         |  FROM (SELECT DISTINCT et FROM du) a
+         |  JOIN (SELECT DISTINCT et FROM du) b ON a.et < b.et
+         |  JOIN theta ta ON ta.et = a.et JOIN theta tb ON tb.et = b.et),
+         |est AS (
+         |  SELECT p.et_a, p.et_b, p.th,
+         |    count(*) FILTER (WHERE ka.u < p.th) AS n_common
+         |  FROM pairs p
+         |  JOIN kmv ka ON ka.et = p.et_a
+         |  JOIN kmv kb ON kb.et = p.et_b AND kb.user_id = ka.user_id
+         |  GROUP BY 1, 2, 3),
+         |exact AS (
+         |  SELECT x.et AS et_a, y.et AS et_b, count(*) AS n_exact
+         |  FROM du x JOIN du y ON y.user_id = x.user_id AND x.et < y.et
+         |  GROUP BY 1, 2)
+         |SELECT e.et_a, e.et_b, CAST(e.n_exact AS BIGINT) AS n_exact,
+         |  round(coalesce(s.n_common, 0) / s.th, 2) AS n_est,
+         |  round(abs(coalesce(s.n_common, 0) / s.th - e.n_exact)
+         |    / e.n_exact, 6) AS rel_err
+         |FROM exact e LEFT JOIN est s ON s.et_a = e.et_a AND s.et_b = e.et_b
+         |ORDER BY e.et_a, e.et_b""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val h = du.withColumn("u", u01(concat(lit("theta1#"), col("user_id"))))
+      val kmv = graft.plans.TopKPerGroupOps.topKPerGroup(s, h, Seq(col("et")),
+        Seq(col("u").asc, col("user_id").asc), 64)
+      val theta = kmv.groupBy(col("et")).agg(max(col("u")).as("th"))
+      val ets = du.select(col("et")).distinct()
+      val pairs = ets.select(col("et").as("et_a"))
+        .join(ets.select(col("et").as("et_b")), col("et_a") < col("et_b"))
+        .join(broadcast(theta.select(col("et").as("ta"), col("th").as("tha"))),
+          col("ta") === col("et_a"))
+        .join(broadcast(theta.select(col("et").as("tb"), col("th").as("thb"))),
+          col("tb") === col("et_b"))
+        .select(col("et_a"), col("et_b"), least(col("tha"), col("thb")).as("th"))
+      val est = pairs
+        .join(broadcast(kmv.select(col("et").as("ka_et"), col("user_id").as("ka_uid"),
+          col("u").as("ka_u"))), col("ka_et") === col("et_a"))
+        .join(broadcast(kmv.select(col("et").as("kb_et"), col("user_id").as("kb_uid"))),
+          col("kb_et") === col("et_b") && col("kb_uid") === col("ka_uid"))
+        .groupBy(col("et_a"), col("et_b"), col("th"))
+        .agg(count(when(col("ka_u") < col("th"), 1)).as("n_common"))
+      val exact = du.select(col("et").as("x_et"), col("user_id").as("x_uid"))
+        .join(du.select(col("et").as("y_et"), col("user_id").as("y_uid")),
+          col("y_uid") === col("x_uid") && col("x_et") < col("y_et"))
+        .groupBy(col("x_et").as("et_a"), col("y_et").as("et_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.join(broadcast(est), Seq("et_a", "et_b"), "left")
+        .select(col("et_a"), col("et_b"), col("n_exact"),
+          round(coalesce(col("n_common"), lit(0L)) / col("th"), 2).as("n_est"),
+          r6(abs(coalesce(col("n_common"), lit(0L)) / col("th") - col("n_exact")) /
+            col("n_exact")).as("rel_err"))
+        .orderBy("et_a", "et_b")
+    }
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Invariants of the round-12 pipeline operators (q358–q362) beyond
+  * their oracle hash checks: the mixture sampler's selection rates
+  * actually order by weight and honor the budget exactly; the MaxSim
+  * kernel is bounded by |Q| and scores a query-identical token set at
+  * exactly |Q|; the IVM part-joins PARTITION the fact rows; span
+  * removal only ever removes merged ≥5-word spans; and the theta
+  * intersection estimates land inside the k=64 error regime on every
+  * pair (measured, not assumed).
+  */
+class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.prepare(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("round12-spec").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def byName(n: String) = SparkEntry.queries(n)
+
+  test("q358 mixture sampling: budget exactly honored, selection rate strictly orders by weight") {
+    val r = byName("q358_mixture_sample")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    val budget = math.ceil(0.3 * total).toLong
+    assert(r.map(_.getAs[Long]("n_selected")).sum === budget,
+      "the global top-B cut must select exactly the budget")
+    // average selection rate per weight tier must be strictly increasing
+    val byW = r.groupBy(_.getAs[Double]("wt")).toSeq.sortBy(_._1)
+      .map { case (w, rows) =>
+        w -> rows.map(_.getAs[Double]("sel_rate")).sum / rows.size
+      }
+    assert(byW.size === 4, s"expected 4 weight tiers, got $byW")
+    byW.sliding(2).foreach { case Seq((w1, r1), (w2, r2)) =>
+      assert(r2 > r1, f"weight $w2 must out-select weight $w1 ($r2%.4f vs $r1%.4f)")
+    }
+  }
+
+  test("q359 MaxSim: bounded by |Q|, and a query-identical token set scores exactly |Q|") {
+    val r = byName("q359_late_interaction")(spark, sf).collect()
+    assert(r.length === 10)
+    assert(r.forall(_.getAs[Double]("maxsim") <= 4.0 + 1e-9),
+      "MaxSim is a sum of 4 cosines, each <= 1")
+    // kernel self-consistency in plain Scala: a doc whose tokens ARE the
+    // query terms has cos(q, q) = 1 per term, so MaxSim = |Q| exactly
+    val q = Seq("spark", "vector", "join", "stream").map(operators.Round12Ops.tokVec)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val self = q.map(qv => q.map(tv => cos(qv, tv)).max).sum
+    assert(math.abs(self - 4.0) < 1e-12, s"self-retrieval MaxSim was $self")
+  }
+
+  test("q360 IVM: the four part-joins partition the full join's rows exactly") {
+    val cut = lit("1999-01-01").cast("timestamp")
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_shipdate"))
+    def cnt(oPred: org.apache.spark.sql.Column, lPred: org.apache.spark.sql.Column) =
+      l.where(lPred).join(o.where(oPred), col("l_orderkey") === col("o_orderkey")).count()
+    val parts =
+      cnt(col("o_orderdate") < cut, col("l_shipdate") < cut) +
+        cnt(col("o_orderdate") >= cut, col("l_shipdate") < cut) +
+        cnt(col("o_orderdate") < cut, col("l_shipdate") >= cut) +
+        cnt(col("o_orderdate") >= cut, col("l_shipdate") >= cut)
+    val full = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(parts === full, "base/delta splits must partition the join exactly")
+    // and the view itself agrees with the direct recompute row-for-row
+    val v = byName("q360_ivm_join")(spark, sf)
+    assert(v.agg(sum(col("n_rows"))).head.getLong(0) === full)
+  }
+
+  test("q361 span removal: every nonzero removal is a merged >=5-word span; bounds hold") {
+    val r = byName("q361_span_removal")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_words"); val rm = row.getAs[Long]("n_removed")
+      val f = row.getAs[Double]("removed_frac")
+      assert(rm >= 0 && rm <= n)
+      assert(f >= 0.0 && f <= 1.0)
+      if (rm > 0) assert(rm >= 5, s"doc ${row.getAs[Long]("doc_id")}: spans are >=5 words, got $rm")
+      if (rm == n)
+        assert(row.getAs[String]("cleaned_md5") === "d41d8cd98f00b204e9800998ecf8427e",
+          "fully-removed doc must hash the empty string")
+    }
+    assert(r.exists(_.getAs[Long]("n_removed") > 0),
+      "the corpus plants duplicated spans; some doc must lose words")
+  }
+
+  test("q362 theta intersection: every pair's estimate is inside the k=64 error regime") {
+    val r = byName("q362_theta_intersect")(spark, sf).collect()
+    assert(r.length === 10, "5 event types -> 10 unordered pairs")
+    // KMV with k=64 has rsd ~ 1/sqrt(k-1) ~ 12.6% on the union; the
+    // intersection estimate inherits extra variance. Measured at
+    // sf0.01: max rel_err 0.17. Bound at 0.5 so the invariant is about
+    // the REGIME (sketch works), not this corpus draw.
+    r.foreach { row =>
+      val e = row.getAs[Double]("rel_err")
+      assert(!e.isNaN && e <= 0.5,
+        s"${row.getAs[String]("et_a")}x${row.getAs[String]("et_b")}: rel_err $e")
+    }
+    assert(r.count(_.getAs[Double]("rel_err") <= 0.25) >= 5,
+      "at least half the pairs must estimate within 25%")
+  }
+}
