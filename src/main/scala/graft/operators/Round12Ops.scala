@@ -50,6 +50,42 @@ object Round12Ops {
   /** q359's fixed query: four corpus-vocabulary terms. */
   private val maxsimQuery = Seq("spark", "vector", "join", "stream")
 
+  /** q363's 15 raw moments over (x1, x2, x3, y): name → product expr.
+    * Same feature/target mapping as q320 (quantity, discount, tax →
+    * extendedprice), stated over the fold-tagged projection. */
+  private val cvMoms: Seq[(String, String)] = Seq(
+    "s1" -> "x1", "s2" -> "x2", "s3" -> "x3", "sy" -> "y",
+    "s11" -> "x1 * x1", "s12" -> "x1 * x2", "s13" -> "x1 * x3",
+    "s22" -> "x2 * x2", "s23" -> "x2 * x3", "s33" -> "x3 * x3",
+    "s1y" -> "x1 * y", "s2y" -> "x2 * y", "s3y" -> "x3 * y", "syy" -> "y * y")
+
+  /** Held-out fold columns + keys carried through every q363 stage. */
+  private val cvCarry: Seq[String] =
+    Seq("fold", "h_n") ++ cvMoms.map { case (n, _) => s"h_$n" }
+
+  /** λ-parameterized ridge stage (q320's rgStage with the literal
+    * LamScale replaced by the lam column). */
+  private val cvRgStage: Seq[String] =
+    Seq("n", "s1", "s2", "s3", "sy",
+      "a11", "a12", "a13", "a22", "a23", "a33", "ay1", "ay2", "ay3", "ayy",
+      "lam", "a11 * lam AS r11", "a22 * lam AS r22", "a33 * lam AS r33") ++ cvCarry
+
+  private val cvSolveStage: Seq[String] =
+    Seq("lam", "n", "s1", "s2", "s3", "sy") ++ cvCarry ++
+      SupervisedOps.solveStage.filter(_.contains(" AS b"))
+
+  private val cvB0Stage: Seq[String] =
+    Seq("lam", "b1", "b2", "b3",
+      "(sy - b1 * s1 - b2 * s2 - b3 * s3) / n AS b0") ++ cvCarry
+
+  /** Held-out MSE in closed form from the held fold's raw moments. */
+  private val cvMseExpr: String =
+    "(h_syy - 2.0 * b0 * h_sy - 2.0 * (b1 * h_s1y + b2 * h_s2y + b3 * h_s3y)" +
+      " + b0 * b0 * h_n + 2.0 * b0 * (b1 * h_s1 + b2 * h_s2 + b3 * h_s3)" +
+      " + (b1 * b1 * h_s11 + b2 * b2 * h_s22 + b3 * b3 * h_s33" +
+      " + 2.0 * b1 * b2 * h_s12 + 2.0 * b1 * b3 * h_s13 + 2.0 * b2 * b3 * h_s23))" +
+      " / h_n"
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Late-interaction (ColBERT-style) MaxSim retrieval (Khattab &
@@ -309,6 +345,98 @@ object Round12Ops {
             .as("removed_frac"),
           md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
         .orderBy("doc_id")
+    },
+
+    /** K-fold cross-validated ridge model selection in ONE distributed
+      * pass (round 12): the q320 closed-form ridge extended to the
+      * model-selection step every training pipeline actually runs.
+      * The trick that makes 5-fold CV × 3 regularization strengths cost
+      * ONE moment aggregate: per-fold decimal moment sums are exact, so
+      * each fold's TRAINING Gram matrix is total − fold by plain
+      * subtraction, and the held-out MSE expands in closed form from
+      * the held fold's OWN raw moments —
+      * Σ(y−b0−Σbⱼxⱼ)² = syy − 2b0·sy − 2Σbⱼs_jy + b0²n + 2b0Σbⱼsⱼ
+      * + ΣΣ bⱼbₖ s_jk — so no second data pass, no per-row scoring, no
+      * fold×λ re-aggregation: everything after the 5-row fold-moment
+      * table is column arithmetic on 15 (fold, λ) rows. Output: one row
+      * per λ with its CV MSE and the winner flag.
+      *
+      * Determinism: fold assignment is the q132 portable md5 hash; all
+      * moment sums DECIMAL(38,12); every downstream expression is the
+      * SAME string run by both dialects (the q320/q300 discipline), so
+      * every double — and the argmin — matches bit-for-bit.
+      */
+    QueryDef(
+      "q363_ridge_cv", {
+        s"""WITH f AS (
+           |  SELECT l_quantity AS x1, l_discount AS x2, l_tax AS x3,
+           |    l_extendedprice AS y,
+           |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+           |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold
+           |  FROM lineitem),
+           |fm AS (
+           |  SELECT fold, count(*) AS cn,
+           |    ${cvMoms.map { case (n, e) => s"sum(CAST($e AS DECIMAL(38,12))) AS $n" }
+                .mkString(",\n    ")}
+           |  FROM f GROUP BY fold),
+           |tot AS (
+           |  SELECT sum(cn) AS tcn,
+           |    ${cvMoms.map { case (n, _) => s"sum($n) AS t$n" }.mkString(", ")}
+           |  FROM fm),
+           |tr AS (
+           |  SELECT fold, CAST(tcn - cn AS DOUBLE) AS n,
+           |    ${cvMoms.map { case (n, _) => s"CAST(t$n - $n AS DOUBLE) AS $n" }
+                .mkString(",\n    ")},
+           |    CAST(cn AS DOUBLE) AS h_n,
+           |    ${cvMoms.map { case (n, _) => s"CAST($n AS DOUBLE) AS h_$n" }
+                .mkString(",\n    ")}
+           |  FROM fm, tot),
+           |cm AS (SELECT ${(SupervisedOps.cmStage ++ cvCarry).mkString(", ")} FROM tr),
+           |lm AS (SELECT CAST(lam AS DOUBLE) AS lam
+           |       FROM (VALUES (1.000001), (1.001), (1.01)) l(lam)),
+           |rg AS (SELECT ${cvRgStage.mkString(", ")} FROM cm, lm),
+           |sv AS (SELECT ${cvSolveStage.mkString(", ")} FROM rg),
+           |sb AS (SELECT ${cvB0Stage.mkString(", ")} FROM sv),
+           |ms AS (SELECT lam, fold, $cvMseExpr AS mse FROM sb),
+           |cv AS (
+           |  SELECT lam,
+           |    CAST(sum(CAST(mse AS DECIMAL(38,12))) AS DOUBLE) / 5.0 AS cvm
+           |  FROM ms GROUP BY lam)
+           |SELECT round(lam, 6) AS lam_scale, round(cvm, 4) AS cv_mse,
+           |  CAST(rank() OVER (ORDER BY cvm, lam) = 1 AS INT) AS is_best
+           |FROM cv ORDER BY lam""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val f = Tables.lineitem(s, d).select(
+        col("l_quantity").as("x1"), col("l_discount").as("x2"),
+        col("l_tax").as("x3"), col("l_extendedprice").as("y"),
+        (conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 5).cast("int").as("fold"))
+      val fm = f.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
+        cvMoms.map { case (n, e) =>
+          sum(expr(e).cast("decimal(38,12)")).as(n) }: _*)
+      val tot = fm.agg(sum(col("cn")).as("tcn"),
+        cvMoms.map { case (n, _) => sum(col(n)).as(s"t$n") }: _*)
+      val tr = fm.crossJoin(broadcast(tot)).select(
+        col("fold") +: (col("tcn") - col("cn")).cast("double").as("n") +:
+          (cvMoms.map { case (n, _) =>
+            (col(s"t$n") - col(n)).cast("double").as(n) } ++
+            (col("cn").cast("double").as("h_n") +:
+              cvMoms.map { case (n, _) => col(n).cast("double").as(s"h_$n") })): _*)
+      val lm = Seq(1.000001, 1.001, 1.01).toDF("lam")
+      tr.selectExpr(SupervisedOps.cmStage ++ cvCarry: _*)
+        .crossJoin(broadcast(lm))
+        .selectExpr(cvRgStage: _*)
+        .selectExpr(cvSolveStage: _*)
+        .selectExpr(cvB0Stage: _*)
+        .selectExpr("lam", "fold", s"$cvMseExpr AS mse")
+        .groupBy(col("lam"))
+        .agg((sum(col("mse").cast("decimal(38,12)")).cast("double") / 5.0).as("cvm"))
+        .select(round(col("lam"), 6).as("lam_scale"), round(col("cvm"), 4).as("cv_mse"),
+          (rank().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cvm"), col("lam"))) === 1).cast("int").as("is_best"))
+        .orderBy("lam_scale")
     },
 
     /** Theta-sketch set intersection (the KMV/theta estimator of
