@@ -29,10 +29,15 @@ import graft.functions.Retain.{F, H, T, numTasks}
   * evaluated in double and then rounded to REAL, exactly like the
   * JVM's `math.exp(z.toDouble).toFloat` in [[graft.functions.Retain.F32]];
   * libm ulp differences in the double intermediate are annihilated by
-  * the 29-bit drop to f32 (the f32 oracle is MORE margin-robust than
-  * the f64 one on this axis). The remaining hash risk is a double
-  * intermediate landing within one double-ulp of an f32 rounding
-  * boundary — RetainSpec's margin measurement covers it.
+  * the 29-bit drop to f32 UNLESS the double lands within ~2^-29
+  * f32-ulps of a rounding midpoint (~1.9e-9 per evaluation). That is
+  * the real protection: Round12Spec MEASURED the corpus digit margins
+  * and the worst score sits only 0.018 f32-ulps from its round-6
+  * boundary (9.8% of scores within 1 ulp — near the pure-geometry floor,
+  * since one f32 ulp at p≈0.5 spans ~6% of a digit cell), so safety rests on
+  * bit-exact f32 op parity, not on digit margins — net expected hash
+  * risk ≈ 1e-5 per corpus run, and the spec pins the exposure so a
+  * regime change gets flagged.
   */
 object RetainOracleSqlF32 {
   private val K = numTasks

@@ -155,6 +155,44 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
         "beyond cross-fold variation")
   }
 
+  test("q204 f32 oracle margin: corpus scores sit clear of their round-6 boundaries") {
+    // the f32 oracle's residual hash risk (RetainOracleSqlF32 scaladoc):
+    // a libm ulp difference survives the f32 rounding only within
+    // 2^-29 f32-ulps of a rounding midpoint, and then flips an emitted
+    // digit only if the score ALSO sits within ~1 f32-ulp of a 1e-6
+    // half boundary. Measure the second factor over the real corpus:
+    // distance of every unrounded f32 score from its nearest round-6
+    // boundary, in f32-ulp units.
+    val bw = graft.functions.Retain.F32.prepare(graft.functions.Retain.defaultWeights)
+    val scores = operators.RetainOps.featurized(spark, sf)
+      .map { case (_, x, _) => graft.functions.Retain.F32.forward(bw, x) }
+      .collect().flatten
+    assert(scores.length >= 300, "corpus scoring returned too few values")
+    val margins = scores.map { p =>
+      val grid = p * 1e6
+      val distToHalf = math.abs(grid - math.floor(grid) - 0.5)
+      val ulpGrid = math.ulp(p.toFloat).toDouble * 1e6
+      distToHalf / ulpGrid // how many f32 ulps from the digit boundary
+    }
+    val worst = margins.min
+    val exposed = margins.count(_ < 1.0).toDouble / margins.length
+    // MEASURED at sf0.01 (round 9): worst = 0.018 ulps, exposure 9.8%
+    // — close to the pure geometry (an f32 ulp near p≈0.5 spans ~6% of
+    // a 1e-6 digit cell, so ~12% of uniform scores sit within one ulp
+    // of a boundary). The digit margin is therefore NOT what protects
+    // the q204 hash. The
+    // protection is factor ONE: both engines execute bit-identical f32
+    // ops (exact-in-double + one rounding), and only a libm ulp
+    // difference inside exp/tanh can diverge — surviving f32 rounding
+    // with probability ~2^-29 per evaluation, ~1e-4 expected flipped
+    // bits per corpus run, times this exposure ⇒ ~1e-5 hash risk per
+    // run. This test pins the EXPOSURE against pathological clustering
+    // (scores parked ON boundaries), not against the geometry floor.
+    assert(exposed < 0.2,
+      f"$exposed%.3f of scores sit within 1 f32-ulp of a round-6 boundary " +
+        f"(worst $worst%.3f) — the f32 oracle's exposure grew past its measured regime")
+  }
+
   test("q362 theta intersection: every pair's estimate is inside the k=64 error regime") {
     val r = byName("q362_theta_intersect")(spark, sf).collect()
     assert(r.length === 10, "5 event types -> 10 unordered pairs")
