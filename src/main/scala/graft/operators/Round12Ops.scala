@@ -413,9 +413,15 @@ object Round12Ops {
         (conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("#"),
           col("l_linenumber").cast("string"))), 1, 15), 16, 10)
           .cast("long") % 5).cast("int").as("fold"))
-      val fm = f.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
-        cvMoms.map { case (n, e) =>
-          sum(expr(e).cast("decimal(38,12)")).as(n) }: _*)
+      // materialized via PlanCache: `fm` feeds BOTH the per-fold side
+      // and the totals broadcast — uncached, Catalyst derives the
+      // moment aggregate twice (two full fact scans; seen in the
+      // executed plan), which breaks the operator's one-pass contract
+      val fm = graft.PlanCache.cached(s, s"q363_fold_moments|$d") {
+        f.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
+          cvMoms.map { case (n, e) =>
+            sum(expr(e).cast("decimal(38,12)")).as(n) }: _*)
+      }
       val tot = fm.agg(sum(col("cn")).as("tcn"),
         cvMoms.map { case (n, _) => sum(col(n)).as(s"t$n") }: _*)
       val tr = fm.crossJoin(broadcast(tot)).select(
