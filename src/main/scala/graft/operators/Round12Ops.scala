@@ -445,6 +445,92 @@ object Round12Ops {
         .orderBy("lam_scale")
     },
 
+    /** Triangle count + global clustering coefficient of the
+      * co-purchase graph (round 12) — the graph-health primitive the
+      * HITS/CF/assortativity family still lacked. Edges: part pairs
+      * co-occurring in ≥2 orders (q331's support floor). The ENGINE
+      * runs the scalable algorithm — orient every edge from its
+      * (degree, id)-smaller endpoint, join out-edges on the pivot to
+      * form wedges, close each wedge against the edge set — which
+      * bounds per-node join fan-out by out-degree ≤ O(√m) (Chiba-
+      * Nishizeki orientation), while the ORACLE counts the same
+      * triangles with the direct a<b<c triple self-join that only a
+      * small fixture can afford. Same integers either way (each
+      * triangle has exactly ONE vertex with two out-edges under a
+      * total order), so the count hash-verifies the scalable plan
+      * against the brute-force definition. Clustering = 3·triangles /
+      * Σ C(deg, 2) — all integer-exact.
+      */
+    QueryDef(
+      "q364_triangles",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT w, count(*) AS dg FROM (
+        |    SELECT u AS w FROM e UNION ALL SELECT v AS w FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |wed AS (SELECT sum(dg * (dg - 1) / 2) AS wtot FROM deg)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  CAST(t AS BIGINT) AS n_triangles,
+        |  round(3.0 * t / wtot, 6) AS clustering
+        |FROM tri, wed""".stripMargin) { (s, d) =>
+      // edges via the q218/q331 basket idiom: pairs expand map-side
+      // from per-order collected baskets, never a fact self-join
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = graft.PlanCache.cached(s, s"q364_edges|$d") {
+        op.groupBy("o")
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))),
+              y => struct(x.as("u"), y.as("v")))))).as("pr"))
+          .select(col("pr.u").as("u"), col("pr.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("nco"))
+          .where(col("nco") >= 2).select(col("u"), col("v"))
+      }
+      val deg = e.select(col("u").as("w")).unionAll(e.select(col("v").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("dg"))
+      // orient each edge from its (deg, id)-smaller endpoint
+      val or = e
+        .join(broadcast(deg.select(col("w").as("uw"), col("dg").as("du"))),
+          col("uw") === col("u"))
+        .join(broadcast(deg.select(col("w").as("vw"), col("dg").as("dv"))),
+          col("vw") === col("v"))
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("a"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("b"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+            .otherwise(col("du")).as("db"))
+      // wedges at the pivot a: pairs of out-neighbors ordered by (deg, id)
+      val w1 = or.select(col("a"), col("b").as("x"), col("db").as("dx"))
+      val w2 = or.select(col("a").as("a2"), col("b").as("y"), col("db").as("dy"))
+      val wedges = w1.join(w2, col("a2") === col("a") &&
+        (col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))))
+        .select(least(col("x"), col("y")).as("cu"),
+          greatest(col("x"), col("y")).as("cv"))
+      val tri = wedges
+        .join(e.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"))
+        .agg(count(lit(1)).as("t"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("dg") * (col("dg") - 1)) / 2).as("wtot"))
+      val ecnt = e.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(ecnt).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
+          round(lit(3.0) * col("t") / col("wtot"), 6).as("clustering"))
+    },
+
     /** Theta-sketch set intersection (the KMV/theta estimator of
       * Dasgupta et al. 2016): per event type, the k=64 smallest
       * md5-derived user hashes form the sketch with θ = its k-th

@@ -193,6 +193,32 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
         f"(worst $worst%.3f) — the f32 oracle's exposure grew past its measured regime")
   }
 
+  test("q364 triangles: the oriented count matches an independent set-based recount") {
+    val r = byName("q364_triangles")(spark, sf).collect()(0)
+    val (nodes, edges, tri, clust) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"),
+      r.getAs[Double]("clustering"))
+    assert(tri > 0 && clust > 0.0 && clust <= 1.0)
+    // third implementation: collect the edge set and count triangles by
+    // neighbor-set intersection — independent of both the engine's
+    // degree-ordered orientation and the oracle's triple join
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+      .select("u", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(e.length.toLong === edges)
+    val adj = e.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(adj.size.toLong === nodes)
+    val recount = e.map { case (u, v) => (adj(u) & adj(v)).size }.sum / 3
+    assert(recount.toLong === tri,
+      s"set-based recount $recount vs engine $tri")
+  }
+
   test("q362 theta intersection: every pair's estimate is inside the k=64 error regime") {
     val r = byName("q362_theta_intersect")(spark, sf).collect()
     assert(r.length === 10, "5 event types -> 10 unordered pairs")
