@@ -78,6 +78,20 @@ object Round12Ops {
     Seq("lam", "b1", "b2", "b3",
       "(sy - b1 * s1 - b2 * s2 - b3 * s3) / n AS b0") ++ cvCarry
 
+  /** q365's shared stages (same strings both dialects — the q320
+    * discipline): exact mid-rank AUC from the rank aggregate, then the
+    * Hanley–McNeil SE and the z=1.96 interval. */
+  private val aucStage: Seq[String] = Seq(
+    "np", "nn", "(spr - np*(np+1)/2.0) / (np*nn) AS a")
+  private val hmStage: Seq[String] = Seq(
+    "np", "nn", "a", "a/(2.0-a) AS q1", "2.0*a*a/(1.0+a) AS q2")
+  private val aucCiOut: Seq[String] = Seq(
+    "round(a, 6) AS auc",
+    "CAST(np AS BIGINT) AS n_pos", "CAST(nn AS BIGINT) AS n_neg",
+    "round(sqrt((a*(1.0-a) + (np-1.0)*(q1-a*a) + (nn-1.0)*(q2-a*a)) / (np*nn)), 6) AS se",
+    "round(a - 1.959963984540054*sqrt((a*(1.0-a) + (np-1.0)*(q1-a*a) + (nn-1.0)*(q2-a*a)) / (np*nn)), 6) AS ci_lo",
+    "round(a + 1.959963984540054*sqrt((a*(1.0-a) + (np-1.0)*(q1-a*a) + (nn-1.0)*(q2-a*a)) / (np*nn)), 6) AS ci_hi")
+
   /** Held-out MSE in closed form from the held fold's raw moments. */
   private val cvMseExpr: String =
     "(h_syy - 2.0 * b0 * h_sy - 2.0 * (b1 * h_s1y + b2 * h_s2y + b3 * h_s3y)" +
@@ -529,6 +543,82 @@ object Round12Ops {
       stats.crossJoin(ecnt).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
           round(lit(3.0) * col("t") / col("wtot"), 6).as("clustering"))
+    },
+
+    /** AUC with a Hanley–McNeil 95% confidence interval (Hanley &
+      * McNeil, Radiology 1982) — the eval family's missing honesty
+      * column: a point AUC without its sampling error is exactly the
+      * kind of readout the q279/q362 measured-error discipline exists
+      * to forbid. Same exact mid-rank AUC as q21 (tie-exact, rank sums
+      * are half-integers so the doubles are order-free), then the
+      * closed-form SE from (A, n⁺, n⁻) and the z=1.96 interval — all
+      * shared expression strings, so CI bounds match bit-for-bit.
+      * Scale: identical to q21 (the global rank becomes the histogram
+      * form at 100 TB); the CI math is arithmetic on one row.
+      */
+    QueryDef(
+      "q365_auc_ci",
+      s"""WITH scored AS (
+         |  SELECT l_quantity/10.0 - l_discount*20.0 + l_tax*5.0 - 1.5 AS z,
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lineitem),
+         |ranked AS (
+         |  SELECT y, rank() OVER (ORDER BY z) + (count(*) OVER (PARTITION BY z) - 1)/2.0 AS mr
+         |  FROM scored),
+         |agg AS (
+         |  SELECT sum(CASE WHEN y = 1.0 THEN mr END) AS spr,
+         |    sum(y) AS np, sum(1.0-y) AS nn
+         |  FROM ranked),
+         |a AS (SELECT ${aucStage.mkString(", ")} FROM agg),
+         |q AS (SELECT ${hmStage.mkString(", ")} FROM a)
+         |SELECT ${aucCiOut.mkString(", ")} FROM q""".stripMargin) { (s, d) =>
+      val scored = Tables.lineitem(s, d).select(
+        (col("l_quantity") / 10.0 - col("l_discount") * 20.0 +
+          col("l_tax") * 5.0 - 1.5).as("z"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      import org.apache.spark.sql.expressions.Window
+      scored.withColumn("mr",
+          rank().over(Window.orderBy(col("z"))) +
+            (count(lit(1)).over(Window.partitionBy(col("z"))) - 1) / 2.0)
+        .agg(sum(when(col("y") === 1.0, col("mr"))).as("spr"),
+          sum(col("y")).as("np"), sum(lit(1.0) - col("y")).as("nn"))
+        .selectExpr(aucStage: _*)
+        .selectExpr(hmStage: _*)
+        .selectExpr(aucCiOut: _*)
+    },
+
+    /** Benford first-digit audit (Benford 1938; the fraud/data-quality
+      * screen every financial fact table gets): observed first-
+      * significant-digit shares of o_totalprice against log10(1+1/d).
+      * The digit comes from the DECIMAL(18,2) STRING form, not from
+      * floor(log10(x)) — a float log straddles power-of-ten boundaries
+      * (log10(1000) can evaluate 2.999…96) and would make the digit
+      * engine-dependent; the decimal cast rounds identically on both
+      * engines. One grouped count; nine output rows.
+      */
+    QueryDef(
+      "q366_benford",
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS dig
+        |  FROM orders),
+        |c AS (SELECT CAST(dig AS INT) AS digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  round(n / CAST(tn AS DOUBLE), 6) AS obs_share,
+        |  round(ln(1.0 + 1.0/digit) / ln(10.0), 6) AS benford_share,
+        |  round(abs(n / CAST(tn AS DOUBLE) - ln(1.0 + 1.0/digit) / ln(10.0)), 6) AS abs_gap
+        |FROM c, t ORDER BY digit""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("tn"))
+      c.crossJoin(broadcast(t))
+        .selectExpr("digit", "CAST(n AS BIGINT) AS n",
+          "round(n / CAST(tn AS DOUBLE), 6) AS obs_share",
+          "round(ln(1.0 + 1.0/digit) / ln(10.0), 6) AS benford_share",
+          "round(abs(n / CAST(tn AS DOUBLE) - ln(1.0 + 1.0/digit) / ln(10.0)), 6) AS abs_gap")
+        .orderBy("digit")
     },
 
     /** Theta-sketch set intersection (the KMV/theta estimator of

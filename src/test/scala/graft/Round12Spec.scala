@@ -219,6 +219,35 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"set-based recount $recount vs engine $tri")
   }
 
+  test("q365 AUC CI: interval brackets the estimate; SE inside the binomial envelope") {
+    val r = byName("q365_auc_ci")(spark, sf).collect()(0)
+    val (a, se, lo, hi) = (r.getAs[Double]("auc"), r.getAs[Double]("se"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    val (np, nn) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    // the q21 synthetic score is nearly uninformative on this corpus
+    // (AUC ≈ 0.498 at sf0.01) — which is exactly when the CI matters:
+    // it must show the estimate is NOT distinguishable from 0.5
+    assert(a > 0.0 && a < 1.0)
+    assert(lo < 0.5 && 0.5 < hi,
+      s"an uninformative scorer's 95% CI must cover 0.5 ([$lo, $hi])")
+    assert(se > 0 && lo < a && a < hi)
+    assert(math.abs((hi - lo) / 2.0 - 1.959963984540054 * se) < 2e-6)
+    // Hanley–McNeil SE is bounded above by the maximally-dispersed
+    // envelope sqrt(A(1−A)·(n⁺+n⁻+1)/(n⁺·n⁻)) — a formula sanity net
+    val envelope = math.sqrt(a * (1 - a) * (np + nn + 1).toDouble / (np * nn))
+    assert(se <= envelope, s"SE $se above the binomial envelope $envelope")
+  }
+
+  test("q366 Benford: digits complete, shares sum to one") {
+    val r = byName("q366_benford")(spark, sf).collect()
+    assert(r.map(_.getAs[Int]("digit")).sorted.toSeq === (1 to 9))
+    val obs = r.map(_.getAs[Double]("obs_share")).sum
+    val thy = r.map(_.getAs[Double]("benford_share")).sum
+    assert(math.abs(obs - 1.0) < 1e-4, s"observed shares sum to $obs")
+    assert(math.abs(thy - 1.0) < 1e-4, s"Benford shares sum to $thy")
+    assert(r.forall(_.getAs[Long]("n") > 0))
+  }
+
   test("q362 theta intersection: every pair's estimate is inside the k=64 error regime") {
     val r = byName("q362_theta_intersect")(spark, sf).collect()
     assert(r.length === 10, "5 event types -> 10 unordered pairs")
