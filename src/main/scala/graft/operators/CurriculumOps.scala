@@ -765,10 +765,13 @@ object CurriculumOps {
       val keyed = cnt.crossJoin(broadcast(vsize))
         .select(col("center"), col("context"), col("n_pos"),
           negRank(1).as("r1"), negRank(2).as("r2"))
+      // rank→word lookups join UNHINTED (round-10 sweep): voc is
+      // vocabulary-grain — Heaps-law growth with the corpus — so the
+      // broadcast decision belongs to AQE's measured size, not a hint
       keyed
-        .join(broadcast(voc.select(col("rnk").as("rk1"), col("w").as("neg1"))),
+        .join(voc.select(col("rnk").as("rk1"), col("w").as("neg1")),
           col("rk1") === col("r1"))
-        .join(broadcast(voc.select(col("rnk").as("rk2"), col("w").as("neg2"))),
+        .join(voc.select(col("rnk").as("rk2"), col("w").as("neg2")),
           col("rk2") === col("r2"))
         .select(col("center"), col("context"), col("n_pos").cast("long").as("n_pos"),
           col("neg1"), col("neg2"))

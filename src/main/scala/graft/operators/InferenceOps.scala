@@ -842,8 +842,11 @@ object InferenceOps {
         .withColumn("treated",
           when(conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))),
             1, 15), 16, 10).cast("long") % 2 === 0, 1).otherwise(0))
+      // assign is USER-grain (grows with the fact table) — no forced
+      // broadcast (round-10 sweep): the purchase side shuffles on
+      // user_id either way and AQE owns the broadcast decision
       val ad = e.where(col("event_type") === "purchase")
-        .join(broadcast(assign), Seq("user_id"))
+        .join(assign, Seq("user_id"))
         .groupBy(col("treated"),
           datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("di"))
         .agg((sum(col("value").cast("decimal(18,3)")).cast("double") /

@@ -120,7 +120,11 @@ object PipelineMore {
         col("cnt").as("a_cnt"), col("n_len").as("a_len"))
       val b = nm.select(col("p_brand").as("b_brand"), col("p_name").as("b_name"),
         col("cnt").as("b_cnt"), col("n_len").as("b_len"))
-      a.join(broadcast(b), col("p_brand") === col("b_brand")
+      // nm is part-NAME grain (grows with the part dimension) — the
+      // pair join runs unhinted (round-10 sweep); at 100 TB the shape is
+      // q62's salted (brand, salt) shuffle join, AQE broadcasts only
+      // while nm measures small
+      a.join(b, col("p_brand") === col("b_brand")
           && col("a_name") < col("b_name")
           && abs(col("a_len") - col("b_len")) <= 2)
         .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
@@ -202,7 +206,9 @@ object PipelineMore {
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val idf = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
       val n = words.agg(countDistinct(col("doc_id")).as("n"))
-      tf.join(broadcast(idf), "word")
+      // idf is VOCABULARY-grain (Heaps-law growth with the corpus) —
+      // no forced broadcast (round-10 sweep); AQE sizes it at runtime
+      tf.join(idf, "word")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
           r6(col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))

@@ -136,10 +136,11 @@ object Round12Ops {
            |    list_sort(list_distinct(list_filter(string_split(text, ' '),
            |      w -> w != '')))[1:12] AS toks
            |  FROM documents),
+           |wsn AS (SELECT * FROM ws WHERE len(toks) > 0),
            |tv AS (
            |  SELECT doc_id, len(toks) AS n_tokens,
            |    list_transform(toks, w -> $tokVecSql) AS tvecs
-           |  FROM ws),
+           |  FROM wsn),
            |sc AS (
            |  SELECT doc_id, n_tokens,
            |    ${arms.mkString("\n    + ")} AS score
@@ -148,10 +149,15 @@ object Round12Ops {
            |  round(score, 6) AS maxsim
            |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
       }) { (s, d) =>
+      // empty/whitespace-only docs are excluded in BOTH dialects (round-9
+      // ADVICE): the aggregate's lit(-2.0) seed would otherwise give an
+      // empty token list a finite score (4 arms × −2.0) that can rank,
+      // while the oracle's list_max over an empty list is NULL
       val ws = Tables.documents(s, d)
         .select(col("doc_id"),
           slice(array_sort(array_distinct(
             graft.functions.Text.wordsCol(col("text")))), 1, 12).as("toks"))
+        .where(size(col("toks")) > 0)
       val tv = ws.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         expr(s"transform(toks, w -> $tokVecSparkSql)").as("tvecs"))
@@ -215,7 +221,17 @@ object Round12Ops {
          |FROM tot t LEFT JOIN sel s ON s.source = t.source
          |ORDER BY t.source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val budget = math.ceil(0.3 * docs.count()).toInt
+      // Long budget (round-9 ADVICE): `.toInt` silently wraps negative
+      // past ~7.1B docs. The bounded-heap cut structurally needs an Int
+      // k, so past Int.MaxValue fail LOUDLY and name the scale path
+      // (threshold selection over the key distribution) instead of
+      // selecting nothing while the oracle stays correct.
+      val budgetL = math.ceil(0.3 * docs.count()).toLong
+      require(budgetL <= Int.MaxValue,
+        s"q358_mixture_sample: budget $budgetL exceeds the bounded-heap " +
+          "Int ceiling; at this corpus size select by an E-S key threshold " +
+          "(approx quantile of pow(u, 1/wt)) instead of a global top-B heap")
+      val budget = budgetL.toInt
       val wt = lit(0.5) +
         (substring(col("source"), 4, 8).cast("int") % 4).cast("double") / 2.0
       val keyed = docs.select(col("doc_id"), col("source"), wt.as("wt"),
@@ -511,11 +527,18 @@ object Round12Ops {
       }
       val deg = e.select(col("u").as("w")).unionAll(e.select(col("v").as("w")))
         .groupBy("w").agg(count(lit(1)).as("dg"))
-      // orient each edge from its (deg, id)-smaller endpoint
+      // orient each edge from its (deg, id)-smaller endpoint. The degree
+      // lookups are PLAIN joins (round-10, VERDICT r9 #1): deg is the
+      // co-purchase NODE set — dimension-grain, growing with the part
+      // dimension — so a forced broadcast() here would override AQE's
+      // size check and ship an unbounded table to every executor at
+      // scale. The edge set already shuffles on u/v; AQE still elects a
+      // broadcast at small SF when deg measures under the threshold,
+      // which is exactly the decision runtime sizing should own.
       val or = e
-        .join(broadcast(deg.select(col("w").as("uw"), col("dg").as("du"))),
+        .join(deg.select(col("w").as("uw"), col("dg").as("du")),
           col("uw") === col("u"))
-        .join(broadcast(deg.select(col("w").as("vw"), col("dg").as("dv"))),
+        .join(deg.select(col("w").as("vw"), col("dg").as("dv")),
           col("vw") === col("v"))
         .select(
           when(col("du") < col("dv") ||

@@ -251,17 +251,21 @@ object TemporalOps {
       val orders = Tables.load(s, d, "orders")
       val li = Tables.load(s, d, "lineitem")
       val cust = Tables.load(s, d, "customer")
+      // referential-integrity anti-joins run UNHINTED (round-10 sweep):
+      // the orders/customer key sets grow with SF, so a forced broadcast
+      // would override AQE's size check; AQE still elects broadcast when
+      // the key side measures small at runtime
       def check(name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_bad"))
           .select(lit(name).as("check_name"), col("n_bad"))
       check("docs_under_100_chars", docs.where(col("n_chars") < 100))
         .unionAll(check("lineitem_without_order",
-          li.join(broadcast(orders.select("o_orderkey")),
+          li.join(orders.select("o_orderkey"),
             col("l_orderkey") === col("o_orderkey"), "left_anti")))
         .unionAll(check("orders_before_1996",
           orders.where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))))
         .unionAll(check("orders_without_customer",
-          orders.join(broadcast(cust.select("c_custkey")),
+          orders.join(cust.select("c_custkey"),
             col("o_custkey") === col("c_custkey"), "left_anti")))
         .orderBy("check_name")
     },
@@ -518,7 +522,10 @@ object TemporalOps {
       val wb = Window.orderBy(col("bmb"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val pm = bm.select(col("bmb"), max(col("bmax")).over(wb).as("prior_max"))
-      val lt = e.join(broadcast(pm), col("bmb") === col("batch"))
+      // pm is BATCH-grain (events/500 — grows with volume), so the
+      // attach join runs unhinted (round-10 sweep); AQE broadcasts it
+      // only while it actually measures small
+      val lt = e.join(pm, col("bmb") === col("batch"))
         .select(col("event_id"),
           when(col("prior_max").isNull, lit(0L))
             .otherwise(greatest(lit(0L),
@@ -565,10 +572,12 @@ object TemporalOps {
       def audit(name: String, df: DataFrame, flag: Column): DataFrame =
         df.agg(count_if(flag).as("n_erase"), count(lit(1)).as("n_total"))
           .select(lit(name).as("tbl"), col("n_erase"), col("n_total"))
+      // ~1% of orders — grows with SF, so no forced broadcast (round-10
+      // sweep): AQE sizes the join side at runtime
       val delOrders = Tables.orders(s, d)
         .where(col("o_custkey") % 97 === 0).select(col("o_orderkey").as("dok"))
       val li = Tables.lineitem(s, d)
-        .join(broadcast(delOrders), col("dok") === col("l_orderkey"), "left")
+        .join(delOrders, col("dok") === col("l_orderkey"), "left")
         .agg(count_if(col("dok").isNotNull).as("n_erase"), count(lit(1)).as("n_total"))
         .select(lit("lineitem").as("tbl"), col("n_erase"), col("n_total"))
       audit("events", Tables.events(s, d), col("user_id") % 97 === 0)

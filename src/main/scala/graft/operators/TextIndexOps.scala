@@ -86,8 +86,11 @@ object TextIndexOps {
         .select(col("b.0").as("w1"), col("b.1").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
       val bt = big.agg(sum(col("n")).cast("double").as("bt"))
-      big.join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), Seq("w1"))
-        .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), Seq("w2"))
+      // unigram counts are VOCABULARY-grain — unhinted joins (round-10
+      // sweep): the bigram side already shuffles on the word keys, and
+      // AQE still broadcasts when uni measures small at runtime
+      big.join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
         .crossJoin(broadcast(nt)).crossJoin(broadcast(bt))
         .where(col("n") >= 30)
         .select(col("w1"), col("w2"), col("n"),

@@ -1196,12 +1196,19 @@ object Streaming {
               r.fn(s, grid).collect().toSeq.flatMap { row =>
                 val k = r.ids.map(c => String.valueOf(row.getAs[Any](c))).mkString("|")
                 r.metrics.map { m =>
+                  // numeric types only, matched EXPLICITLY (round-9
+                  // ADVICE): a future non-numeric registry metric must
+                  // fail with a named error at registration time, not as
+                  // a NumberFormatException crashing the streaming query
                   val v: Option[Double] = row.getAs[Any](m) match {
                     case null => None
-                    case l: java.lang.Long => Some(l.toDouble)
-                    case i: java.lang.Integer => Some(i.toDouble)
-                    case dd: java.lang.Double => Some(dd.doubleValue)
-                    case x => Some(x.toString.toDouble)
+                    case bd: java.math.BigDecimal => Some(bd.doubleValue)
+                    case bd: scala.math.BigDecimal => Some(bd.toDouble)
+                    case n: java.lang.Number => Some(n.doubleValue)
+                    case x => throw new IllegalStateException(
+                      s"q357 panel readout '${r.tag}' metric '$m' has " +
+                        s"non-numeric type ${x.getClass.getName}; panel " +
+                        "metrics must be numeric (melted to DOUBLE)")
                   }
                   (r.tag, k, m, v)
                 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Forced-broadcast governance sweep (round 10, VERDICT r9 #1).
+  *
+  * An explicit `broadcast()` hint overrides AQE's measured size check, so
+  * it is only ever safe on inputs whose cardinality is BOUNDED BY
+  * CONSTRUCTION — a 1-row total, a top-k/TopKPerGroup cut, a literal
+  * value table, a fixed dimension (region/nation), a sketch (≤ k·groups
+  * rows), or a domain-grain aggregate over a generator-fixed key set. A
+  * hint on anything that grows with the data (a degree table, a
+  * vocabulary, a user set, a batch index) is a latent scale killer: fine
+  * at sf0.1, fatal at the 100 TB design point — exactly the q364 `deg`
+  * finding this sweep exists to fence.
+  *
+  * Mechanism: grep-driven, as specified by the verdict. Every
+  * `broadcast(<ident>` site in src/main (comments stripped) must appear
+  * in the reviewed table below, keyed by (file, first identifier inside
+  * the call). Adding a new forced broadcast fails this spec until the
+  * site is reviewed and its grain class recorded here; removing one
+  * fails until the stale entry is dropped, so the table cannot rot.
+  *
+  * Grain legend used below:
+  *  - 1row    — a global aggregate (totals, counts, fitted scalars)
+  *  - lit     — a literal/Seq.toDF value table (taus, salts, lags …)
+  *  - topk    — a bounded top-k / TopKPerGroup / limit cut
+  *  - sketch  — k-bounded sketch rows (KMV, MG candidates, CM cells)
+  *  - domain  — generator-fixed key set (sources, event types, hosts,
+  *              brands, channels, folds, strata, bins, quantiles)
+  *  - model   — O(model)/O(K) driver-held state (weights, centroids,
+  *              codebooks, screened pair set — each with its own cap)
+  *
+  * Sites REMOVED by the round-10 sweep (now plain joins, AQE decides):
+  * q364 deg (node-grain), q105 nm (part-name-grain), q114 idf and q176
+  * uni (vocabulary-grain), q293 assign (user-grain), q335 pm
+  * (batch-grain), q301 voc lookups (vocabulary-grain), q165 orders/cust
+  * key sets and q336 delOrders (fact/SF-grain).
+  */
+class BroadcastAuditSpec extends AnyFunSuite {
+
+  private val reviewed: Map[String, Set[String]] = Map(
+    "AnalyticsOps.scala" -> Set("outdeg", "pr"), // host-graph (domain)
+    "CausalOps.scala" -> Set("kk", "lags", "periods"), // lit
+    "CcmOps.scala" -> Set("sm"), // model: screen-capped survivor series
+    "CointOps.scala" -> Set("lags", "sm"), // lit; model
+    "CorpusOps.scala" -> Set("chk", "dd", "fit", "tot"), // lit; 1row ×3
+    "CurriculumOps.scala" -> Set("offsets", "srcIdx", "taus", "vsize"),
+    // ^ O(partitions) offsets; domain; lit; 1row
+    "DriftOps.scala" -> Set("bins10", "dc", "gl", "qh", "qs"),
+    // ^ lit; domain (decile/boundary tables); 1row
+    "Extensions.scala" -> Set("Seq", "recallQueries"), // lit; topk
+    "GraphOps.scala" -> Set("chDf", "full", "scen", "tot"),
+    // ^ lit channels; 1row; lit scenarios; 1row
+    "HybridOps.scala" -> Set("cents", "g", "ig", "nn", "probes", "qdf", "st"),
+    // ^ model centroids; 1row ×2; topk; lit probes; topk queries; 1row
+    "InferenceOps.scala" -> Set("a", "arms", "b", "base", "gs", "h", "hi",
+      "iw", "lo", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
+    // ^ 1row aggregates and lit replica/salt/quantile tables throughout
+    "LLMPipeline.scala" -> Set("cents", "s"), // model centroids; lit range
+    "Multimodal.scala" -> Set("tot"), // 1row
+    "PipelineMore.scala" -> Set("n"), // 1row
+    "PrivacyOps.scala" -> Set("widths"), // lit
+    "QualityOps.scala" -> Set("lam", "vv"), // domain (512 buckets); 1row
+    "Relational.scala" -> Set("Tables"), // fixed dims (region/nation)
+    "RelationalExt.scala" -> Set("Tables", "thr"), // fixed dims; 1row
+    "RelationalMore.scala" -> Set("anchor"), // topk (keyset anchor row)
+    "RetainOps.scala" -> Set("Retain", "w", "w0"), // model weights
+    "RobustOps.scala" -> Set("m", "mad"), // 1row ×2
+    "Round12Ops.scala" -> Set("est", "kmv", "lm", "sel", "t", "theta", "tot"),
+    // ^ sketch pair estimates; sketch; lit; domain (source); 1row;
+    //   sketch thetas; domain (source)
+    "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
+    // query rows); 1row; 1row; 1row
+    "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),
+    // ^ lit; 1row; lit; 1row; 1row; 1row; domain (element); model series
+    "StatsOps.scala" -> Set("cellsR", "e2", "e3", "front", "nd", "rowsJ",
+      "ti", "tu", "uest"),
+    // ^ sketch cells; host-graph edges (domain, q159) ×2; domain sizes;
+    //   domain types; lit; 1row ×3
+    "SupervisedOps.scala" -> Set("cg", "gg"), // model: O(features²) Gram
+    "TemporalOps.scala" -> Set("cuts", "mu", "peak", "sweep"),
+    // ^ lit; 1row; 1row; lit
+    "TextIndexOps.scala" -> Set("bt", "cands", "nt"), // 1row; sketch (MG
+    // candidates, ≤ k·partitions); 1row
+    "Sources.scala" -> Set("dim"), // fixed dimension
+    "Streaming.scala" -> Set("dim", "qs") // fixed dimension; domain
+  )
+
+  test("every forced broadcast() in src/main is a reviewed bounded-grain input") {
+    val pat = java.util.regex.Pattern.compile("broadcast\\(\\s*([A-Za-z0-9_]+)")
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val found = scala.collection.mutable.Map[String, Set[String]]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val src = raw.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("//[^\n]*", "")
+        val m = pat.matcher(src)
+        var ids = Set.empty[String]
+        while (m.find()) ids += m.group(1)
+        if (ids.nonEmpty)
+          found(p.getFileName.toString) =
+            found.getOrElse(p.getFileName.toString, Set.empty) ++ ids
+      }
+    }
+    val unreviewed = found.toSeq.flatMap { case (f, ids) =>
+      (ids -- reviewed.getOrElse(f, Set.empty)).map(i => s"$f:broadcast($i")
+    }.sorted
+    assert(unreviewed.isEmpty,
+      s"forced broadcast() sites not in the reviewed bounded-grain table " +
+        s"(classify the input's grain in BroadcastAuditSpec or drop the " +
+        s"hint and let AQE size it): ${unreviewed.mkString(", ")}")
+    val stale = reviewed.toSeq.flatMap { case (f, ids) =>
+      (ids -- found.getOrElse(f, Set.empty)).map(i => s"$f:broadcast($i")
+    }.sorted
+    assert(stale.isEmpty,
+      s"stale entries in the reviewed table (site no longer exists — drop " +
+        s"them so the table stays exact): ${stale.mkString(", ")}")
+  }
+}
