@@ -163,12 +163,31 @@ object CorpusOps {
       val cnt = docWords(s, d)
         .select(explode(col("ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
-      val byFreq = Window.orderBy(col("n").desc, col("w"))
-      val all = Window.partitionBy()
-      cnt.select(col("w"), col("n"),
-          row_number().over(byFreq).cast("long").as("rnk"),
-          r6(sum(col("n")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("double") / sum(col("n")).over(all)).as("cum_share"))
+      // VOCAB-GRAIN rank + running mass via the two-phase form (round
+      // 10): vocabulary grows with the corpus (Heaps' law), so the old
+      // single-partition (n desc, w) window is the pattern the global-
+      // window audit fences. Phase 1 computes pid-local row_numbers AND
+      // pid-local running sums in ONE cached frame; the driver adds the
+      // exclusive per-partition count/mass offsets (O(partitions)
+      // scalars). Integer sums → rnk, cum, and the rounded share are
+      // bit-identical to the oracle's plain windows.
+      val byFreq = Window.partitionBy(col("pid")).orderBy(col("n").desc, col("w"))
+      val local = graft.PlanCache.cached(s, s"q139_vocab_local|$d") {
+        cnt.repartitionByRange(32, col("n").desc, col("w"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("rl", row_number().over(byFreq))
+          .withColumn("cl", sum(col("n")).over(
+            byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      }
+      val totals = local.groupBy("pid")
+        .agg(count(lit(1)).as("c"), sum(col("n")).as("sn"))
+        .orderBy("pid").collect()
+      val tot = totals.map(_.getLong(2)).sum
+      local.select(col("w"), col("n"),
+          (col("rl") + TwoPhase.offsets(totals.map(r => (r.getInt(0), r.getLong(1)))))
+            .cast("long").as("rnk"),
+          r6((col("cl") + TwoPhase.offsets(totals.map(r => (r.getInt(0), r.getLong(2)))))
+            .cast("double") / lit(tot)).as("cum_share"))
         .orderBy("rnk")
     },
 
@@ -464,10 +483,16 @@ object CorpusOps {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), w -> w != '')").as("ws"))
-      val dr = docs.select(col("doc_id"),
-        row_number().over(Window.orderBy(col("doc_id"))).as("r"),
-        greatest(size(col("ws")) - 2, lit(0)).as("nsh"), col("ws"))
-      val dd = dr.agg(max(col("r")).as("nd"))
+      // doc-grain global row_number → the two-phase range-partition form
+      // (round 10): r is the same integer under the total doc_id order,
+      // and the corpus never funnels through one partition; nd comes
+      // free from the offsets collect
+      val (drR, ndTotal) = TwoPhase.globalRowNumber(s,
+        docs.select(col("doc_id"),
+          greatest(size(col("ws")) - 2, lit(0)).as("nsh"), col("ws")),
+        s"q313_docrank|$d", Seq(col("doc_id")))
+      val dr = drR.withColumnRenamed("rn", "r")
+      val dd = s.range(1).select(lit(ndTotal).as("nd"))
       val sh = dr.select(col("r"),
         explode(expr(
           "transform(sequence(1, greatest(size(ws) - 2, 0)), " +

@@ -755,10 +755,17 @@ object CurriculumOps {
         .as("p"))
         .select(col("p.c").as("center"), col("p.x").as("context"))
       val cnt = pr.groupBy("center", "context").agg(count(lit(1)).as("n_pos"))
-      val voc = tok.select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .select(col("w"), row_number().over(Window.orderBy(col("n").desc, col("w"))).as("rnk"))
-      val vsize = voc.agg(max(col("rnk")).as("v"))
+      // VOCAB-GRAIN frequency rank via the two-phase range-partition
+      // form (round 10): vocabulary grows with the corpus, so the old
+      // single-partition rank window is the fenced pattern; rnk is the
+      // same integer under the total (n desc, w) order, and |V| comes
+      // free from the offsets collect
+      val (vocR, vTotal) = TwoPhase.globalRowNumber(s,
+        tok.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n")),
+        s"q301_vocab_ranked|$d", Seq(col("n").desc, col("w")))
+      val voc = vocR.select(col("w"), col("rn").cast("int").as("rnk"))
+      val vsize = s.range(1).select(lit(vTotal).as("v"))
       def negRank(k: Int) =
         lit(1) + pmod(conv(substring(md5(concat(col("center"), lit(":"),
           col("context"), lit(s":$k"))), 1, 15), 16, 10).cast("long"), col("v"))
@@ -812,16 +819,31 @@ object CurriculumOps {
       val vc = Tables.documents(s, d)
         .select(explode(words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-      val rk = vc
-        .withColumn("rn", row_number().over(wRank))
-        .withColumn("cum", sum(col("c")).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))
-            .rowsBetween(Long.MinValue, 0)))
-        .withColumn("tot", sum(col("c")).over(wAll))
-        .withColumn("nv", count(lit(1)).over(wAll))
+      // VOCAB-GRAIN rank + running mass via the q139 two-phase form
+      // (round 10): pid-local row_number and running sum in one cached
+      // frame, driver-collected per-partition count/mass offsets, and
+      // the totals come free from the same collect — no vocabulary-
+      // sized table ever crosses one partition. Integer sums keep rn,
+      // cum, tot, nv bit-identical to the oracle's plain windows.
+      val wPid = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("c").desc, col("w"))
+      val local = graft.PlanCache.cached(s, s"q355_vocab_local|$d") {
+        vc.repartitionByRange(32, col("c").desc, col("w"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("rl", row_number().over(wPid))
+          .withColumn("cl", sum(col("c")).over(
+            wPid.rowsBetween(Long.MinValue, 0)))
+      }
+      val totals = local.groupBy("pid")
+        .agg(count(lit(1)).as("cc"), sum(col("c")).as("sc"))
+        .orderBy("pid").collect()
+      val rk = local
+        .withColumn("rn", (col("rl") +
+          TwoPhase.offsets(totals.map(r => (r.getInt(0), r.getLong(1))))).cast("int"))
+        .withColumn("cum", col("cl") +
+          TwoPhase.offsets(totals.map(r => (r.getInt(0), r.getLong(2)))))
+        .withColumn("tot", lit(totals.map(_.getLong(2)).sum))
+        .withColumn("nv", lit(totals.map(_.getLong(1)).sum))
       val taus = Seq(0.90, 0.95, 0.99).toDF("tau")
       val th = rk.crossJoin(broadcast(taus))
         .where(col("cum").cast("double") / col("tot") >= col("tau"))

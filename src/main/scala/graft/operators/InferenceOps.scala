@@ -767,10 +767,20 @@ object InferenceOps {
           .otherwise(0).as("t"),
         max(when(col("event_type") === "purchase" && col("value") > 250 &&
           col("ts") >= split, 1).otherwise(0)).as("y"))
+      // stratification WITHOUT the user-grain global ntile (round 10,
+      // VERDICT r9 #3): a single `Window.orderBy` here serializes every
+      // user through one partition at scale. The two-phase form —
+      // range-partitioned local row_numbers + driver offsets, then
+      // ntile's exact bucket-boundary arithmetic from the global rn —
+      // assigns bit-identical strata (the (n_acts, user_id) order is
+      // total, so rn and therefore every bucket edge is the same
+      // integer), and the oracle keeps the plain ntile.
+      val (ranked, nUsers) = TwoPhase.globalRowNumber(s,
+        fh.where(col("n_acts") > 0), s"ipw_users_ranked|$d",
+        Seq(col("n_acts"), col("user_id")))
       val u = PlanCache.cached(s, s"ipw_users|$d") {
-        fh.where(col("n_acts") > 0)
-          .select(col("user_id"), col("t"), col("y"),
-            ntile(5).over(Window.orderBy(col("n_acts"), col("user_id"))).as("stratum"))
+        ranked.select(col("user_id"), col("t"), col("y"),
+          TwoPhase.ntileFromRn(nUsers, 5).as("stratum"))
       }
       val st = u.groupBy("stratum").agg(count(lit(1)).as("n"),
         (sum(col("t")).cast("double") / count(lit(1))).as("e_hat"),

@@ -122,10 +122,11 @@ object Multimodal {
       * recomputes it exactly — then each asset's quota becomes evenly
       * spaced byte offsets with an md5 "frame read" at each (the
       * seek-pattern a real decoder executes). Shapes that matter at
-      * 100 TB: apportionment runs on the ASSET-grain row set (one row
-      * per asset, windows over that tiny table), plan rows explode
-      * map-side from each asset row, and the payload is only ever
-      * touched at the planned offsets.
+      * 100 TB: apportionment runs on the ASSET-grain row set with NO
+      * asset-grain global window (round 10) — only the ≤200 assets that
+      * can win a remainder seat pass through a bounded TopKPerGroup
+      * heap; plan rows explode map-side from each asset row, and the
+      * payload is only ever touched at the planned offsets.
       */
     QueryDef(
       "q343_frame_plan",
@@ -161,19 +162,32 @@ object Multimodal {
         .where(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n_bytes"))
       val tot = assets.agg(sum(col("n_bytes")).as("w"), count(lit(1)).as("na"))
-      val quota = assets.crossJoin(broadcast(tot))
+      val quota = graft.PlanCache.cached(s, s"q343_quota|$d") {
+        assets.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("text"), col("n_bytes"),
+            expr("(200 * n_bytes) div w").as("base"),
+            (lit(200L) * col("n_bytes") % col("w")).as("rem"))
+      }
+      // Largest-remainder tie-break WITHOUT an asset-grain global rank
+      // (round 10): leftover = 200 − Σbase is at most 200, so only the
+      // top-200 assets by (rem desc, doc_id) can ever receive a +1. The
+      // bounded-heap TopKPerGroup cut finds them (B·partitions rows
+      // shuffle, never a global sort); ranking the ≤200 survivors is a
+      // bounded window; everyone else keeps base. Same integers as the
+      // oracle's full-table row_number — rows past rank 200 could never
+      // satisfy rr <= leftover.
+      val leftDf = quota.agg((lit(200L) - sum(col("base"))).as("leftover"))
+      val top = graft.plans.TopKPerGroupOps.topKPerGroup(s, quota
+          .select(col("doc_id").as("bdoc"), col("rem"), col("base")),
+        Seq.empty, Seq(col("rem").desc, col("bdoc").asc), 200)
+        .withColumn("rr", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("rem").desc, col("bdoc"))))
+        .crossJoin(broadcast(leftDf))
+        .where(col("rr") <= col("leftover"))
+        .select(col("bdoc"))
+      val alloc = quota.join(top, col("bdoc") === col("doc_id"), "left")
         .select(col("doc_id"), col("text"), col("n_bytes"),
-          expr("(200 * n_bytes) div w").as("base"),
-          (lit(200L) * col("n_bytes") % col("w")).as("rem"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-      val wRank = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rem").desc, col("doc_id"))
-      val alloc = quota
-        .withColumn("rr", row_number().over(wRank))
-        .withColumn("leftover", lit(200L) - sum(col("base")).over(wAll))
-        .select(col("doc_id"), col("text"), col("n_bytes"),
-          (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("q"))
+          (col("base") + when(col("bdoc").isNotNull, 1L).otherwise(0L)).as("q"))
       alloc.where(col("q") > 0)
         .select(col("doc_id"), col("text"), col("n_bytes"), col("q"),
           explode(sequence(lit(0L), col("q") - 1)).as("frame_idx"))

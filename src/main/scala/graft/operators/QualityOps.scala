@@ -296,10 +296,10 @@ object QualityOps {
       * ranked by DSIR score into deciles, each decile's cumulative
       * recall of `en` docs vs the uniform baseline = lift. Decile 1
       * lift ≫ 1 means the cheap hashed-n-gram score really does
-      * front-load target-like data. The rank is a round-6-score
-      * window (doc_id tiebreak ⇒ engine-deterministic); at corpus
-      * scale this global ranking lifts to the q174 two-phase
-      * range-partition pattern — the readout itself stays O(10) rows.
+      * front-load target-like data. The rank is a round-6-score order
+      * (doc_id tiebreak ⇒ engine-deterministic) and RUNS as the q174
+      * two-phase range-partition form (round 10) — no doc-grain table
+      * ever crosses one partition; the readout itself stays O(10) rows.
       */
     QueryDef(
       "q354_dsir_lift",
@@ -361,20 +361,27 @@ object QualityOps {
         .select(col("rb").as("lb"),
           (log((col("ct") + 1) / (col("n_t") + 512)) -
             log((col("cr") + 1) / (col("n_r") + 512))).as("lam"))
-      val sc = bk.join(broadcast(lam), col("lb") === col("b"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg((sum(col("lam").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("dsir"))
-      val rk = sc
-        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(round(col("dsir"), 6).desc, col("doc_id"))))
-        .withColumn("nd", count(lit(1)).over(wAll))
-        .withColumn("ne", sum(when(col("lang") === "en", 1L).otherwise(0L)).over(wAll))
+      val sc = graft.PlanCache.cached(s, s"q354_scores|$d") {
+        bk.join(broadcast(lam), col("lb") === col("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg((sum(col("lam").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("dsir"))
+      }
+      // DOC-GRAIN global rank → the two-phase range-partition form for
+      // real (round 10; the docstring used to only NAME the drop-in).
+      // rn is the same integer under the identical (round-6 dsir desc,
+      // doc_id) total order, so deciles and the readout are unchanged;
+      // nd comes free from the offsets collect and ne is a broadcast
+      // 1-row aggregate instead of a second doc-grain global window.
+      val (rk, nd) = TwoPhase.globalRowNumber(s, sc, s"q354_ranked|$d",
+        Seq(round(col("dsir"), 6).desc, col("doc_id")))
+      val neDf = sc.agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ne"))
       val agg = rk
-        .select(expr("cast((rn - 1) * 10 div nd + 1 as int)").as("decile"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"), col("nd"), col("ne"))
+        .select(expr(s"cast((rn - 1) * 10 div ${nd}L + 1 as int)").as("decile"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
         .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"),
-          max(col("nd")).as("nd"), max(col("ne")).as("ne"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"))
+        .withColumn("nd", lit(nd))
+        .crossJoin(broadcast(neDf))
       val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
       agg
         .withColumn("cum_en", sum(col("n_en")).over(wCum))

@@ -518,10 +518,38 @@ object TemporalOps {
       // between engines on events within a second of a cut
       val e = Tables.events(s, d)
         .select(col("event_id"), col("ts"), (col("event_id") / 500).cast("long").as("batch"))
-      val bm = e.groupBy(col("batch").as("bmb")).agg(max(col("ts")).as("bmax"))
-      val wb = Window.orderBy(col("bmb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pm = bm.select(col("bmb"), max(col("bmax")).over(wb).as("prior_max"))
+      // BATCH-grain exclusive prefix max via the two-phase form (round
+      // 10): batch count = events/500 grows with volume, so the old
+      // single-partition ORDER BY batch window is the fenced pattern.
+      // Phase 1 computes pid-local exclusive running maxes in parallel;
+      // the driver prefix-maxes the O(partitions) per-pid maxima and a
+      // CASE chain injects each pid's carry-in; greatest() ignores NULL
+      // (Spark semantics), so the stitched prior_max is value-identical
+      // to the oracle's global window, including the leading NULL.
+      val local = graft.PlanCache.cached(s, s"q335_batchmax_local|$d") {
+        e.groupBy(col("batch").as("bmb")).agg(max(col("ts")).as("bmax"))
+          .repartitionByRange(32, col("bmb"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lpm", max(col("bmax")).over(
+            Window.partitionBy(col("pid")).orderBy(col("bmb"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+      }
+      val pidMax = local.groupBy("pid").agg(max(col("bmax")).as("m"))
+        .orderBy("pid").collect().map(r => (r.getInt(0), r.getTimestamp(1))).toSeq
+      val carry = pidMax.sortBy(_._1)
+        .scanLeft((Int.MinValue, null: java.sql.Timestamp)) {
+          case ((_, acc), (pid, m)) =>
+            (pid, if (acc == null || m.after(acc)) m else acc)
+        }
+        .sliding(2).collect { case Seq((_, prev), (pid, _)) => (pid, prev) }
+        .toSeq
+      val carryCol = carry.foldLeft(lit(null).cast("timestamp")) {
+        case (acc, (pid, ts)) =>
+          when(col("pid") === pid, if (ts == null) lit(null).cast("timestamp") else lit(ts))
+            .otherwise(acc)
+      }
+      val pm = local.select(col("bmb"),
+        greatest(col("lpm"), carryCol).as("prior_max"))
       // pm is BATCH-grain (events/500 — grows with volume), so the
       // attach join runs unhinted (round-10 sweep); AQE broadcasts it
       // only while it actually measures small
@@ -653,18 +681,8 @@ object TemporalOps {
     }
   )
 
-  /** Exclusive prefix offset of this row's range partition, as a
-    * CASE chain over the (tiny, driver-collected) per-partition totals
-    * — the broadcast half of the two-phase prefix sum. */
-  private def udfFreeOffsets(totals: Seq[(Int, Long)]): Column = {
-    val prefix = totals.sortBy(_._1)
-      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
-    // prefix(i) pairs pid -> inclusive sum through pid; exclusive = previous entry
-    val exclusive = prefix.sliding(2).collect {
-      case Seq((_, prevSum), (pid, _)) => (pid, prevSum)
-    }.toSeq
-    exclusive.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("pid") === pid, lit(off)).otherwise(acc)
-    }
-  }
+  /** Exclusive prefix offset of this row's range partition — the shared
+    * two-phase idiom, now hoisted to [[TwoPhase.offsets]] (round 10). */
+  private def udfFreeOffsets(totals: Seq[(Int, Long)]): Column =
+    TwoPhase.offsets(totals)
 }

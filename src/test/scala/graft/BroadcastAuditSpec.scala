@@ -58,10 +58,11 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "iw", "lo", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
     // ^ 1row aggregates and lit replica/salt/quantile tables throughout
     "LLMPipeline.scala" -> Set("cents", "s"), // model centroids; lit range
-    "Multimodal.scala" -> Set("tot"), // 1row
+    "Multimodal.scala" -> Set("tot", "leftDf"), // 1row ×2
     "PipelineMore.scala" -> Set("n"), // 1row
     "PrivacyOps.scala" -> Set("widths"), // lit
-    "QualityOps.scala" -> Set("lam", "vv"), // domain (512 buckets); 1row
+    "QualityOps.scala" -> Set("lam", "vv", "neDf"), // domain (512
+    // buckets); 1row ×2
     "Relational.scala" -> Set("Tables"), // fixed dims (region/nation)
     "RelationalExt.scala" -> Set("Tables", "thr"), // fixed dims; 1row
     "RelationalMore.scala" -> Set("anchor"), // topk (keyset anchor row)
