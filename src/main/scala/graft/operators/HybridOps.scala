@@ -36,6 +36,41 @@ object HybridOps {
     * discipline). */
   private[graft] val MaxSemCluster = 4096L
 
+  /** q262's cluster assignment, shared with the q367 recall audit:
+    * label-centroid means + the q65 broadcast-fold argmax, PlanCache'd
+    * per (session, dir) — see the q262 docstring for the full scale
+    * rationale. */
+  private def semAssign(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kernels
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val cent = e
+      .select(col("label").as("clabel"),
+        posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy("clabel", "i").agg(avg(col("x")).as("cx"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        st => st.getField("cx")).as("cvec"))
+    val cents = cent
+      .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
+        .as("cents"))
+    PlanCache.cached(s, s"semdedup_assign|$d") {
+      e.crossJoin(broadcast(cents))
+        .withColumn("best",
+          aggregate(col("cents"),
+            struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
+            (acc, c) => {
+              val rawCos = Kernels.cosine(col("emb"), c.getField("cvec"))
+              val cos = when(rawCos.isNull || isnan(rawCos), lit(-2.0))
+                .otherwise(rawCos)
+              when(cos > acc.getField("cos"),
+                struct(cos.as("cos"), c.getField("clabel").as("clabel")))
+                .otherwise(acc)
+            }))
+        .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Reciprocal-rank fusion (k=60) of two top-100 candidate lists:
@@ -186,38 +221,13 @@ object HybridOps {
         |FROM mem m LEFT JOIN pairs p ON p.clabel = m.clabel
         |GROUP BY 1, 2 ORDER BY cluster""".stripMargin) { (s, d) =>
       import graft.functions.Kernels
-      val e = Tables.embeddings(s, d)
-        .withColumn("emb", col("embedding").cast("array<double>"))
-      val cent = e
-        .select(col("label").as("clabel"),
-          posexplode(col("emb")).as(Seq("i", "x")))
-        .groupBy("clabel", "i").agg(avg(col("x")).as("cx"))
-        .groupBy("clabel")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
-          st => st.getField("cx")).as("cvec"))
-      val cents = cent
-        .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
-          .as("cents"))
-      // q65's broadcast-fold argmax assignment — map-side, no shuffle.
-      // PlanCached per (session, dir): the assignment subtree feeds FOUR
-      // consumers (the guard count, both pair-join sides, membership),
-      // and the fold's whole-stage codegen constant (~1s, cf. q228's
-      // documented constant) would otherwise be paid once per consumer.
-      val a = PlanCache.cached(s, s"semdedup_assign|$d") {
-        e.crossJoin(broadcast(cents))
-        .withColumn("best",
-          aggregate(col("cents"),
-            struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
-            (acc, c) => {
-              val rawCos = Kernels.cosine(col("emb"), c.getField("cvec"))
-              val cos = when(rawCos.isNull || isnan(rawCos), lit(-2.0))
-                .otherwise(rawCos)
-              when(cos > acc.getField("cos"),
-                struct(cos.as("cos"), c.getField("clabel").as("clabel")))
-                .otherwise(acc)
-            }))
-          .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"))
-      }
+      // q65's broadcast-fold argmax assignment — map-side, no shuffle;
+      // PlanCached per (session, dir) inside [[semAssign]]: the subtree
+      // feeds FOUR consumers here (guard count, both pair-join sides,
+      // membership) plus the q367 recall audit, and the fold's
+      // whole-stage codegen constant (~1s, cf. q228's documented
+      // constant) would otherwise be paid once per consumer.
+      val a = semAssign(s, d)
       // loud guard: the pair join below is quadratic IN CLUSTER SIZE
       val maxC = a.groupBy("clabel").count().agg(max(col("count"))).head.getLong(0)
       if (maxC > MaxSemCluster)
@@ -502,6 +512,92 @@ object HybridOps {
           r6(col("ap10")).as("ap10"), r6(col("mrr")).as("mrr"),
           r6(col("map10")).as("map10"))
         .orderBy("qid")
+    },
+
+    /** SemDeDup quality audit (round 10, VERDICT r9 #5): measured
+      * RECALL of q262's cluster-scoped near-dup detection against the
+      * brute-force all-pairs cosine truth — the q226/q279/q362
+      * measured-error discipline applied to the one approximate path
+      * that still lacked a readout. For each threshold τ ∈
+      * {0.30, 0.35, 0.40}: the number of vector pairs with cos ≥ τ
+      * (truth), how many of those land in the SAME assigned cluster
+      * (the only pairs q262's within-cluster join can ever see), the
+      * missed cross-cluster count, and recall. Precision is 1.0 BY
+      * CONSTRUCTION (same threshold over the same vectors ⇒ found ⊆
+      * truth), so recall is the entire quality story. Threshold
+      * margins measured at sf0.01: min |cos − τ| = 6.9e-5 / 2.9e-5 /
+      * 1.3e-4 — all ≥ 10⁴× any cross-engine cosine deviation, so the
+      * counts cannot flip.
+      *
+      * Scale shape: the TRUTH side is O(N²) BY DESIGN — this is the
+      * audit you run on a bounded sample at 100 TB (q226's pattern:
+      * verification queries sample; the operator they verify does
+      * not), while the assignment it grades reuses q262's PlanCache'd
+      * broadcast-fold subtree unchanged.
+      */
+    QueryDef(
+      "q367_semdedup_recall",
+      """WITH pos AS (
+        |  SELECT label, unnest(list_transform(embedding::DOUBLE[],
+        |    (x, i) -> {'x': x, 'i': i}), recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, i, avg(x) AS cx FROM pos GROUP BY 1, 2),
+        |centv AS (
+        |  SELECT clabel, list(cx ORDER BY i) AS cvec FROM cent GROUP BY clabel),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |               c.clabel) AS rn
+        |  FROM embeddings e CROSS JOIN centv c),
+        |a AS (SELECT vec_id, emb, clabel FROM assigned WHERE rn = 1),
+        |tp AS (
+        |  SELECT list_cosine_similarity(x.emb, y.emb) AS cos,
+        |    x.clabel = y.clabel AS same
+        |  FROM a x JOIN a y ON y.vec_id > x.vec_id),
+        |m AS (
+        |  SELECT count_if(cos >= 0.30) AS t30,
+        |    count_if(cos >= 0.30 AND same) AS f30,
+        |    count_if(cos >= 0.35) AS t35,
+        |    count_if(cos >= 0.35 AND same) AS f35,
+        |    count_if(cos >= 0.40) AS t40,
+        |    count_if(cos >= 0.40 AND same) AS f40
+        |  FROM tp)
+        |SELECT CAST(tau AS DOUBLE) AS tau, CAST(t AS BIGINT) AS n_true_pairs,
+        |  CAST(f AS BIGINT) AS n_found_pairs, CAST(t - f AS BIGINT) AS n_missed,
+        |  round(CAST(f AS DOUBLE) / t, 6) AS recall
+        |FROM (
+        |  SELECT 0.30 AS tau, t30 AS t, f30 AS f FROM m
+        |  UNION ALL SELECT 0.35, t35, f35 FROM m
+        |  UNION ALL SELECT 0.40, t40, f40 FROM m)
+        |ORDER BY tau""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val a = semAssign(s, d)
+      val x = a.select(col("vec_id").as("av"), col("emb").as("xe"),
+        col("clabel").as("ac"))
+      val y = a.select(col("vec_id").as("bv"), col("emb").as("ye"),
+        col("clabel").as("bc"))
+      val tp = x.join(y, col("bv") > col("av"))
+        .select(Kernels.cosine(col("xe"), col("ye")).as("cos"),
+          (col("ac") === col("bc")).as("same"))
+      val m = tp.agg(
+        count_if(col("cos") >= 0.30).as("t30"),
+        count_if(col("cos") >= 0.30 && col("same")).as("f30"),
+        count_if(col("cos") >= 0.35).as("t35"),
+        count_if(col("cos") >= 0.35 && col("same")).as("f35"),
+        count_if(col("cos") >= 0.40).as("t40"),
+        count_if(col("cos") >= 0.40 && col("same")).as("f40"))
+      val melted = Seq(("0.30", "t30", "f30"), ("0.35", "t35", "f35"),
+          ("0.40", "t40", "f40"))
+        .map { case (tau, t, ff) =>
+          m.select(lit(tau).cast("double").as("tau"),
+            col(t).as("t"), col(ff).as("f"))
+        }.reduce(_.unionByName(_))
+      melted.select(col("tau"), col("t").as("n_true_pairs"),
+          col("f").as("n_found_pairs"), (col("t") - col("f")).as("n_missed"),
+          round(col("f").cast("double") / col("t"), 6).as("recall"))
+        .orderBy("tau")
     }
   )
 }

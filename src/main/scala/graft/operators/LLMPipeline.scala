@@ -41,9 +41,9 @@ object LLMPipeline {
     * cluster-killing join. One tiny aggregate over the (cached) class
     * table; the class table itself is source-grain, not corpus-grain.
     */
-  private[operators] val MaxExactJaccardClasses = 100000L
+  private[graft] val MaxExactJaccardClasses = 100000L
 
-  private def guardExactJaccard(cls: org.apache.spark.sql.DataFrame): Unit = {
+  private[graft] def guardExactJaccard(cls: org.apache.spark.sql.DataFrame): Unit = {
     val m = cls.groupBy(col("source")).agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L))).head.getLong(0)
     if (m > MaxExactJaccardClasses)

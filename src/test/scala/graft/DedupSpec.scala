@@ -53,4 +53,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dupFp = once.groupBy("setfp").count().where(col("count") > 1).count()
     assert(dupFp == 0)
   }
+  test("q62 exact-Jaccard guard trips past MaxExactJaccardClasses and passes below") {
+    // the guard is the q62 scale fence (round 9/10): the exact class-pair
+    // join is Theta(C^2 per source) BY CONTRACT, so past the per-source
+    // class ceiling it must fail LOUDLY and point at the sub-quadratic
+    // banding path rather than silently launching a quadratic join
+    val limit = graft.operators.LLMPipeline.MaxExactJaccardClasses
+    def cls(c: Long) = spark.range(c)
+      .select(lit("src00000001").as("source"), col("id"))
+    // below the ceiling: no-op
+    graft.operators.LLMPipeline.guardExactJaccard(cls(1000))
+    // above it: loud failure naming the banding alternative
+    val e = intercept[IllegalStateException] {
+      graft.operators.LLMPipeline.guardExactJaccard(cls(limit + 1))
+    }
+    assert(e.getMessage.contains("MaxExactJaccardClasses"))
+    assert(e.getMessage.contains("banding"))
+  }
+
 }

@@ -101,4 +101,26 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
       "result must be cosine-descending")
   }
+  test("q367 recall audit: found pairs subset of truth, recall in [0,1], tau=0.4 row consistent with q262") {
+    val rows = byName("q367_semdedup_recall")(spark, sf).collect()
+    assert(rows.length == 3, "one row per threshold")
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_true_pairs"); val f = r.getAs[Long]("n_found_pairs")
+      assert(f <= t, s"precision-1 contract violated (found > true): $r")
+      assert(r.getAs[Long]("n_missed") == t - f, s"$r")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"$r")
+    }
+    // truth counts must be monotone non-increasing in tau
+    val ts = rows.sortBy(_.getAs[Double]("tau")).map(_.getAs[Long]("n_true_pairs"))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b }, ts.mkString(","))
+    // cross-check: the tau=0.40 found count IS q262's within-cluster pair
+    // total (same threshold, same assignment, same vectors)
+    val q262pairs = byName("q262_semdedup")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_pairs")).head.getLong(0)
+    val f40 = rows.find(_.getAs[Double]("tau") == 0.40).get.getAs[Long]("n_found_pairs")
+    assert(f40 == q262pairs,
+      s"q367 tau=0.4 found=$f40 disagrees with q262 pair total $q262pairs")
+  }
+
 }
