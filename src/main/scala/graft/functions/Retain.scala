@@ -223,7 +223,16 @@ object Retain {
   object F32 {
     @inline private def sig(z: Float): Float =
       (1.0 / (1.0 + math.exp(-z.toDouble))).toFloat
-    @inline private def tanhF(z: Float): Float = math.tanh(z.toDouble).toFloat
+    /** f32 tanh via 1 − 2/(e^{2z}+1) in double, one rounding — the SAME
+      * algebraic form the q204 oracle inlines (round-9 ADVICE: math.tanh
+      * and this expression can differ by >1 ulp in the double
+      * intermediate, making the 'one rounding, same bits' parity
+      * probabilistic; mirroring the form leaves libm-exp's ≤1-ulp
+      * double difference as the only cross-engine channel, annihilated
+      * by the 29-bit drop to f32 except within ~2^-29 ulps of a
+      * midpoint). */
+    @inline private def tanhF(z: Float): Float =
+      (1.0 - 2.0 / (math.exp(2.0 * z.toDouble) + 1.0)).toFloat
 
     /** A cell whose parameters are already Float-typed. */
     sealed trait Cell32 {

@@ -26,9 +26,11 @@ import graft.functions.Retain.{F, H, T, numTasks}
   * also safe via the 2p+2 theorem (53 ≥ 2·24+2: a correctly-rounded
   * double quotient of two floats re-rounds to the correctly-rounded
   * float quotient). Transcendentals (exp, the inlined tanh) are
-  * evaluated in double and then rounded to REAL, exactly like the
-  * JVM's `math.exp(z.toDouble).toFloat` in [[graft.functions.Retain.F32]];
-  * libm ulp differences in the double intermediate are annihilated by
+  * evaluated in double and then rounded to REAL, exactly like
+  * [[graft.functions.Retain.F32]] — which since round 10 inlines the
+  * SAME 1−2/(e^{2z}+1) tanh form (round-9 ADVICE), so the only
+  * cross-engine channel left anywhere in the pipeline is libm exp's
+  * ≤1-ulp double difference; that is annihilated by
   * the 29-bit drop to f32 UNLESS the double lands within ~2^-29
   * f32-ulps of a rounding midpoint (~1.9e-9 per evaluation). That is
   * the real protection: Round12Spec MEASURED the corpus digit margins
