@@ -24,6 +24,15 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Shuffle parallelism, separately overridable for scale-evidence
+    * runs (round 10): at sf10 on one box, 32 partitions put ~50 MB+
+    * through each reducer and spill; 64–128 keep partitions
+    * memory-sized, and AQE coalesces whatever a small stage doesn't
+    * need — the same sizing rule (`partitions ≈ data / target-partition
+    * -bytes`, AQE trimming the excess) that holds on a real cluster. */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   /** Apply engine conf to an existing session (idempotent). */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,7 +56,7 @@ object GraftSession {
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1188,10 +1188,18 @@ object Streaming {
       val q = withStreamConf(s) {
         agg.writeStream.outputMode("complete")
           .foreachBatch { (b: DataFrame, _: Long) =>
+            // PERSIST the grid before the readout fan-out (round 10,
+            // VERDICT r9 #7, measured in PanelScaleSpec): every action
+            // inside foreachBatch re-executes the stateful aggregation
+            // — ten readout collects = ten state-store re-reads per
+            // micro-batch without this persist; with it, the state is
+            // read once and all ten expression trees run over the
+            // cached O(P·T) grid.
             val grid = b.select(col("el"),
               datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
                 .as("di"),
               (col("sv").cast("double") / col("n")).as("v"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val melted = readouts.flatMap { r =>
               r.fn(s, grid).collect().toSeq.flatMap { row =>
                 val k = r.ids.map(c => String.valueOf(row.getAs[Any](c))).mkString("|")
@@ -1214,6 +1222,7 @@ object Streaming {
                 }
               }
             }
+            grid.unpersist()
             latest.set(melted)
           }.start()
       }
