@@ -521,6 +521,82 @@ object CorpusOps {
           r6(beta).as("beta"),
           r6(exp((col("sy") - beta * col("sx")) / col("m"))).as("k"))
         .orderBy("checkpoint")
+    },
+
+    /** Eval-in-train CONTAINMENT scoring (round 13) — the actionable
+      * upgrade of q138's boolean decontamination flag: for every
+      * (eval doc, train doc) pair sharing at least one 5-gram,
+      * containment C(e→t) = |shingles(e) ∩ shingles(t)| / |shingles(e)|
+      * — the asymmetric measure that catches an eval document EMBEDDED
+      * in a longer training document, which symmetric Jaccard (q62)
+      * dilutes toward 0. Split is the q132/q138 portable hash
+      * (train = bucket<8, eval = bucket≥8); top-20 by (round-6
+      * containment, eval_doc, train_doc) names the culprit train docs
+      * a decontamination pass must drop. Counts are integers and the
+      * ratio is the same int/int division on both engines, so the cut
+      * key is exact — no float boundary anywhere.
+      *
+      * Scale shape: per-doc DISTINCT shingles explode map-side, ONE
+      * shingle-key shuffle joins eval→train postings (only SHARED
+      * shingles produce pairs — the q319 duplicated-mass discipline),
+      * and the pair aggregate is (eval, train)-keyed. Boilerplate-hot
+      * shingles fatten the join at web scale; the production variant
+      * caps train-side df (documented approximation, q271's
+      * impact-ordering precedent) — kept EXACT here so the oracle
+      * verifies the full definition.
+      */
+    QueryDef(
+      "q368_eval_containment",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10 AS bucket,
+        |    list_filter(string_split(text,' '), x -> x != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, bucket, sg FROM (
+        |    SELECT doc_id, bucket,
+        |      array_to_string(ws[i+1:i+5], ' ') AS sg
+        |    FROM (SELECT doc_id, bucket, ws,
+        |            unnest(range(greatest(len(ws) - 4, 0))) AS i
+        |          FROM w))),
+        |ev AS (SELECT doc_id, sg FROM sh WHERE bucket >= 8),
+        |tr AS (SELECT doc_id, sg FROM sh WHERE bucket < 8),
+        |na AS (SELECT doc_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |sp AS (
+        |  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+        |    count(*) AS n_shared
+        |  FROM ev e JOIN tr t ON t.sg = e.sg GROUP BY 1, 2)
+        |SELECT sp.eval_doc, sp.train_doc,
+        |  CAST(sp.n_shared AS BIGINT) AS n_shared,
+        |  CAST(na.n_eval AS BIGINT) AS n_eval_shingles,
+        |  round(CAST(sp.n_shared AS DOUBLE) / na.n_eval, 6) AS containment
+        |FROM sp JOIN na ON na.doc_id = sp.eval_doc
+        |ORDER BY round(CAST(sp.n_shared AS DOUBLE) / na.n_eval, 6) DESC,
+        |  sp.eval_doc, sp.train_doc
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val w = docWords(s, d)
+        .select(col("doc_id"), (pHash(col("doc_id")) % 10).as("bucket"), col("ws"))
+        .where(size(col("ws")) >= 5)
+      // 64-bit shingle hashes: only fixed-width keys shuffle (q138's
+      // precedent; counts of DISTINCT shingles are hash-invariant
+      // absent collisions, which the sf0.01 oracle compare verifies)
+      val sh = w.select(col("doc_id"), col("bucket"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 4),
+            i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(5)))))).as("shv"))
+        .distinct()
+      val ev = sh.where(col("bucket") >= 8).select(col("doc_id").as("e_doc"), col("shv"))
+      val tr = sh.where(col("bucket") < 8).select(col("doc_id").as("t_doc"), col("shv"))
+      val na = ev.groupBy(col("e_doc")).agg(count(lit(1)).as("n_eval"))
+      val sp = ev.join(tr, "shv")
+        .groupBy(col("e_doc").as("eval_doc"), col("t_doc").as("train_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+      sp.join(na, col("e_doc") === col("eval_doc"))
+        .select(col("eval_doc"), col("train_doc"),
+          col("n_shared").cast("long").as("n_shared"),
+          col("n_eval").cast("long").as("n_eval_shingles"),
+          round(col("n_shared").cast("double") / col("n_eval"), 6).as("containment"))
+        .orderBy(col("containment").desc, col("eval_doc"), col("train_doc"))
+        .limit(20)
     }
   )
 

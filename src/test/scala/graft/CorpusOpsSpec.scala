@@ -132,4 +132,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cum = end
     }
   }
+  test("q368 containment: bounded, ordered, and clone pairs read exactly 1.0") {
+    val rows = SparkEntry.queries("q368_eval_containment")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("n_shared"); val ne = r.getAs[Long]("n_eval_shingles")
+      assert(sh >= 1 && sh <= ne, s"$r")
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0, s"$r")
+      // asymmetric split: an eval doc can never be its own train doc
+      assert(r.getAs[Long]("eval_doc") != r.getAs[Long]("train_doc"), s"$r")
+    }
+    val cs = rows.map(_.getAs[Double]("containment"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "containment-descending")
+    // the corpus's known clone clusters must surface as full containment
+    assert(cs.head == 1.0, s"expected an exact-clone pair at the top, got ${cs.head}")
+  }
+
 }
