@@ -64,7 +64,18 @@ object ScaleGen {
       (0 until factor).map(i => mutate(df, i)).reduce(_.unionByName(_))
     def shift(c: String, sp: Long, i: Int) = (col(c) + lit(sp * i)).as(c)
 
+    // TWO independent letter rotations per replica (round 10): a single
+    // 10-letter rotation yields only 10 distinct permutations, so at
+    // factor=100 every document gains 9 exact clones and the dedup/LSH
+    // family's candidate pairs grow ~quadratically in clone-class size —
+    // an artifact of the GENERATOR, not of 100× real data (the round-9
+    // scaladoc warned exactly this for naive replication). Composing a
+    // rotation of alpha (i mod 10) with a rotation of beta (i div 10
+    // mod 10) gives factor-many distinct permutations up to 100, so the
+    // per-replica duplicate fraction stays sf0.1-like at every factor
+    // this generator supports.
     val alpha = "aeioubcdfg" // letters permuted per replica for documents
+    val beta = "hjklmnpqrs" // second, disjoint rotation alphabet
     def write(name: String, df: DataFrame, parts: Int): Unit = {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -102,9 +113,11 @@ object ScaleGen {
         col("props"))
     }, 8)
     write("documents", replicate(documents) { (df, i) =>
-      val perm = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      val permA = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      val j = (i / alpha.length) % beta.length
+      val permB = beta.drop(j) + beta.take(j)
       df.select(shift("doc_id", dSpan, i),
-        translate(col("text"), alpha, perm).as("text"),
+        translate(col("text"), alpha + beta, permA + permB).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, 4)
     write("embeddings", replicate(embeddings) { (df, i) =>

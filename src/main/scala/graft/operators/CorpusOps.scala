@@ -172,8 +172,12 @@ object CorpusOps {
       // scalars). Integer sums → rnk, cum, and the rounded share are
       // bit-identical to the oracle's plain windows.
       val byFreq = Window.partitionBy(col("pid")).orderBy(col("n").desc, col("w"))
+      // materialize the vocab aggregate BEFORE repartitionByRange: the
+      // range sampler would otherwise re-run the token explode (round-10
+      // sf10 fence finding, same fix as TwoPhase.globalRowNumber)
+      val cntC = graft.PlanCache.cached(s, s"q139_vocab_counts|$d")(cnt)
       val local = graft.PlanCache.cached(s, s"q139_vocab_local|$d") {
-        cnt.repartitionByRange(32, col("n").desc, col("w"))
+        cntC.repartitionByRange(32, col("n").desc, col("w"))
           .withColumn("pid", spark_partition_id())
           .withColumn("rl", row_number().over(byFreq))
           .withColumn("cl", sum(col("n")).over(

@@ -747,13 +747,22 @@ object CurriculumOps {
       import org.apache.spark.sql.expressions.Window
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
-      val pr = tok.select(explode(flatten(expr(
-        """transform(ws, (w, i) ->
-          |  transform(filter(sequence(greatest(0, i - 2), least(size(ws) - 1, i + 2)),
-          |                   j -> j != i),
-          |            j -> struct(w AS c, element_at(ws, j + 1) AS x)))""".stripMargin)))
-        .as("p"))
-        .select(col("p.c").as("center"), col("p.x").as("context"))
+      // ±2-window pairs via SHIFTED ZIPS (round 10, sf10 fence): the old
+      // nested transform/filter/sequence form evaluated its lambda
+      // INTERPRETED once per token (78 s at sf10); four slice-zips are
+      // plain codegen expressions generating the identical (center,
+      // context) multiset — for k ∈ {1,2}, zip(ws, ws<<k) yields every
+      // |i−j| = k pair, and the union adds both directions.
+      def zk(k: Int) = tok.select(explode(arrays_zip(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - k, lit(0))).as("l"),
+          slice(col("ws"), lit(k + 1), greatest(size(col("ws")) - k, lit(0))).as("r")))
+          .as("z"))
+        .select(col("z.l").as("l"), col("z.r").as("r"))
+      val pr = Seq(1, 2).map { k =>
+        val z = zk(k)
+        z.select(col("l").as("center"), col("r").as("context"))
+          .unionAll(z.select(col("r").as("center"), col("l").as("context")))
+      }.reduce(_.unionAll(_))
       val cnt = pr.groupBy("center", "context").agg(count(lit(1)).as("n_pos"))
       // VOCAB-GRAIN frequency rank via the two-phase range-partition
       // form (round 10): vocabulary grows with the corpus, so the old
@@ -827,8 +836,11 @@ object CurriculumOps {
       // cum, tot, nv bit-identical to the oracle's plain windows.
       val wPid = org.apache.spark.sql.expressions.Window
         .partitionBy(col("pid")).orderBy(col("c").desc, col("w"))
+      // vocab aggregate materialized BEFORE repartitionByRange — the
+      // range sampler re-runs the subtree otherwise (round-10 fix)
+      val vcC = graft.PlanCache.cached(s, s"q355_vocab_counts|$d")(vc)
       val local = graft.PlanCache.cached(s, s"q355_vocab_local|$d") {
-        vc.repartitionByRange(32, col("c").desc, col("w"))
+        vcC.repartitionByRange(32, col("c").desc, col("w"))
           .withColumn("pid", spark_partition_id())
           .withColumn("rl", row_number().over(wPid))
           .withColumn("cl", sum(col("c")).over(

@@ -75,14 +75,21 @@ object GraphOps {
       val baskets = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val ed = baskets
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("u"), y.as("v")))))).as("pr"))
-        .select(col("pr.u").as("u"), col("pr.v").as("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
-        .select(col("u"), col("v"))
+      // the support-floored co-order edge set is SHARED by q285 and
+      // q349 and feeds multiple plan references each — one PlanCache
+      // entry per (session, dir) (round-10 sf10 fence: uncached,
+      // Catalyst re-executed the basket explosion per reference — ~7
+      // fact scans in q285 alone; the q364 edge-cache discipline)
+      val ed = graft.PlanCache.cached(s, s"coorder_edges|$d") {
+        baskets
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))),
+              y => struct(x.as("u"), y.as("v")))))).as("pr"))
+          .select(col("pr.u").as("u"), col("pr.v").as("v"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
+          .select(col("u"), col("v"))
+      }
       val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
       val dg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
       val e2 = sym.select(col("u").as("w2"), col("v").as("b2"))
@@ -255,14 +262,21 @@ object GraphOps {
       val baskets = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val ed = baskets
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("u"), y.as("v")))))).as("pr"))
-        .select(col("pr.u").as("u"), col("pr.v").as("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
-        .select(col("u"), col("v"))
+      // the support-floored co-order edge set is SHARED by q285 and
+      // q349 and feeds multiple plan references each — one PlanCache
+      // entry per (session, dir) (round-10 sf10 fence: uncached,
+      // Catalyst re-executed the basket explosion per reference — ~7
+      // fact scans in q285 alone; the q364 edge-cache discipline)
+      val ed = graft.PlanCache.cached(s, s"coorder_edges|$d") {
+        baskets
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))),
+              y => struct(x.as("u"), y.as("v")))))).as("pr"))
+          .select(col("pr.u").as("u"), col("pr.v").as("v"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
+          .select(col("u"), col("v"))
+      }
       val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
       val dg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
       val pe = sym

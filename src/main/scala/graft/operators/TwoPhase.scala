@@ -38,8 +38,15 @@ private[operators] object TwoPhase {
     */
   private[operators] def globalRowNumber(s: SparkSession, df: DataFrame,
       cacheKey: String, sort: Seq[Column], parts: Int = 32): (DataFrame, Long) = {
+    // materialize the INPUT before range partitioning (round-10 sf10
+    // fence finding): repartitionByRange runs a SAMPLING job over its
+    // child to pick range bounds, so an expensive lazy subtree (a
+    // token explode, a scoring pipeline) would execute twice — once
+    // for the sample, once for the real pass. Cached, the sampler and
+    // the pass both read the materialized rows.
+    val in = graft.PlanCache.cached(s, s"$cacheKey|in")(df)
     val local = graft.PlanCache.cached(s, cacheKey) {
-      df.repartitionByRange(parts, sort: _*)
+      in.repartitionByRange(parts, sort: _*)
         .withColumn("pid", spark_partition_id())
         .withColumn("rl", row_number().over(
           Window.partitionBy(col("pid")).orderBy(sort: _*)))
