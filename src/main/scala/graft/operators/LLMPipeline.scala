@@ -40,8 +40,19 @@ object LLMPipeline {
     * at the sub-quadratic banding path instead of silently launching a
     * cluster-killing join. One tiny aggregate over the (cached) class
     * table; the class table itself is source-grain, not corpus-grain.
+    *
+    * Ceiling calibrated by the round-10 scale ladder: 10,000 classes per
+    * source ≈ 5·10⁷ class pairs per source (≈10⁹ over the 20-source
+    * corpus) — measured ~5.5M merge-count evals/s on local[32], i.e.
+    * minutes locally and trivial on a cluster. The sf1 corpus (≈2,400
+    * classes/source) passes; the class-rich sf10 corpus (≈24,000/source,
+    * ≈5.7·10⁹ pairs) TRIPS — by design: on a corpus whose duplicate
+    * classes grow with N, the exact baseline is the wrong operator and
+    * the banding family (q71/q225/q135) is the scale path. Dup-heavy
+    * real corpora, where classes saturate while docs grow, stay under
+    * the ceiling — exactly the regime this exact readout exists for.
     */
-  private[graft] val MaxExactJaccardClasses = 100000L
+  private[graft] val MaxExactJaccardClasses = 10000L
 
   private[graft] def guardExactJaccard(cls: org.apache.spark.sql.DataFrame): Unit = {
     val m = cls.groupBy(col("source")).agg(count(lit(1)).as("c"))
