@@ -45,6 +45,7 @@ object SparkEntry {
       operators.DialectOps.defs ++
       operators.MLOps.defs ++
       operators.Round12Ops.defs ++
+      operators.Round13Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
