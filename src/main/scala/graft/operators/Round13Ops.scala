@@ -169,7 +169,11 @@ object Round13Ops {
           when(col("b_nc") === col("n_chars"), 1).otherwise(0).as("g1"),
           when(col("b_nt") === col("ntok"), 1).otherwise(0).as("g2"),
           when(col("b_p8") === col("p8"), 1).otherwise(0).as("g3"))
-      val pat = pr.groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n"))
+      // the ≤8-row pattern table feeds BOTH EM iterations and the final
+      // readout — persist it once or the expensive pair join re-derives
+      // per referencing plan (3×; the q285/q364 shared-subtree discipline)
+      val pat = graft.PlanCache.cached(s, s"q369_pat|$d")(
+        pr.groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n")))
       val p0 = s.range(1).select(
         lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
         lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"),
@@ -259,8 +263,12 @@ object Round13Ops {
               |  i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))""".stripMargin))
             .as("u"))
         .select(col("doc_id"), col("bucket"), col("u.w1").as("w1"), col("u.w2").as("w2"))
-      val bc = bg.where(col("bucket") < 8)
-        .groupBy(col("w1").as("b1"), col("w2").as("b2")).agg(count(lit(1)).as("c12"))
+      // the train bigram-count table feeds FOUR consumers (the pair join,
+      // the history and continuation rollups, and the B scalar) — persist
+      // once so the corpus explode+aggregate runs once per session
+      val bc = graft.PlanCache.cached(s, s"q370_bc|$d")(
+        bg.where(col("bucket") < 8)
+          .groupBy(col("w1").as("b1"), col("w2").as("b2")).agg(count(lit(1)).as("c12")))
       val hist = bc.groupBy(col("b1").as("h1"))
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
       val cont = bc.groupBy(col("b2").as("cw")).agg(count(lit(1)).as("n1bw"))
