@@ -46,6 +46,7 @@ object SparkEntry {
       operators.MLOps.defs ++
       operators.Round12Ops.defs ++
       operators.Round13Ops.defs ++
+      operators.Round14Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

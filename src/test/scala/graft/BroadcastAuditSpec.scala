@@ -71,6 +71,9 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Round12Ops.scala" -> Set("est", "kmv", "lm", "sel", "t", "theta", "tot"),
     // ^ sketch pair estimates; sketch; lit; domain (source); 1row;
     //   sketch thetas; domain (source)
+    "Round13Ops.scala" -> Set("params", "p2", "scal"),
+    // ^ 1row ×3: the q369 EM parameter vector (both iterations) and the
+    //   q370 corpus-scalar (bigram-count, discount-mass) row
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),
