@@ -253,6 +253,230 @@ object Round14Ops {
           r6(col("sap") / nPos).as("avg_precision"),
           r6(col("p100") / 100.0).as("prec_at_100"),
           r6(col("rp") / nPos).as("r_precision"))
+    },
+
+    /** Isotonic calibration curve via pool-adjacent-violators, in the
+      * closed max-min form (Ayer et al. 1955; Barlow & Brunk 1972):
+      * fitted(k) = max_{i≤k} min_{j≥k} mean(y over bins i..j). Scores
+      * are bucketed into fixed width-0.2 bins, so every pooled mean is a
+      * ratio of INTEGER prefix sums — bit-identical in both engines —
+      * and the max/min lattice runs over the ≤40-row bin grid as O(B³)
+      * column math, the q313-style "fit on the aggregate, not the rows"
+      * discipline. The readout is the reliability diagram (raw bin mean
+      * vs isotonic fit) that q287's Brier decomposition reads as its
+      * calibration term; the spec pins monotonicity and the
+      * pool-average invariant.
+      *
+      * Scale shape: ONE fact-scan groupBy onto the bin grid; everything
+      * after is bounded-grid joins (B² prefix, B³ lattice — 64k
+      * expression evals at B=40, independent of fact bytes).
+      */
+    QueryDef(
+      "q375_isotonic_calibration",
+      """WITH scored AS (
+        |  SELECT l_quantity/10.0 - l_discount*20.0 + l_tax*5.0 - 1.5 AS z,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(floor(z * 5) AS INT) AS bin, count(*) AS w, sum(y) AS sy
+        |  FROM scored GROUP BY 1),
+        |pre AS (
+        |  SELECT a.bin,
+        |    sum(CASE WHEN c.bin <= a.bin THEN c.w ELSE 0 END) AS cw,
+        |    sum(CASE WHEN c.bin <= a.bin THEN c.sy ELSE 0 END) AS cs,
+        |    sum(CASE WHEN c.bin < a.bin THEN c.w ELSE 0 END) AS cwe,
+        |    sum(CASE WHEN c.bin < a.bin THEN c.sy ELSE 0 END) AS cse
+        |  FROM b a CROSS JOIN b c GROUP BY 1),
+        |mn AS (
+        |  SELECT k.bin AS kb, pi.bin AS ib,
+        |    min(CAST(pj.cs - pi.cse AS DOUBLE) / (pj.cw - pi.cwe)) AS m
+        |  FROM b k
+        |  JOIN pre pi ON pi.bin <= k.bin
+        |  JOIN pre pj ON pj.bin >= k.bin
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT kb AS bin, max(m) AS f FROM mn GROUP BY 1)
+        |SELECT b.bin, round(b.bin / 5.0, 6) AS bin_lo,
+        |  CAST(b.w AS BIGINT) AS n,
+        |  round(CAST(b.sy AS DOUBLE) / b.w, 6) AS raw_rate,
+        |  round(fit.f, 6) AS isotonic_rate
+        |FROM b JOIN fit ON fit.bin = b.bin
+        |ORDER BY b.bin""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select((col("l_quantity") / 10.0 - col("l_discount") * 20.0 +
+          col("l_tax") * 5.0 - 1.5).as("z"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
+        .groupBy(floor(col("z") * 5).cast("int").as("bin"))
+        .agg(count(lit(1)).as("w"), sum(col("y")).as("sy"))
+      val pre = b.as("a").join(b.as("c"))
+        .groupBy(col("a.bin").as("bin"))
+        .agg(
+          sum(when(col("c.bin") <= col("a.bin"), col("c.w")).otherwise(0)).as("cw"),
+          sum(when(col("c.bin") <= col("a.bin"), col("c.sy")).otherwise(0)).as("cs"),
+          sum(when(col("c.bin") < col("a.bin"), col("c.w")).otherwise(0)).as("cwe"),
+          sum(when(col("c.bin") < col("a.bin"), col("c.sy")).otherwise(0)).as("cse"))
+      val mn = b.select(col("bin").as("kb"))
+        .join(pre.select(col("bin").as("ibin"), col("cwe"), col("cse")),
+          col("ibin") <= col("kb"))
+        .join(pre.select(col("bin").as("jbin"), col("cw"), col("cs")),
+          col("jbin") >= col("kb"))
+        .groupBy(col("kb"), col("ibin"))
+        .agg(min((col("cs") - col("cse")).cast("double") /
+          (col("cw") - col("cwe"))).as("m"))
+      val fit = mn.groupBy(col("kb").as("bin")).agg(max(col("m")).as("f"))
+      b.join(fit, Seq("bin"))
+        .select(col("bin"), r6(col("bin") / 5.0).as("bin_lo"),
+          col("w").cast("long").as("n"),
+          r6(col("sy").cast("double") / col("w")).as("raw_rate"),
+          r6(col("f")).as("isotonic_rate"))
+        .orderBy("bin")
+    },
+
+    /** 3-core decomposition of the co-purchase graph by iterative
+      * peeling (Seidman 1983; Batagelj–Zaveršnik in its synchronous
+      * round form): drop nodes of degree < 3, drop edges touching a
+      * dropped node, repeat. Twelve rounds are unrolled — the
+      * spec pins that the fixture reaches its fixpoint by round 11
+      * (rounds 11 and 12 emit identical counts; measured: 10 rounds at
+      * sf0.01, 2 at sf0.1 where the 3-core is empty), so the unroll is
+      * a PROVEN bound, not a hope. The readout is the per-round (nodes, edges) trajectory —
+      * the core-collapse curve — ending at the 3-core.
+      *
+      * Scale shape: the edge set is the SAME PlanCache entry q364/q285
+      * share (one basket expansion per session); each peel round is two
+      * semi-joins keyed on node id against a degree aggregate —
+      * shuffle-partitioned, no broadcast hints, monotonically shrinking
+      * input. A data-dependent-depth fixpoint would use iterative
+      * checkpointing (the q151 pagerank discipline); the fixed unroll
+      * with a pinned convergence spec is the deterministic-oracle form.
+      */
+    QueryDef(
+      "q376_kcore", {
+        // MATERIALIZED: each round reads the previous THREE times, so an
+        // inlined CTE chain would blow up 3^12 in the oracle engine too
+        val rounds = (1 to 12).map { r =>
+          s"""n$r AS MATERIALIZED (
+             |  SELECT w FROM (SELECT u AS w FROM e${r - 1}
+             |    UNION ALL SELECT v FROM e${r - 1})
+             |  GROUP BY 1 HAVING count(*) >= 3),
+             |e$r AS MATERIALIZED (
+             |  SELECT u, v FROM e${r - 1}
+             |  WHERE u IN (SELECT w FROM n$r) AND v IN (SELECT w FROM n$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        val stats = (0 to 12).map { r =>
+          s"""SELECT $r AS round,
+             |  (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM
+             |    (SELECT u AS w FROM e$r UNION ALL SELECT v FROM e$r)) AS n_nodes,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.p AS u, b.p AS v
+           |  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |$rounds
+           |SELECT * FROM (
+           |$stats
+           |) ORDER BY round""".stripMargin
+      }) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = graft.PlanCache.cached(s, s"q364_edges|$d") {
+        op.groupBy("o")
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))),
+              y => struct(x.as("u"), y.as("v")))))).as("pr"))
+          .select(col("pr.u").as("u"), col("pr.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("nco"))
+          .where(col("nco") >= 2).select(col("u"), col("v"))
+      }
+      // peel rounds: each round references the previous round's plan
+      // THREE times (degree + two semi-joins), so an un-truncated
+      // lineage grows 3^r — Catalyst analysis alone would spin for
+      // minutes by round 8. Eager localCheckpoint per round (the q135
+      // connected-components discipline) truncates the lineage AND
+      // materializes the shrinking edge set; PlanCache keys the rounds
+      // so repeated invocations reuse the same checkpoints.
+      val edges = (1 to 12).scanLeft(e0) { (e, r) =>
+        graft.PlanCache.cached(s, s"q376_e$r|$d") {
+          val keep = e.select(col("u").as("w"))
+            .unionAll(e.select(col("v").as("w")))
+            .groupBy("w").agg(count(lit(1)).as("dg"))
+            .where(col("dg") >= 3).select(col("w"))
+          e.join(keep.select(col("w").as("ku")), col("ku") === col("u"))
+            .join(keep.select(col("w").as("kv")), col("kv") === col("v"))
+            .select(col("u"), col("v"))
+            .localCheckpoint(true)
+        }
+      }
+      edges.zipWithIndex.map { case (e, r) =>
+        val nodes = e.select(col("u").as("w")).unionAll(e.select(col("v").as("w")))
+          .agg(countDistinct(col("w")).as("n_nodes"))
+        nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r).as("round"), col("n_nodes").cast("long").as("n_nodes"),
+            col("n_edges").cast("long").as("n_edges"))
+      }.reduce(_ unionAll _).orderBy("round")
+    },
+
+    /** Entropy and recursive (c,l)-diversity audit (Machanavajjhala et
+      * al., ICDE 2006) — the refinement of q322's distinct-l count: per
+      * quasi-identifier group (nation, acctbal-thousand bin) over the
+      * joined order history, the sensitive attribute is the order
+      * priority; entropy l-diversity exp(−Σ p·ln p) measures how evenly
+      * the sensitive values spread (≥ l is the privacy bar), and
+      * recursive (2,2)-diversity checks the most frequent value is not
+      * the majority by factor 2 over the rest. Groups failing either
+      * are the re-generalization worklist q323's ladder widens.
+      *
+      * Scale shape: one customer⋈orders equi-join (AQE decides the
+      * strategy), ONE (group, value) aggregate, then group-grain column
+      * math; the ≤5-term entropy sums fold through decimal so
+      * accumulation order cannot flip a bit.
+      */
+    QueryDef(
+      "q377_l_diversity",
+      s"""WITH jo AS (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bin,
+        |    o_orderpriority AS sens
+        |  FROM customer JOIN orders ON o_custkey = c_custkey),
+        |gv AS (
+        |  SELECT nat, bin, sens, count(*) AS cnt
+        |  FROM jo GROUP BY 1, 2, 3),
+        |gk AS (
+        |  SELECT nat, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY nat, bin) AS kt
+        |  FROM gv),
+        |g AS (
+        |  SELECT nat, bin, sum(cnt) AS k, count(*) AS l_distinct,
+        |    max(cnt) AS maxc,
+        |    ${dsumSql("-(CAST(cnt AS DOUBLE)/kt) * ln(CAST(cnt AS DOUBLE)/kt)")} AS h
+        |  FROM gk GROUP BY 1, 2)
+        |SELECT nat, bin, CAST(k AS BIGINT) AS k,
+        |  CAST(l_distinct AS BIGINT) AS l_distinct,
+        |  round(exp(h), 6) AS entropy_l,
+        |  CAST(maxc < 2 * (k - maxc) AS INT) AS rcl2_ok
+        |FROM g ORDER BY nat, bin""".stripMargin) { (s, d) =>
+      val jo = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / 1000.0).cast("int").as("bin"),
+          col("o_orderpriority").as("sens"))
+      val gv = jo.groupBy("nat", "bin", "sens").agg(count(lit(1)).as("cnt"))
+      val gk = gv.withColumn("kt",
+        sum(col("cnt")).over(Window.partitionBy(col("nat"), col("bin"))))
+      val g = gk.groupBy("nat", "bin").agg(
+        sum(col("cnt")).as("k"), count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("maxc"),
+        dsum(-(col("cnt").cast("double") / col("kt")) *
+          log(col("cnt").cast("double") / col("kt"))).as("h"))
+      g.select(col("nat"), col("bin"), col("k").cast("long").as("k"),
+          col("l_distinct").cast("long").as("l_distinct"),
+          r6(exp(col("h"))).as("entropy_l"),
+          (col("maxc") < (col("k") - col("maxc")) * 2).cast("int").as("rcl2_ok"))
+        .orderBy("nat", "bin")
     })
 
   private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
