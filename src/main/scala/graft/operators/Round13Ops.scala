@@ -117,7 +117,9 @@ object Round13Ops {
       * At 100 TB the pattern table is still 8 rows; pair volume is
       * governed by the block key exactly like q332/q62.
       *
-      * Engine↔oracle: counts are exact; both EM iterations are the same
+      * Engine↔oracle: counts are exact; the oracle's p0 literals are
+      * CAST to DOUBLE (DuckDB would otherwise start iteration 1 in
+      * DECIMAL arithmetic), so both EM iterations are the same
       * double expression tree on the same ≤8 rows with decimal-exact
       * weighted sums (order-free), so every parameter is bit-identical;
       * the only libm is the final ln ratio (q178's ln-parity contract),
@@ -138,8 +140,10 @@ object Round13Ops {
         |    ON b.lang = a.lang AND b.source = a.source
         |   AND b.n_chars // 20 = a.n_chars // 20 AND b.doc_id > a.doc_id),
         |pat AS (SELECT g1, g2, g3, count(*) AS n FROM pr GROUP BY 1, 2, 3),
-        |p0 AS (SELECT 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
-        |              0.1 AS u1, 0.1 AS u2, 0.1 AS u3, 0.05 AS p),
+        |p0 AS (SELECT CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+        |              CAST(0.9 AS DOUBLE) AS m3, CAST(0.1 AS DOUBLE) AS u1,
+        |              CAST(0.1 AS DOUBLE) AS u2, CAST(0.1 AS DOUBLE) AS u3,
+        |              CAST(0.05 AS DOUBLE) AS p),
         |p1 AS (${fsEmStepSql("pat", "p0")}),
         |p2 AS (${fsEmStepSql("pat", "p1")})
         |SELECT CAST(g1*4 + g2*2 + g3 AS INT) AS pattern,

@@ -335,10 +335,11 @@ object Round14Ops {
       * peeling (Seidman 1983; Batagelj–Zaveršnik in its synchronous
       * round form): drop nodes of degree < 3, drop edges touching a
       * dropped node, repeat. Twelve rounds are unrolled — the
-      * spec pins that the fixture reaches its fixpoint by round 11
-      * (rounds 11 and 12 emit identical counts; measured: 10 rounds at
-      * sf0.01, 2 at sf0.1 where the 3-core is empty), so the unroll is
-      * a PROVEN bound, not a hope. The readout is the per-round (nodes, edges) trajectory —
+      * spec pins that the fixture reaches its fixpoint by round 10
+      * (measured at sf0.01: rounds 10-12 all emit 935 nodes / 1970
+      * edges; at sf0.1 the 3-core is empty by round 2), so the unroll
+      * is a PROVEN bound with two rounds of slack, not a hope. The
+      * readout is the per-round (nodes, edges) trajectory —
       * the core-collapse curve — ending at the 3-core.
       *
       * Scale shape: the edge set is the SAME PlanCache entry q364/q285
