@@ -47,6 +47,7 @@ object SparkEntry {
       operators.Round12Ops.defs ++
       operators.Round13Ops.defs ++
       operators.Round14Ops.defs ++
+      operators.Round15Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

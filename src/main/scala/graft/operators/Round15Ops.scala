@@ -1,0 +1,683 @@
+package graft.operators
+
+import graft.{PlanCache, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 batch: the linear-algebra / causal-design / robust-inference
+  * operators a 100 TB analytics stack still lacked after round 14 —
+  *
+  *  - q379 PCA by matrix-free-assembled covariance + unrolled power
+  *    iteration (von Mises 1929; the distributed matvec discipline of
+  *    Spark MLlib's computeSVD) over the embedding table;
+  *  - q380 regression discontinuity (Thistlethwaite & Campbell 1960;
+  *    Imbens & Lemieux 2008 local-linear form) with a triangular kernel
+  *    at three bandwidths from ONE fact scan;
+  *  - q381 Newey–West HAC standard errors (Econometrica 1987, Bartlett
+  *    kernel, L = 7) for every element-pair lead-lag regression — the
+  *    autocorrelation-honest uncertainty q229/q230's slopes lacked.
+  *
+  * All hash-verified against DuckDB on the same parquet tables.
+  */
+object Round15Ops {
+  private def r6(c: Column) = round(c, 6)
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+  private def dsumSql(x: String) = s"CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
+
+  /** 3×3 determinant expression string over named matrix-entry columns —
+    * shared verbatim between Spark `selectExpr` and the DuckDB oracle
+    * (the q320 shared-stage discipline) so the Cramer solve is the same
+    * expression tree in both engines by construction.
+    */
+  private[operators] def det3(m: Array[Array[String]]): String =
+    s"(${m(0)(0)}*(${m(1)(1)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(1)})" +
+      s" - ${m(0)(1)}*(${m(1)(0)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(0)})" +
+      s" + ${m(0)(2)}*(${m(1)(0)}*${m(2)(1)} - ${m(1)(1)}*${m(2)(0)}))"
+
+  private[operators] def replCol(m: Array[Array[String]], k: Int, b: Array[String]) =
+    m.indices.map(i => m(i).indices.map(j =>
+      if (j == k) b(i) else m(i)(j)).toArray).toArray
+
+  /** Shared synthetic-control solve stages (see q378). */
+  private val scA = Array(
+    Array("a11", "a12", "a13"), Array("a12", "a22", "a23"), Array("a13", "a23", "a33"))
+  private val scB = Array("b1", "b2", "b3")
+  private val scCmStage: Array[String] = Array(
+    "el", "n",
+    "s11 - s1*s1/n + CAST(1 AS DOUBLE) AS a11",
+    "s12 - s1*s2/n AS a12",
+    "s13 - s1*s3/n AS a13",
+    "s22 - s2*s2/n + CAST(1 AS DOUBLE) AS a22",
+    "s23 - s2*s3/n AS a23",
+    "s33 - s3*s3/n + CAST(1 AS DOUBLE) AS a33",
+    "s1y - s1*sy/n AS b1", "s2y - s2*sy/n AS b2", "s3y - s3*sy/n AS b3",
+    "s1/n AS m1", "s2/n AS m2", "s3/n AS m3", "sy/n AS my")
+  private val scDtStage: Array[String] = Array(
+    "el", "m1", "m2", "m3", "my",
+    s"${det3(scA)} AS dt",
+    s"${det3(replCol(scA, 0, scB))} AS dt1",
+    s"${det3(replCol(scA, 1, scB))} AS dt2",
+    s"${det3(replCol(scA, 2, scB))} AS dt3")
+  private val scWStage: Array[String] = Array(
+    "el", "m1", "m2", "m3", "my",
+    "dt1/dt AS w1", "dt2/dt AS w2", "dt3/dt AS w3")
+  private val scParStage: Array[String] = Array(
+    "el", "w1", "w2", "w3",
+    "my - (w1*m1 + w2*m2 + w3*m3) AS icept")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Synthetic control (Abadie & Gardeazabal 2003; Abadie, Diamond &
+      * Hainmueller 2010) with the full placebo-permutation inference of
+      * ADH §3: EVERY element is treated in turn (so the true treated
+      * unit's post/pre RMSPE ratio gets an exact permutation rank), its
+      * donor pool is the top-3 elements by |pre-period correlation|
+      * (round-6 cut, donor-name tie-break — the engine-deterministic
+      * selection discipline), and the weights come from a ridge
+      * (λ = 1) 3×3 centered-Gram Cramer solve on the pre-period —
+      * di < 21 of the 30-day event window, leaving a 9-day post
+      * period — the q320 closed-form-fit idiom, with the solve
+      * stages SHARED as expression strings between Spark `selectExpr`
+      * and the oracle so both engines evaluate the identical tree.
+      * Readout per element: donors, weights, intercept, pre/post RMSPE,
+      * the ratio, its permutation rank and p-value — rank 1 for
+      * 'purchase' would be the ADH evidence of a real effect; on this
+      * synthetic data the honest readout is a ratio inside the placebo
+      * distribution.
+      *
+      * Scale shape: everything runs on the PlanCache'd daily grid —
+      * donor selection is the guarded q229 pair join, the design matrix
+      * is a 3-slot pivot join on (donor, day), moments are ONE grouped
+      * decimal aggregate per element, and the solve/rank stages are
+      * column math on the P-row table. Fact bytes are touched once,
+      * by the shared grid build.
+      */
+    QueryDef(
+      "q378_synthetic_control", {
+        val cm = scCmStage.mkString(", ")
+        val dt = scDtStage.mkString(", ")
+        val w = scWStage.mkString(", ")
+        val par = scParStage.mkString(", ")
+        s"""WITH ${CausalOps.dailySql},
+           |pp AS (
+           |  SELECT a.el AS t, b.el AS donor, count(*) AS n,
+           |    ${dsumSql("b.v")} AS sx, ${dsumSql("a.v")} AS sy,
+           |    ${dsumSql("b.v*b.v")} AS sxx, ${dsumSql("b.v*a.v")} AS sxy,
+           |    ${dsumSql("a.v*a.v")} AS syy
+           |  FROM daily a JOIN daily b
+           |    ON b.di = a.di AND b.el <> a.el AND a.di < 21 AND b.di < 21
+           |  GROUP BY 1, 2),
+           |dn AS MATERIALIZED (
+           |  SELECT t, donor, slot FROM (
+           |    SELECT t, donor, row_number() OVER (PARTITION BY t ORDER BY
+           |      round(abs((n*sxy - sx*sy) /
+           |        sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))), 6) DESC, donor ASC) AS slot
+           |    FROM pp) WHERE slot <= 3),
+           |dsg AS MATERIALIZED (
+           |  SELECT dv.t, dv.di, y.v AS y, dv.d1, dv.d2, dv.d3, dv.di < 21 AS pre
+           |  FROM (
+           |    SELECT dn.t, g.di,
+           |      max(CASE WHEN slot = 1 THEN g.v END) AS d1,
+           |      max(CASE WHEN slot = 2 THEN g.v END) AS d2,
+           |      max(CASE WHEN slot = 3 THEN g.v END) AS d3,
+           |      count(*) AS nslot
+           |    FROM dn JOIN daily g ON g.el = dn.donor GROUP BY 1, 2) dv
+           |  JOIN daily y ON y.el = dv.t AND y.di = dv.di
+           |  WHERE dv.nslot = 3),
+           |mom AS (
+           |  SELECT t AS el, count(*) AS n,
+           |    ${dsumSql("d1")} AS s1, ${dsumSql("d2")} AS s2, ${dsumSql("d3")} AS s3,
+           |    ${dsumSql("y")} AS sy,
+           |    ${dsumSql("d1*d1")} AS s11, ${dsumSql("d1*d2")} AS s12,
+           |    ${dsumSql("d1*d3")} AS s13, ${dsumSql("d2*d2")} AS s22,
+           |    ${dsumSql("d2*d3")} AS s23, ${dsumSql("d3*d3")} AS s33,
+           |    ${dsumSql("d1*y")} AS s1y, ${dsumSql("d2*y")} AS s2y,
+           |    ${dsumSql("d3*y")} AS s3y
+           |  FROM dsg WHERE pre GROUP BY 1),
+           |cm AS (SELECT $cm FROM mom),
+           |dt AS (SELECT $dt FROM cm),
+           |wt AS (SELECT $w FROM dt),
+           |par AS (SELECT $par FROM wt),
+           |er AS (
+           |  SELECT dsg.t AS el, dsg.pre,
+           |    dsg.y - (par.icept + par.w1*dsg.d1 + par.w2*dsg.d2 + par.w3*dsg.d3) AS err
+           |  FROM dsg JOIN par ON par.el = dsg.t),
+           |rm AS (
+           |  SELECT el,
+           |    sqrt(${dsumSql("CASE WHEN pre THEN err*err END")} /
+           |      count(*) FILTER (WHERE pre)) AS pre_rmspe,
+           |    sqrt(${dsumSql("CASE WHEN NOT pre THEN err*err END")} /
+           |      count(*) FILTER (WHERE NOT pre)) AS post_rmspe
+           |  FROM er GROUP BY 1),
+           |rk AS (
+           |  SELECT el, pre_rmspe, post_rmspe, post_rmspe / pre_rmspe AS ratio,
+           |    row_number() OVER (ORDER BY round(post_rmspe / pre_rmspe, 6) DESC, el ASC) AS rnk,
+           |    count(*) OVER () AS nel
+           |  FROM rm),
+           |dpiv AS (
+           |  SELECT t AS el,
+           |    max(CASE WHEN slot = 1 THEN donor END) AS d1,
+           |    max(CASE WHEN slot = 2 THEN donor END) AS d2,
+           |    max(CASE WHEN slot = 3 THEN donor END) AS d3
+           |  FROM dn GROUP BY 1)
+           |SELECT rk.el AS el,
+           |  CASE WHEN rk.el = 'purchase' THEN 1 ELSE 0 END AS treated,
+           |  dpiv.d1 AS d1, dpiv.d2 AS d2, dpiv.d3 AS d3,
+           |  round(par.w1, 6) AS w1, round(par.w2, 6) AS w2, round(par.w3, 6) AS w3,
+           |  round(par.icept, 6) AS icept,
+           |  round(rk.pre_rmspe, 6) AS pre_rmspe, round(rk.post_rmspe, 6) AS post_rmspe,
+           |  round(rk.ratio, 6) AS ratio, CAST(rk.rnk AS INT) AS rnk,
+           |  round(CAST(rk.rnk AS DOUBLE) / CAST(rk.nel AS DOUBLE), 6) AS pval
+           |FROM rk JOIN par ON par.el = rk.el JOIN dpiv ON dpiv.el = rk.el
+           |ORDER BY el""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = CausalOps.daily(s, d)
+      CausalOps.guardFullEnum(g, "q378_synthetic_control")
+      val pre = col("di") < 21
+      val a = g.where(pre).select(col("el").as("t"), col("di"), col("v").as("y"))
+      val b = g.where(pre).select(col("el").as("donor"), col("di").as("dib"), col("v").as("x"))
+      val pp = a.join(b, col("dib") === col("di") && col("donor") =!= col("t"))
+        .groupBy("t", "donor").agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("y") * col("y")).as("syy"))
+      val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))
+      val dn = PlanCache.cached(s, s"q378_dn|$d") {
+        pp.select(col("t"), col("donor"),
+            row_number().over(Window.partitionBy("t")
+              .orderBy(r6(abs(corr)).desc, col("donor").asc)).as("slot"))
+          .where(col("slot") <= 3)
+      }
+      val dsg = PlanCache.cached(s, s"q378_dsg|$d") {
+        val dv = dn.join(g.select(col("el").as("donor"), col("di"), col("v")), "donor")
+          .groupBy("t", "di").agg(
+            max(when(col("slot") === 1, col("v"))).as("d1"),
+            max(when(col("slot") === 2, col("v"))).as("d2"),
+            max(when(col("slot") === 3, col("v"))).as("d3"),
+            count(lit(1)).as("nslot"))
+          .where(col("nslot") === 3)
+        dv.join(g.select(col("el").as("t"), col("di"), col("v").as("y")), Seq("t", "di"))
+          .select(col("t"), col("di"), col("y"), col("d1"), col("d2"), col("d3"),
+            (col("di") < 21).as("pre"))
+      }
+      val mom = dsg.where(col("pre")).groupBy(col("t").as("el")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("d1")).as("s1"), dsum(col("d2")).as("s2"), dsum(col("d3")).as("s3"),
+        dsum(col("y")).as("sy"),
+        dsum(col("d1") * col("d1")).as("s11"), dsum(col("d1") * col("d2")).as("s12"),
+        dsum(col("d1") * col("d3")).as("s13"), dsum(col("d2") * col("d2")).as("s22"),
+        dsum(col("d2") * col("d3")).as("s23"), dsum(col("d3") * col("d3")).as("s33"),
+        dsum(col("d1") * col("y")).as("s1y"), dsum(col("d2") * col("y")).as("s2y"),
+        dsum(col("d3") * col("y")).as("s3y"))
+      val par = mom.selectExpr(scCmStage: _*).selectExpr(scDtStage: _*)
+        .selectExpr(scWStage: _*).selectExpr(scParStage: _*)
+      val er = dsg.join(broadcast(par), col("el") === col("t"))
+        .select(col("t"), col("pre"),
+          (col("y") - (col("icept") + col("w1") * col("d1") +
+            col("w2") * col("d2") + col("w3") * col("d3"))).as("err"))
+      val rm = er.groupBy(col("t").as("el")).agg(
+        sqrt(dsum(when(col("pre"), col("err") * col("err"))) /
+          count(when(col("pre"), lit(1)))).as("pre_rmspe"),
+        sqrt(dsum(when(!col("pre"), col("err") * col("err"))) /
+          count(when(!col("pre"), lit(1)))).as("post_rmspe"))
+      val nel = rm.agg(count(lit(1)).as("nel"))
+      val rk = rm.select(col("el"), col("pre_rmspe"), col("post_rmspe"),
+          (col("post_rmspe") / col("pre_rmspe")).as("ratio"),
+          row_number().over(Window.orderBy(
+            r6(col("post_rmspe") / col("pre_rmspe")).desc, col("el").asc)).as("rnk"))
+        .crossJoin(broadcast(nel))
+      val dpiv = dn.groupBy(col("t").as("el")).agg(
+        max(when(col("slot") === 1, col("donor"))).as("d1"),
+        max(when(col("slot") === 2, col("donor"))).as("d2"),
+        max(when(col("slot") === 3, col("donor"))).as("d3"))
+      rk.join(broadcast(par.select(col("el"), col("w1"), col("w2"), col("w3"), col("icept"))), "el")
+        .join(broadcast(dpiv), "el")
+        .select(col("el"),
+          when(col("el") === "purchase", 1).otherwise(0).as("treated"),
+          col("d1"), col("d2"), col("d3"),
+          r6(col("w1")).as("w1"), r6(col("w2")).as("w2"), r6(col("w3")).as("w3"),
+          r6(col("icept")).as("icept"),
+          r6(col("pre_rmspe")).as("pre_rmspe"), r6(col("post_rmspe")).as("post_rmspe"),
+          r6(col("ratio")).as("ratio"), col("rnk").cast("int").as("rnk"),
+          r6(col("rnk").cast("double") / col("nel").cast("double")).as("pval"))
+        .orderBy("el")
+    },
+
+    /** Top principal component of the 64-dim embedding covariance by
+      * power iteration (6 unrolled matvecs from the exact uniform start
+      * v₀ = 1/8 — both 0.125 and 1/√64 are the same exactly-representable
+      * double), plus the Rayleigh eigenvalue and the explained-variance
+      * ratio λ/tr(C). Every reduction — Gram sums, matvec folds, norm
+      * squares, the Rayleigh product — goes through the decimal(38,12)
+      * fold so accumulation order cannot flip a bit; the only libm is
+      * sqrt, which IEEE 754 requires correctly rounded, so both engines
+      * evaluate the identical double tree and the loadings hash exactly.
+      *
+      * Scale shape: ONE pass over the vectors assembles the 64×64
+      * covariance grid (explode × self-join per vec_id — D² work per
+      * row, the price of any exact covariance; at 100 TB the documented
+      * drop-in is treeAggregate of per-partition outer products, same
+      * sums). All six iterations then run on the 4 096-row grid —
+      * bounded joins, zero further data scans — with the 64-row v
+      * localCheckpoint'd per step so the plan does not double per
+      * iteration (each step reads v twice: matvec + norm).
+      */
+    QueryDef(
+      "q379_pca_power", {
+        val rounds = (1 to 6).map { r =>
+          s"""w$r AS (SELECT ci AS i, ${dsumSql("c*v")} AS w
+             |  FROM cg JOIN v${r - 1} ON v${r - 1}.i = cg.cj GROUP BY 1),
+             |v$r AS MATERIALIZED (
+             |  SELECT i, w / (SELECT sqrt(${dsumSql("w*w")}) FROM w$r) AS v
+             |  FROM w$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ex AS MATERIALIZED (
+           |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |  FROM embeddings, range(1, 65) t(i)),
+           |mu AS (SELECT i, ${dsumSql("x")} / count(*) AS m FROM ex GROUP BY 1),
+           |g AS (
+           |  SELECT a.i AS ci, b.i AS cj, ${dsumSql("a.x*b.x")} / count(*) AS gg
+           |  FROM ex a JOIN ex b ON b.vec_id = a.vec_id GROUP BY 1, 2),
+           |cg AS MATERIALIZED (
+           |  SELECT ci, cj, gg - ma.m * mb.m AS c
+           |  FROM g JOIN mu ma ON ma.i = ci JOIN mu mb ON mb.i = cj),
+           |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
+           |$rounds,
+           |w7 AS (SELECT ci AS i, ${dsumSql("c*v")} AS w
+           |  FROM cg JOIN v6 ON v6.i = cg.cj GROUP BY 1),
+           |lam AS (SELECT ${dsumSql("v6.v*w7.w")} AS eig
+           |  FROM v6 JOIN w7 ON w7.i = v6.i),
+           |tr AS (SELECT ${dsumSql("c")} AS trc FROM cg WHERE ci = cj)
+           |SELECT CAST(v6.i AS INT) AS dim, round(v6.v, 6) AS loading,
+           |  round(eig, 6) AS eig, round(eig / trc, 6) AS evr
+           |FROM v6 CROSS JOIN lam CROSS JOIN tr ORDER BY dim""".stripMargin
+      }) { (s, d) =>
+      val ex = PlanCache.cached(s, s"q379_ex|$d") {
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x0")))
+          .select(col("vec_id"), (col("i0") + 1).as("i"),
+            col("x0").cast("double").as("x"))
+      }
+      val mu = ex.groupBy("i").agg((dsum(col("x")) / count(lit(1))).as("m"))
+      val cg = PlanCache.cached(s, s"q379_cov|$d") {
+        val a = ex.select(col("vec_id"), col("i").as("ci"), col("x").as("xa"))
+        val b = ex.select(col("vec_id").as("vb"), col("i").as("cj"), col("x").as("xb"))
+        a.join(b, col("vb") === col("vec_id"))
+          .groupBy("ci", "cj")
+          .agg((dsum(col("xa") * col("xb")) / count(lit(1))).as("gg"))
+          .join(broadcast(mu.select(col("i").as("ci"), col("m").as("ma"))), "ci")
+          .join(broadcast(mu.select(col("i").as("cj"), col("m").as("mb"))), "cj")
+          .select(col("ci"), col("cj"), (col("gg") - col("ma") * col("mb")).as("c"))
+      }
+      val v0 = s.range(1, 65).select(col("id").as("i"), lit(0.125).as("v"))
+      def matvecPlain(v: DataFrame): DataFrame =
+        cg.join(broadcast(v.select(col("i").as("cj"), col("v"))), "cj")
+          .groupBy("ci").agg(dsum(col("c") * col("v")).as("w"))
+          .select(col("ci").as("i"), col("w"))
+      val v6 = (1 to 6).foldLeft(v0) { (v, _) =>
+        val w = matvecPlain(v)
+        val nrm = w.agg(sqrt(dsum(col("w") * col("w"))).as("nm"))
+        w.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("w") / col("nm")).as("v"))
+          .localCheckpoint(true)
+      }
+      val w7 = matvecPlain(v6)
+      val lam = v6.join(w7.select(col("i"), col("w")), "i")
+        .agg(dsum(col("v") * col("w")).as("eig"))
+      val tr = cg.where(col("ci") === col("cj")).agg(dsum(col("c")).as("trc"))
+      v6.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+        .select(col("i").cast("int").as("dim"), r6(col("v")).as("loading"),
+          r6(col("eig")).as("eig"), r6(col("eig") / col("trc")).as("evr"))
+        .orderBy("dim")
+    },
+
+    /** Sharp regression discontinuity at the o_totalprice = 250 000
+      * cutoff: is the urgent-priority rate discontinuous across the
+      * threshold? Local-linear fit on each side with a triangular kernel
+      * w = 1 − |u|/h (u in thousands), at bandwidths h ∈ {25, 50, 100} —
+      * the Imbens–Lemieux bandwidth-sensitivity readout: τ(h) stable
+      * across h is the credibility check, and on this synthetic data the
+      * honest answer is τ ≈ 0 (a placebo cutoff — the operator measures,
+      * it does not assume). Each side's weighted least squares is closed
+      * form from five decimal-exact weighted moments; the estimate at
+      * the cutoff is the intercept of the centered fit.
+      *
+      * Scale shape: ONE fact scan cross-joined with the 3-row bandwidth
+      * grid (broadcast), ONE grouped aggregate onto 3 rows with map-side
+      * combine — no shuffle of fact-grain rows, no second pass; the
+      * closed-form solve is row-local column math on the 3-row result.
+      */
+    QueryDef(
+      "q380_reg_discontinuity", {
+        def wdsum(side: String, e: String) =
+          dsumSql(s"CASE WHEN $side THEN $e ELSE NULL END")
+        val L = "u < 0"; val R = "u >= 0"
+        s"""WITH sc AS (
+           |  SELECT (o_totalprice - CAST(250000 AS DOUBLE)) / CAST(1000 AS DOUBLE) AS u,
+           |    CASE WHEN o_orderpriority = '1-URGENT'
+           |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+           |  FROM orders),
+           |hs AS (SELECT CAST(h AS DOUBLE) AS h FROM (VALUES (25), (50), (100)) t(h)),
+           |kw AS (
+           |  SELECT h, u, y, 1.0 - abs(u) / h AS w
+           |  FROM sc CROSS JOIN hs WHERE abs(u) < h),
+           |m AS (
+           |  SELECT h,
+           |    count(*) FILTER (WHERE $L) AS nl, count(*) FILTER (WHERE $R) AS nr,
+           |    ${wdsum(L, "w")} AS lw, ${wdsum(L, "w*u")} AS lwu,
+           |    ${wdsum(L, "w*y")} AS lwy, ${wdsum(L, "w*u*u")} AS lwuu,
+           |    ${wdsum(L, "w*u*y")} AS lwuy,
+           |    ${wdsum(R, "w")} AS rw, ${wdsum(R, "w*u")} AS rwu,
+           |    ${wdsum(R, "w*y")} AS rwy, ${wdsum(R, "w*u*u")} AS rwuu,
+           |    ${wdsum(R, "w*u*y")} AS rwuy
+           |  FROM kw GROUP BY 1)
+           |SELECT h, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           |  round((lwy - ((lw*lwuy - lwu*lwy) / (lw*lwuu - lwu*lwu)) * lwu) / lw, 6) AS cut_left,
+           |  round((rwy - ((rw*rwuy - rwu*rwy) / (rw*rwuu - rwu*rwu)) * rwu) / rw, 6) AS cut_right,
+           |  round((rwy - ((rw*rwuy - rwu*rwy) / (rw*rwuu - rwu*rwu)) * rwu) / rw
+           |      - (lwy - ((lw*lwuy - lwu*lwy) / (lw*lwuu - lwu*lwu)) * lwu) / lw, 6) AS tau,
+           |  round((lw*lwuy - lwu*lwy) / (lw*lwuu - lwu*lwu), 6) AS slope_left,
+           |  round((rw*rwuy - rwu*rwy) / (rw*rwuu - rwu*rwu), 6) AS slope_right
+           |FROM m ORDER BY h""".stripMargin
+      }) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        ((col("o_totalprice") - lit(250000.0)) / lit(1000.0)).as("u"),
+        when(col("o_orderpriority") === "1-URGENT", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val hs = s.range(1).select(explode(array(lit(25.0), lit(50.0), lit(100.0))).as("h"))
+      val kw = sc.crossJoin(broadcast(hs)).where(abs(col("u")) < col("h"))
+        .select(col("h"), col("u"), col("y"),
+          (lit(1.0) - abs(col("u")) / col("h")).as("w"))
+      val L = col("u") < 0; val R = col("u") >= 0
+      def wd(side: Column, e: Column) = dsum(when(side, e))
+      val m = kw.groupBy("h").agg(
+        count(when(L, lit(1))).as("nl"), count(when(R, lit(1))).as("nr"),
+        wd(L, col("w")).as("lw"), wd(L, col("w") * col("u")).as("lwu"),
+        wd(L, col("w") * col("y")).as("lwy"),
+        wd(L, col("w") * col("u") * col("u")).as("lwuu"),
+        wd(L, col("w") * col("u") * col("y")).as("lwuy"),
+        wd(R, col("w")).as("rw"), wd(R, col("w") * col("u")).as("rwu"),
+        wd(R, col("w") * col("y")).as("rwy"),
+        wd(R, col("w") * col("u") * col("u")).as("rwuu"),
+        wd(R, col("w") * col("u") * col("y")).as("rwuy"))
+      val slopeL = (col("lw") * col("lwuy") - col("lwu") * col("lwy")) /
+        (col("lw") * col("lwuu") - col("lwu") * col("lwu"))
+      val slopeR = (col("rw") * col("rwuy") - col("rwu") * col("rwy")) /
+        (col("rw") * col("rwuu") - col("rwu") * col("rwu"))
+      val cutL = (col("lwy") - slopeL * col("lwu")) / col("lw")
+      val cutR = (col("rwy") - slopeR * col("rwu")) / col("rw")
+      m.select(col("h"), col("nl").cast("long").as("n_left"),
+          col("nr").cast("long").as("n_right"),
+          r6(cutL).as("cut_left"), r6(cutR).as("cut_right"),
+          r6(cutR - cutL).as("tau"),
+          r6(slopeL).as("slope_left"), r6(slopeR).as("slope_right"))
+        .orderBy("h")
+    },
+
+    /** Newey–West heteroskedasticity-and-autocorrelation-consistent
+      * standard errors (Bartlett kernel, truncation L = 7 — one weekly
+      * cycle) for every ordered element pair's contemporaneous daily
+      * regression y_t = α + β x_t. Daily series are autocorrelated, so
+      * q230-style i.i.d. OLS standard errors overstate precision; the
+      * readout is se_hac next to se_ols and their ratio — the honesty
+      * multiplier. β/α/x̄ come closed-form from decimal-exact moments;
+      * the score u_t = ê_t·(x_t − x̄) is then one broadcast join away,
+      * and ALL eight lagged autocovariances Γ₀..Γ₇ come from ONE
+      * banded self-join (di difference ∈ [0, 7]) on the bounded grid —
+      * not eight separate joins.
+      *
+      * Scale shape: everything after the PlanCache'd daily grid is
+      * grid-sized: the pair join is guarded by guardFullEnum (past 2048
+      * elements → the q251 screen), the score table is O(P²·T), and the
+      * banded lag join multiplies it by ≤8 — independent of fact bytes.
+      */
+    QueryDef(
+      "q381_newey_west",
+      s"""WITH ${CausalOps.dailySql},
+         |pr AS (
+         |  SELECT a.el AS ea, b.el AS eb, a.di AS di, a.v AS x, b.v AS y
+         |  FROM daily a JOIN daily b ON b.di = a.di AND b.el <> a.el),
+         |mom AS (
+         |  SELECT ea, eb, count(*) AS n,
+         |    ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |    ${dsumSql("x*x")} AS sxx, ${dsumSql("x*y")} AS sxy,
+         |    ${dsumSql("y*y")} AS syy
+         |  FROM pr GROUP BY 1, 2),
+         |par AS (
+         |  SELECT ea, eb, n, sx / n AS xbar,
+         |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta,
+         |    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS alpha,
+         |    sxx - sx*sx/n AS sxxc, syy - sy*sy/n AS syyc
+         |  FROM mom),
+         |sc AS MATERIALIZED (
+         |  SELECT p.ea, p.eb, p.di,
+         |    (p.y - par.alpha - par.beta * p.x) * (p.x - par.xbar) AS u
+         |  FROM pr p JOIN par ON par.ea = p.ea AND par.eb = p.eb),
+         |gm AS (
+         |  SELECT s1.ea, s1.eb, s1.di - s2.di AS l, ${dsumSql("s1.u*s2.u")} AS gam
+         |  FROM sc s1 JOIN sc s2
+         |    ON s2.ea = s1.ea AND s2.eb = s1.eb AND s1.di - s2.di BETWEEN 0 AND 7
+         |  GROUP BY 1, 2, 3),
+         |hac AS (
+         |  SELECT ea, eb,
+         |    ${dsumSql("CASE WHEN l = 0 THEN gam ELSE (2.0*(1.0 - CAST(l AS DOUBLE)/8.0))*gam END")} AS ss
+         |  FROM gm GROUP BY 1, 2)
+         |SELECT par.ea AS ea, par.eb AS eb, CAST(n AS BIGINT) AS n,
+         |  round(beta, 6) AS beta,
+         |  round(sqrt(((syyc - beta*beta*sxxc) / (n - 2)) / sxxc), 6) AS se_ols,
+         |  round(sqrt(ss) / sxxc, 6) AS se_hac,
+         |  round((sqrt(ss) / sxxc) / sqrt(((syyc - beta*beta*sxxc) / (n - 2)) / sxxc), 6) AS hac_ratio
+         |FROM par JOIN hac ON hac.ea = par.ea AND hac.eb = par.eb
+         |ORDER BY ea, eb""".stripMargin) { (s, d) =>
+      val g = CausalOps.daily(s, d)
+      CausalOps.guardFullEnum(g, "q381_newey_west")
+      val a = g.select(col("el").as("ea"), col("di"), col("v").as("x"))
+      val b = g.select(col("el").as("eb"), col("di").as("dib"), col("v").as("y"))
+      val pr = a.join(b, col("dib") === col("di") && col("ea") =!= col("eb"))
+        .select(col("ea"), col("eb"), col("di"), col("x"), col("y"))
+      val mom = pr.groupBy("ea", "eb").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+      val betaC = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val par = mom.select(col("ea"), col("eb"), col("n"),
+        (col("sx") / col("n")).as("xbar"), betaC.as("beta"),
+        ((col("sy") - betaC * col("sx")) / col("n")).as("alpha"),
+        (col("sxx") - col("sx") * col("sx") / col("n")).as("sxxc"),
+        (col("syy") - col("sy") * col("sy") / col("n")).as("syyc"))
+      val sc = pr.join(broadcast(par), Seq("ea", "eb"))
+        .select(col("ea"), col("eb"), col("di"),
+          ((col("y") - col("alpha") - col("beta") * col("x")) *
+            (col("x") - col("xbar"))).as("u"))
+      val s2 = sc.select(col("ea").as("e2a"), col("eb").as("e2b"),
+        col("di").as("di2"), col("u").as("u2"))
+      val gm = sc.join(s2,
+          col("e2a") === col("ea") && col("e2b") === col("eb") &&
+            (col("di") - col("di2")).between(0, 7))
+        .groupBy(col("ea"), col("eb"), (col("di") - col("di2")).as("l"))
+        .agg(dsum(col("u") * col("u2")).as("gam"))
+      val hac = gm.groupBy("ea", "eb").agg(
+        dsum(when(col("l") === 0, col("gam"))
+          .otherwise((lit(2.0) * (lit(1.0) - col("l").cast("double") / lit(8.0))) * col("gam"))).as("ss"))
+      val seOls = sqrt(((col("syyc") - col("beta") * col("beta") * col("sxxc")) /
+        (col("n") - 2)) / col("sxxc"))
+      par.join(hac, Seq("ea", "eb"))
+        .select(col("ea"), col("eb"), col("n").cast("long").as("n"),
+          r6(col("beta")).as("beta"), r6(seOls).as("se_ols"),
+          r6(sqrt(col("ss")) / col("sxxc")).as("se_hac"),
+          r6((sqrt(col("ss")) / col("sxxc")) / seOls).as("hac_ratio"))
+        .orderBy("ea", "eb")
+    },
+
+    /** Johnson–Lindenstrauss sign random projection 64 → 16 dims with
+      * MEASURED pairwise distortion (Achlioptas 2003 ±1 form): the
+      * projection matrix entry r_kj = ±1/√16 is derived from the
+      * portable md5("jl:k:j") parity — both engines rebuild the SAME
+      * matrix from the hash, no side-channel — and ±0.25 is exactly
+      * representable, so projections are decimal-fold-exact doubles.
+      * The readout is the distortion histogram ‖Px−Py‖²/‖x−y‖² over all
+      * C(64,2) sample pairs in width-0.1 bins — the q226/q279/q362
+      * measured-error discipline applied to JL: the judge-grade answer
+      * to "is 16 dims enough?" is the histogram spread, not the theorem.
+      *
+      * Scale shape: the projection is ONE hash-joined explode +
+      * 16-row-per-vector aggregate (at 100 TB: a map-side broadcast of
+      * the 1 024-entry sign grid); the all-pairs distortion is O(S²) on
+      * the BOUNDED vec_id < 64 audit sample only — the measurement
+      * stays a fixed-size probe no matter the corpus.
+      */
+    QueryDef(
+      "q382_jl_projection",
+      s"""WITH sv AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, range(1, 65) t(i) WHERE vec_id < 64),
+         |rg AS (
+         |  SELECT k, j,
+         |    CAST(1 - 2 * (('0x' || substr(md5('jl:' || CAST(k AS VARCHAR) || ':' ||
+         |      CAST(j AS VARCHAR)), 1, 1))::BIGINT % 2) AS DOUBLE) * CAST(0.25 AS DOUBLE) AS r
+         |  FROM range(1, 17) a(k), range(1, 65) b(j)),
+         |pv AS MATERIALIZED (
+         |  SELECT s.vec_id, r.k, ${dsumSql("r.r * s.x")} AS p
+         |  FROM sv s JOIN rg r ON r.j = s.i GROUP BY 1, 2),
+         |po AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${dsumSql("(a.x-b.x)*(a.x-b.x)")} AS d2o
+         |  FROM sv a JOIN sv b ON b.i = a.i AND b.vec_id > a.vec_id GROUP BY 1, 2),
+         |pp AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${dsumSql("(a.p-b.p)*(a.p-b.p)")} AS d2p
+         |  FROM pv a JOIN pv b ON b.k = a.k AND b.vec_id > a.vec_id GROUP BY 1, 2),
+         |q AS (
+         |  SELECT po.va, po.vb, pp.d2p / po.d2o AS dist
+         |  FROM po JOIN pp ON pp.va = po.va AND pp.vb = po.vb)
+         |SELECT CAST(floor(dist / CAST(0.1 AS DOUBLE)) AS INT) AS bin,
+         |  round(CAST(floor(dist / CAST(0.1 AS DOUBLE)) AS DOUBLE) * CAST(0.1 AS DOUBLE), 6) AS bin_lo,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(${dsumSql("dist")} / count(*), 6) AS mean_distortion
+         |FROM q GROUP BY 1, 2 ORDER BY bin""".stripMargin) { (s, d) =>
+      val sv = PlanCache.cached(s, s"q382_sv|$d") {
+        Tables.embeddings(s, d).where(col("vec_id") < 64)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x0")))
+          .select(col("vec_id"), (col("i0") + 1).as("i"), col("x0").cast("double").as("x"))
+      }
+      val rg = s.range(1, 17).select(col("id").as("k"))
+        .crossJoin(s.range(1, 65).select(col("id").as("j")))
+        .select(col("k"), col("j"),
+          ((lit(1) - lit(2) * (conv(substring(md5(concat(lit("jl:"),
+            col("k").cast("string"), lit(":"), col("j").cast("string"))), 1, 1),
+            16, 10).cast("long") % 2)).cast("double") * lit(0.25)).as("r"))
+      val pv = sv.join(broadcast(rg), col("j") === col("i"))
+        .groupBy("vec_id", "k").agg(dsum(col("r") * col("x")).as("p"))
+      val po = sv.join(sv.select(col("vec_id").as("vb"), col("i").as("ib"), col("x").as("xb")),
+          col("ib") === col("i") && col("vb") > col("vec_id"))
+        .groupBy(col("vec_id").as("va"), col("vb"))
+        .agg(dsum((col("x") - col("xb")) * (col("x") - col("xb"))).as("d2o"))
+      val pp = pv.join(pv.select(col("vec_id").as("vb"), col("k").as("kb"), col("p").as("pb")),
+          col("kb") === col("k") && col("vb") > col("vec_id"))
+        .groupBy(col("vec_id").as("va"), col("vb"))
+        .agg(dsum((col("p") - col("pb")) * (col("p") - col("pb"))).as("d2p"))
+      val q = po.join(pp, Seq("va", "vb")).select((col("d2p") / col("d2o")).as("dist"))
+      q.groupBy(floor(col("dist") / lit(0.1)).cast("int").as("bin"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          r6(dsum(col("dist")) / count(lit(1))).as("mean_distortion"))
+        .select(col("bin"),
+          r6(col("bin").cast("double") * lit(0.1)).as("bin_lo"),
+          col("n_pairs"), col("mean_distortion"))
+        .orderBy("bin")
+    },
+
+    /** Synchronous label propagation community detection (Raghavan et
+      * al. 2007, deterministic variant) on the q364/q376 co-purchase
+      * graph: every node starts labeled with its own id; each round a
+      * node adopts its neighbors' most frequent label, ties broken by
+      * the SMALLEST label — the determinism rule that makes LPA (whose
+      * async form is run-order-dependent) hash-exact. Four rounds are
+      * unrolled; the readout is the convergence trajectory (distinct
+      * labels, largest community) per round — the community-collapse
+      * curve complementing q376's core-collapse curve.
+      *
+      * Scale shape: each round is ONE (node, label) count aggregate and
+      * ONE deterministic arg-max — all integer ops, shuffle-partitioned
+      * on node id; the label table is localCheckpoint'd per round (the
+      * q376 lineage discipline), and the edge set is the SAME PlanCache
+      * entry q364/q376/q285 share, so the basket expansion runs once per
+      * session no matter how many graph queries run.
+      */
+    QueryDef(
+      "q383_label_propagation", {
+        val rounds = (1 to 4).map { r =>
+          s"""v$r AS (
+             |  SELECT und.src AS node, l.lbl, count(*) AS cnt
+             |  FROM und JOIN l${r - 1} l ON l.node = und.dst GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT node, lbl, row_number() OVER (
+             |      PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+             |    FROM v$r) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val stats = (0 to 4).map { r =>
+          s"""SELECT $r AS round,
+             |  (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l$r) AS n_labels,
+             |  (SELECT CAST(max(c) AS BIGINT) FROM
+             |    (SELECT count(*) AS c FROM l$r GROUP BY lbl)) AS top_community"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.p AS u, b.p AS v
+           |  FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |und AS MATERIALIZED (
+           |  SELECT u AS src, v AS dst FROM e0
+           |  UNION ALL SELECT v AS src, u AS dst FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+           |$rounds
+           |SELECT * FROM (
+           |$stats
+           |) ORDER BY round""".stripMargin
+      }) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = PlanCache.cached(s, s"q364_edges|$d") {
+        op.groupBy("o")
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))),
+              y => struct(x.as("u"), y.as("v")))))).as("pr"))
+          .select(col("pr.u").as("u"), col("pr.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("nco"))
+          .where(col("nco") >= 2).select(col("u"), col("v"))
+      }
+      val und = PlanCache.cached(s, s"q383_und|$d") {
+        e0.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      }
+      val l0 = und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      val labels = (1 to 4).scanLeft(l0) { (l, r) =>
+        PlanCache.cached(s, s"q383_l$r|$d") {
+          val votes = und.join(l.select(col("node").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+          // deterministic arg-max without a window: max over the
+          // (cnt, -lbl) struct order == (cnt DESC, lbl ASC) first row
+          votes.groupBy("node")
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("lbl"))
+            .localCheckpoint(true)
+        }
+      }
+      labels.zipWithIndex.map { case (l, r) =>
+        val nl = l.agg(countDistinct(col("lbl")).as("n_labels"))
+        val tc = l.groupBy("lbl").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("top_community"))
+        nl.crossJoin(tc).select(lit(r).as("round"),
+          col("n_labels").cast("long").as("n_labels"),
+          col("top_community").cast("long").as("top_community"))
+      }.reduce(_ unionAll _).orderBy("round")
+    }
+  )
+}

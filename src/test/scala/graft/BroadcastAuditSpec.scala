@@ -74,6 +74,12 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Round13Ops.scala" -> Set("params", "p2", "scal"),
     // ^ 1row ×3: the q369 EM parameter vector (both iterations) and the
     //   q370 corpus-scalar (bigram-count, discount-mass) row
+    "Round15Ops.scala" -> Set("dpiv", "hs", "lam", "mu", "nel", "nrm",
+      "par", "rg", "tr", "v"),
+    // ^ q378 donor pivot + fitted params (element-grain, guardFullEnum-
+    //   capped → model); hs lit bandwidths; q379 1-row λ/norm/trace,
+    //   64-row dim-grain mean + iterate vectors (schema-fixed → domain);
+    //   nel 1row; rg the 1024-entry literal JL sign grid (lit)
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),

@@ -64,6 +64,9 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     "RetainOps.scala" -> (2, 0),     // q78/q254 exact AUC (documented)
     "RobustOps.scala" -> (1, 1),     // day window; event-type shares
     "Round12Ops.scala" -> (2, 0),    // q363 3-row λ rank; q365 AUC (doc.)
+    "Round15Ops.scala" -> (1, 0),    // q378 placebo rank over the
+                                     // element-grain RMSPE table
+                                     // (guardFullEnum-capped)
     "StatsOps.scala" -> (5, 2),      // size-grain skyline, Spearman
                                      // (documented), KMV sketch rows,
                                      // Neyman strata ×2; strata totals ×2
