@@ -48,6 +48,7 @@ object SparkEntry {
       operators.Round13Ops.defs ++
       operators.Round14Ops.defs ++
       operators.Round15Ops.defs ++
+      operators.Round16Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -80,6 +80,12 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   capped → model); hs lit bandwidths; q379 1-row λ/norm/trace,
     //   64-row dim-grain mean + iterate vectors (schema-fixed → domain);
     //   nel 1row; rg the 1024-entry literal JL sign grid (lit)
+    "Round16Ops.scala" -> Set("ag", "b1", "b2", "bDf", "fz", "gm", "n1",
+      "nt", "p2", "p2r", "po0", "po1", "prev", "ui0", "ui1", "ui2"),
+    // ^ all 1-row fitted-parameter / scalar tables (Cox β and U/I rows,
+    //   IRLS parameter rows, outcome-model coefficient rows, rank-sum
+    //   and moment totals, GT corpus scalars) except gm — the 5-row
+    //   priority-domain moment table (domain)
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),

@@ -67,6 +67,9 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     "Round15Ops.scala" -> (1, 0),    // q378 placebo rank over the
                                      // element-grain RMSPE table
                                      // (guardFullEnum-capped)
+    "Round16Ops.scala" -> (1, 0),    // q384 risk-set suffix sums over
+                                     // the horizon-bounded unique-time
+                                     // grid (≤ 31 rows)
     "StatsOps.scala" -> (5, 2),      // size-grain skyline, Spearman
                                      // (documented), KMV sketch rows,
                                      // Neyman strata ×2; strata totals ×2
