@@ -49,6 +49,7 @@ object SparkEntry {
       operators.Round14Ops.defs ++
       operators.Round15Ops.defs ++
       operators.Round16Ops.defs ++
+      operators.Round17Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

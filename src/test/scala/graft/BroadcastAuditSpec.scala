@@ -86,6 +86,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   IRLS parameter rows, outcome-model coefficient rows, rank-sum
     //   and moment totals, GT corpus scalars) except gm — the 5-row
     //   priority-domain moment table (domain)
+    "Round17Ops.scala" -> Set("at", "nel", "p", "p2", "prev", "tot", "z"),
+    // ^ 1-row aggregates (stratified ATE, Theil totals, IRLS/BT
+    //   normalization scalars) and the element-grain BT strength vector
+    //   (guardFullEnum-capped -> model)
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),
