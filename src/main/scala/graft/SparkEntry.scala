@@ -50,6 +50,7 @@ object SparkEntry {
       operators.Round15Ops.defs ++
       operators.Round16Ops.defs ++
       operators.Round17Ops.defs ++
+      operators.Round18Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -49,7 +49,7 @@ object InferenceOps {
         .agg(count(lit(1)).as("hcnt"))
     }
 
-  private def guardElements(s: SparkSession, d: String, qname: String): Unit = {
+  private[operators] def guardElements(s: SparkSession, d: String, qname: String): Unit = {
     val p = hist(s, d).agg(countDistinct(col("hel"))).head.getLong(0)
     if (p > MaxInferenceElements)
       throw new IllegalStateException(
@@ -63,7 +63,7 @@ object InferenceOps {
     * (`cnt`, 0 if absent) and its count strictly below it (`cl`).
     * Domains come from the cached [[hist]], not fresh fact scans.
     */
-  private def cumGrid(s: SparkSession, d: String): DataFrame = {
+  private[operators] def cumGrid(s: SparkSession, d: String): DataFrame = {
     val ht = hist(s, d)
     val vals = ht.select(col("hv").as("v")).distinct()
     val types = ht.select(col("hel").as("el")).distinct()
@@ -75,7 +75,7 @@ object InferenceOps {
       .withColumn("cl", coalesce(sum(col("cnt")).over(w), lit(0L)))
   }
 
-  private val cumGridSql =
+  private[operators] val cumGridSql =
     """vals AS (SELECT DISTINCT value AS v FROM events),
       |types AS (SELECT DISTINCT event_type AS el FROM events),
       |ht AS (

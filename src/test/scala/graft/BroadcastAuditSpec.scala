@@ -90,6 +90,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // ^ 1-row aggregates (stratified ATE, Theil totals, IRLS/BT
     //   normalization scalars) and the element-grain BT strength vector
     //   (guardFullEnum-capped -> model)
+    "Round18Ops.scala" -> Set("armB", "gg", "hi", "lo", "mxDi", "xk"),
+    // ^ 1-row tables throughout: the arm-B summary row, the global
+    //   sensitive distribution, winsorization/threshold order-statistic
+    //   anchors, the global max-day scalar
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),
