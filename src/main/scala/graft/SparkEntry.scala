@@ -51,6 +51,7 @@ object SparkEntry {
       operators.Round16Ops.defs ++
       operators.Round17Ops.defs ++
       operators.Round18Ops.defs ++
+      operators.Round19Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

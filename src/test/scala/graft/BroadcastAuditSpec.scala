@@ -94,6 +94,9 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // ^ 1-row tables throughout: the arm-B summary row, the global
     //   sensitive distribution, winsorization/threshold order-statistic
     //   anchors, the global max-day scalar
+    "Round19Ops.scala" -> Set("b2", "bDf", "nt", "taus", "ui0", "ui1"),
+    // ^ 1-row Cox beta / score rows, the KM total row, and the 2-row
+    //   literal tau table
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),

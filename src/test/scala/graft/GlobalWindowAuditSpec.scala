@@ -70,6 +70,10 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     "Round16Ops.scala" -> (1, 0),    // q384 risk-set suffix sums over
                                      // the horizon-bounded unique-time
                                      // grid (≤ 31 rows)
+    "Round19Ops.scala" -> (6, 0),    // q402/q403 Cox risk suffix +
+                                     // hazard prefix + KM lag windows,
+                                     // all over the horizon-bounded
+                                     // unique-time grid (≤ 31 rows)
     "StatsOps.scala" -> (5, 2),      // size-grain skyline, Spearman
                                      // (documented), KMV sketch rows,
                                      // Neyman strata ×2; strata totals ×2
