@@ -36,12 +36,12 @@ object Round16Ops {
   private val neA = Array(
     Array("a11", "a12", "a13"), Array("a12", "a22", "a23"), Array("a13", "a23", "a33"))
   private val neB = Array("b1", "b2", "b3")
-  private def neDtStage(carry: Seq[String]): Array[String] = (carry ++ Seq(
+  private[operators] def neDtStage(carry: Seq[String]): Array[String] = (carry ++ Seq(
     s"${Round15Ops.det3(neA)} AS dt",
     s"${Round15Ops.det3(Round15Ops.replCol(neA, 0, neB))} AS dt1",
     s"${Round15Ops.det3(Round15Ops.replCol(neA, 1, neB))} AS dt2",
     s"${Round15Ops.det3(Round15Ops.replCol(neA, 2, neB))} AS dt3")).toArray
-  private def neWStage(carry: Seq[String]): Array[String] = (carry ++ Seq(
+  private[operators] def neWStage(carry: Seq[String]): Array[String] = (carry ++ Seq(
     "dt1/dt AS c0", "dt2/dt AS c1", "dt3/dt AS c2")).toArray
 
   val defs: Seq[QueryDef] = Seq(

@@ -424,8 +424,11 @@ object Round17Ops {
     /** Propensity-decile subclassification ATE (Rosenbaum & Rubin 1984;
       * Cochran 1968's "five strata remove 90%" in its decile form) —
       * the third leg of the causal stool next to q292's IPW and q389's
-      * AIPW, SHARING q389's fitted logistic propensity (same PlanCache'd
-      * fact and IRLS chain): rows are cut into propensity deciles by
+      * AIPW, refitting q389's logistic-propensity SPECIFICATION (same
+      * two-step IRLS on (quantity, tax); fitted coefficients
+      * PlanCache'd once and re-injected as driver literals — the
+      * RetainOps driver-held-model pattern): rows are cut into
+      * propensity deciles by
       * the exact two-phase ntile over the (round-6 e, orderkey,
       * linenumber) total order, the treated-vs-control mean difference
       * is taken INSIDE each decile, and the ATE is the decile-size-
@@ -498,11 +501,18 @@ object Round17Ops {
            |FROM dg CROSS JOIN at ORDER BY decile""".stripMargin
       }) { (s, d) =>
       val fx = PlanCache.cached(s, s"q395_fx|$d") {
+        // the sf0.1 fact is ONE parquet split (11 MB < maxPartitionBytes),
+        // so without this the cached projection is a single partition and
+        // every downstream pass — the IRLS aggregates, the scoring
+        // persist, the range-partition shuffle WRITE — runs one-task
+        // (round-11 job profile: two 4.5 s single-task jobs). Round-robin
+        // repartition once at cache-build; every pass after is parallel.
         Tables.lineitem(s, d).select(
           when(col("l_discount") >= lit(0.05), lit(1.0)).otherwise(lit(0.0)).as("t"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"),
           col("l_quantity").as("x1"), col("l_tax").as("x2"),
           col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+          .repartition(32)
       }
       val pb = fx.agg((dsum(col("t")) / count(lit(1))).as("pbar"))
       val p0i = pb.select(log(col("pbar") / (lit(1.0) - col("pbar"))).as("c0"),
@@ -521,11 +531,18 @@ object Round17Ops {
           .selectExpr(Round16Ops.neDtStage(Seq.empty): _*)
           .selectExpr(Round16Ops.neWStage(Seq.empty): _*)
       }
-      val p2 = irls(irls(p0i))
-        .select(col("c0").as("pc0"), col("c1").as("pc1"), col("c2").as("pc2"))
-      val sc = fx.crossJoin(broadcast(p2)).select(col("t"), col("y"),
+      // materialize the three fitted coefficients to the DRIVER with a
+      // normal action and re-inject them as literals (the RetainOps
+      // driver-held-model pattern): leaving the IRLS chain inside the
+      // scoring plan made every consumer execute it as a NESTED
+      // broadcast subquery on the single broadcast thread — two ~5 s
+      // jobs at sf0.1 (round-11 job profile); as literals the chain
+      // runs once, fully parallel, and the scoring pass is pure map
+      val pr = PlanCache.cached(s, s"q395_p2|$d")(irls(irls(p0i))).head
+      val (pc0, pc1, pc2) = (pr.getDouble(0), pr.getDouble(1), pr.getDouble(2))
+      val sc = fx.select(col("t"), col("y"),
         r6(lit(1.0) / (lit(1.0) +
-          exp(-(col("pc0") + col("pc1") * col("x1") + col("pc2") * col("x2"))))).as("e"),
+          exp(-(lit(pc0) + lit(pc1) * col("x1") + lit(pc2) * col("x2"))))).as("e"),
         col("k1"), col("k2"))
       val (rn, nTot) = TwoPhase.globalRowNumber(s, sc, s"q395_rn|$d",
         Seq(col("e").asc, col("k1").asc, col("k2").asc))
