@@ -207,7 +207,8 @@ object HybridOps {
         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
         |               c.clabel) AS rn
         |  FROM embeddings e CROSS JOIN centv c),
-        |a AS (SELECT vec_id, emb, clabel FROM assigned WHERE rn = 1),
+        |a AS (SELECT vec_id, emb, clabel FROM assigned
+        |  WHERE rn = 1 AND vec_id < 4096),
         |pairs AS (
         |  SELECT x.clabel, x.vec_id AS keep_id, y.vec_id AS prune_id,
         |    list_cosine_similarity(x.emb, y.emb) AS cos
@@ -529,11 +530,14 @@ object HybridOps {
       * 1.3e-4 — all ≥ 10⁴× any cross-engine cosine deviation, so the
       * counts cannot flip.
       *
-      * Scale shape: the TRUTH side is O(N²) BY DESIGN — this is the
-      * audit you run on a bounded sample at 100 TB (q226's pattern:
-      * verification queries sample; the operator they verify does
-      * not), while the assignment it grades reuses q262's PlanCache'd
-      * broadcast-fold subtree unchanged.
+      * Scale shape: the truth side's all-pairs join runs on the FIXED
+      * AUDIT SAMPLE vec_id < 4096 — the bounded-probe design the
+      * round-13 docstring promised, made literal after the round-11
+      * sf1 fence flagged the unbounded form at 31x (0.32 s -> 10.0 s
+      * for 10x data; quadratic in vectors). q226's pattern:
+      * verification queries sample, the operator they verify does not;
+      * the assignment it grades reuses q262's PlanCache'd
+      * broadcast-fold subtree unchanged and stays full-corpus.
       */
     QueryDef(
       "q367_semdedup_recall",
@@ -551,7 +555,8 @@ object HybridOps {
         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
         |               c.clabel) AS rn
         |  FROM embeddings e CROSS JOIN centv c),
-        |a AS (SELECT vec_id, emb, clabel FROM assigned WHERE rn = 1),
+        |a AS (SELECT vec_id, emb, clabel FROM assigned
+        |  WHERE rn = 1 AND vec_id < 4096),
         |tp AS (
         |  SELECT list_cosine_similarity(x.emb, y.emb) AS cos,
         |    x.clabel = y.clabel AS same
@@ -573,7 +578,8 @@ object HybridOps {
         |  UNION ALL SELECT 0.40, t40, f40 FROM m)
         |ORDER BY tau""".stripMargin) { (s, d) =>
       import graft.functions.Kernels
-      val a = semAssign(s, d)
+      // fixed audit sample: the truth join is quadratic by definition
+      val a = semAssign(s, d).where(col("vec_id") < 4096)
       val x = a.select(col("vec_id").as("av"), col("emb").as("xe"),
         col("clabel").as("ac"))
       val y = a.select(col("vec_id").as("bv"), col("emb").as("ye"),

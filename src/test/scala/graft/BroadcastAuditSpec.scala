@@ -86,10 +86,11 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   IRLS parameter rows, outcome-model coefficient rows, rank-sum
     //   and moment totals, GT corpus scalars) except gm — the 5-row
     //   priority-domain moment table (domain)
-    "Round17Ops.scala" -> Set("at", "nel", "p", "p2", "prev", "tot", "z"),
+    "Round17Ops.scala" -> Set("at", "nel", "p", "prev", "tot", "z"),
     // ^ 1-row aggregates (stratified ATE, Theil totals, IRLS/BT
     //   normalization scalars) and the element-grain BT strength vector
-    //   (guardFullEnum-capped -> model)
+    //   (guardFullEnum-capped -> model); q395's p2 broadcast dropped when
+    //   its fitted params became driver literals (commit 243b750)
     "Round18Ops.scala" -> Set("armB", "gg", "hi", "lo", "mxDi", "xk"),
     // ^ 1-row tables throughout: the arm-B summary row, the global
     //   sensitive distribution, winsorization/threshold order-statistic
