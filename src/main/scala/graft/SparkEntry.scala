@@ -52,6 +52,7 @@ object SparkEntry {
       operators.Round17Ops.defs ++
       operators.Round18Ops.defs ++
       operators.Round19Ops.defs ++
+      operators.Round20Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs
