@@ -53,6 +53,7 @@ object SparkEntry {
       operators.Round18Ops.defs ++
       operators.Round19Ops.defs ++
       operators.Round20Ops.defs ++
+      operators.Round21Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -98,6 +98,11 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Round19Ops.scala" -> Set("b2", "bDf", "nt", "taus", "ui0", "ui1"),
     // ^ 1-row Cox beta / score rows, the KM total row, and the 2-row
     //   literal tau table
+    "Round20Ops.scala" -> Set("kk", "pe", "st", "tot"),
+    // ^ 3-row literal k grid; 1-row P_e / corpus-stats / panel totals
+    "Round21Ops.scala" -> Set("lfl", "po", "pri", "qq", "s2", "st", "tie"),
+    // ^ the 1-list lnFact row, 1-row p_obs / prior / Q-terms / rank-sum
+    //   / moment / tie-total tables — all O(1) or cohort-bounded
     "SearchOps.scala" -> Set("e", "hits", "pct", "st"), // topk (vec_id<8
     // query rows); 1row; 1row; 1row
     "SeriesOps.scala" -> Set("Seq", "c0", "lags", "m", "mu", "se", "tp", "xs"),

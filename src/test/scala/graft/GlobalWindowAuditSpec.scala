@@ -74,6 +74,12 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
                                      // hazard prefix + KM lag windows,
                                      // all over the horizon-bounded
                                      // unique-time grid (≤ 31 rows)
+    "Round20Ops.scala" -> (3, 0),    // q410: two position ranks + the
+                                     // cascade survival window, all
+                                     // over 10-row top-k cuts
+    "Round21Ops.scala" -> (1, 0),    // lnFact cumulative over the
+                                     // cohort-bounded integer grid
+                                     // (≤ ~4k rows at any SF slice)
     "StatsOps.scala" -> (5, 2),      // size-grain skyline, Spearman
                                      // (documented), KMV sketch rows,
                                      // Neyman strata ×2; strata totals ×2
