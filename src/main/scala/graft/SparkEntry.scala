@@ -54,6 +54,9 @@ object SparkEntry {
       operators.Round19Ops.defs ++
       operators.Round20Ops.defs ++
       operators.Round21Ops.defs ++
+      operators.Round22Ops.defs ++
+      operators.Round23Ops.defs ++
+      operators.Round24Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

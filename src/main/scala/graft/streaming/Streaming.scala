@@ -1074,6 +1074,49 @@ object Streaming {
         graft.operators.CausalOps.cusumFromGrid, Seq("el"))
     },
 
+    /** q423's Page–Hinkley drift detector as a per-micro-batch
+      * refreshed view (round 22): the SEQUENTIAL change test — running-
+      * mean deviations, running-min excursion, live alarm ledger — is
+      * exactly the readout that belongs on a stream; it re-derives per
+      * arriving micro-batch from the same maintained (el, day) grid as
+      * q258's retrospective CUSUM. Final refresh == batch q423 oracle,
+      * bit-for-bit (shared pageHinkleyFromGrid tree over exact decimal
+      * grid state).
+      */
+    QueryDef(
+      "q425_stream_page_hinkley",
+      graft.operators.Round22Ops.pageHinkleySql) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.Round22Ops.pageHinkleyFromGrid, Seq("el"))
+    },
+
+    /** q434's Inclán–Tiao variance-changepoint as a per-micro-batch
+      * refreshed view (round 24): the live "did the volatility regime
+      * just break" readout next to q258's mean-shift CUSUM, re-derived
+      * per arriving micro-batch from the same maintained (el, day)
+      * grid. Final refresh == batch q434 oracle, bit-for-bit (shared
+      * inclanFromGrid tree).
+      */
+    QueryDef(
+      "q439_stream_inclan",
+      graft.operators.Round24Ops.inclanSql) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.Round24Ops.inclanFromGrid, Seq("el"))
+    },
+
+    /** q427's Welch-averaged coherence as a per-micro-batch refreshed
+      * view (round 23): the live "are these two elements still coupled
+      * at the weekly cycle" readout, re-derived per arriving micro-
+      * batch from the same maintained (el, day) grid. Final refresh ==
+      * batch q427 oracle, bit-for-bit (shared coherenceFromGrid tree).
+      */
+    QueryDef(
+      "q433_stream_coherence",
+      graft.operators.Round23Ops.coherenceSql) { (s, d) =>
+      causalRefresh(s, d,
+        graft.operators.Round23Ops.coherenceFromGrid, Seq("eli", "elj", "period"))
+    },
+
     /** q263's spectral seasonality readout as a per-micro-batch
       * refreshed view (round 8): the live causal dashboard also answers
       * "is the weekly/biweekly/monthly cycle still there" as events

@@ -100,6 +100,17 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   literal tau table
     "Round20Ops.scala" -> Set("kk", "pe", "st", "tot"),
     // ^ 3-row literal k grid; 1-row P_e / corpus-stats / panel totals
+    "Round22Ops.scala" -> Set("p2", "p2a", "pg", "prev", "ym"),
+    // ^ element-grain GLM parameter rows (O(P)), the 3-row period/fpp
+    //   grids, and the O(P) per-element mean/variance row
+    "Round23Ops.scala" -> Set("segs", "sm", "per", "tot", "lagT", "st", "den",
+      "b1", "b2", "tt", "t1", "p1", "gm", "mo", "prev", "th"),
+    "Round24Ops.scala" -> Set("st", "cn", "md", "offs", "ks"),
+    // ^ O(P) element-grain stat/total/median rows, the 14-row horizon
+    //   offset grid, and the 1-row BH k* threshold
+    // ^ literal segment/period/lag/threshold grids, O(P) element-grain
+    //   stat and GLM/GMM parameter rows, O(P) changepoint anchors, and
+    //   the O(P²) pair-grain grand-mean row — all grid-bounded
     "Round21Ops.scala" -> Set("lfl", "po", "pri", "qq", "s2", "st", "tie"),
     // ^ the 1-list lnFact row, 1-row p_obs / prior / Q-terms / rank-sum
     //   / moment / tie-total tables — all O(1) or cohort-bounded

@@ -80,6 +80,10 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     "Round21Ops.scala" -> (1, 0),    // lnFact cumulative over the
                                      // cohort-bounded integer grid
                                      // (≤ ~4k rows at any SF slice)
+    "Round24Ops.scala" -> (1, 1),    // q438 BH p-rank + m_t count over
+                                     // the screened O(P²) pair grid
+                                     // (cap-guarded grain, same class
+                                     // as the CausalOps pair windows)
     "StatsOps.scala" -> (5, 2),      // size-grain skyline, Spearman
                                      // (documented), KMV sketch rows,
                                      // Neyman strata ×2; strata totals ×2
