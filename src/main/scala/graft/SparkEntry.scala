@@ -57,6 +57,7 @@ object SparkEntry {
       operators.Round22Ops.defs ++
       operators.Round23Ops.defs ++
       operators.Round24Ops.defs ++
+      operators.Round25Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

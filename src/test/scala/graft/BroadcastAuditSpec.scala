@@ -108,6 +108,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Round24Ops.scala" -> Set("st", "cn", "md", "offs", "ks"),
     // ^ O(P) element-grain stat/total/median rows, the 14-row horizon
     //   offset grid, and the 1-row BH k* threshold
+    "Round25Ops.scala" -> Set("tau", "st", "den", "lg", "lag4", "bart", "sd", "gm"),
+    // ^ literal tau/lag grids, O(P) element-grain stat rows, and the
+    //   O(P²) pair-grain Bartlett-sum / bandwidth / grand-mean rows
+    //   (screened pair grain, same class as Round23's gm)
     // ^ literal segment/period/lag/threshold grids, O(P) element-grain
     //   stat and GLM/GMM parameter rows, O(P) changepoint anchors, and
     //   the O(P²) pair-grain grand-mean row — all grid-bounded
