@@ -58,6 +58,7 @@ object SparkEntry {
       operators.Round23Ops.defs ++
       operators.Round24Ops.defs ++
       operators.Round25Ops.defs ++
+      operators.Round26Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

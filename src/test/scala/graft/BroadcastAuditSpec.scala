@@ -109,6 +109,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // ^ O(P) element-grain stat/total/median rows, the 14-row horizon
     //   offset grid, and the 1-row BH k* threshold
     "Round25Ops.scala" -> Set("tau", "st", "den", "lg", "lag4", "bart", "sd", "gm"),
+    "Round26Ops.scala" -> Set("sh", "ob", "st", "nb", "ca", "tot", "qs", "pos"),
+    // ^ the 30-row shift grid, O(P²) observed-r / burst-count rows,
+    //   O(P) transition totals, the 1-row grand total, and the O(1)
+    //   16-query vector set + its positive-margin row
     // ^ literal tau/lag grids, O(P) element-grain stat rows, and the
     //   O(P²) pair-grain Bartlett-sum / bandwidth / grand-mean rows
     //   (screened pair grain, same class as Round23's gm)
