@@ -59,6 +59,7 @@ object SparkEntry {
       operators.Round24Ops.defs ++
       operators.Round25Ops.defs ++
       operators.Round26Ops.defs ++
+      operators.Round27Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -39,6 +39,50 @@ object Round25Ops {
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
   private def dsumSql(x: String) = s"CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** Unrounded lead-lag r and Bartlett SE at lags 0–3 from the daily
+    * grid — shared by q441's readout and q452's consensus scoreboard
+    * (one tree ⇒ identical doubles in both consumers). Columns:
+    * (src, dst, lag, n, r, se).
+    */
+  private[graft] def bartlettLags(s: SparkSession, g: DataFrame): DataFrame = {
+    val st = g.groupBy("el").agg((dsum(col("v")) / count(lit(1))).as("mu"))
+    val cx = g.join(broadcast(st), "el")
+      .select(col("el"), col("di"), (col("v") - col("mu")).as("x"))
+    val den = cx.groupBy("el").agg(dsum(col("x") * col("x")).as("ss"))
+    val lg = s.range(1).select(explode(sequence(lit(1), lit(5))).as("k"))
+    val bSide = cx.select(col("el").as("bel"), col("di").as("bdi"),
+      col("x").as("bx"))
+    val acf = cx.crossJoin(broadcast(lg))
+      .join(bSide, col("bel") === col("el") && col("bdi") === col("di") - col("k"))
+      .join(broadcast(den.select(col("el").as("del"), col("ss"))),
+        col("del") === col("el"))
+      .groupBy("el", "k")
+      .agg((dsum(col("x") * col("bx")) / max(col("ss"))).as("rho"))
+    val acfB = acf.select(col("el").as("el2"), col("k").as("k2"),
+      col("rho").as("rho2"))
+    val bart = acf.join(acfB, col("k2") === col("k") && col("el2") =!= col("el"))
+      .groupBy(col("el").as("src"), col("el2").as("dst"))
+      .agg((lit(1.0) + lit(2.0) * dsum(col("rho") * col("rho2"))).as("bsum"))
+    val lag4 = s.range(1)
+      .select(explode(array(lit(0), lit(1), lit(2), lit(3))).as("lag"))
+    val y = g.select(col("el").as("yel"), col("di").as("ydi"), col("v").as("yv"))
+    val m = g.crossJoin(broadcast(lag4))
+      .join(y, col("yel") =!= col("el") && col("ydi") === col("di") + col("lag"))
+      .groupBy(col("el").as("msrc"), col("yel").as("mdst"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("v")).as("sx"), dsum(col("yv")).as("sy"),
+        dsum(col("v") * col("yv")).as("sxy"),
+        dsum(col("v") * col("v")).as("sxx"),
+        dsum(col("yv") * col("yv")).as("syy"))
+    val r = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
+    val se = sqrt(col("bsum") / col("n"))
+    m.join(broadcast(bart), col("src") === col("msrc") && col("dst") === col("mdst"))
+      .select(col("msrc").as("src"), col("mdst").as("dst"), col("lag"),
+        col("n"), r.as("r"), se.as("se"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Exact quantile-regression trend per element at τ ∈ {0.5, 0.9}:
@@ -149,45 +193,13 @@ object Round25Ops {
          |  CASE WHEN abs(r / se) > 1.959963984540054 THEN 1 ELSE 0 END
          |    AS significant
          |FROM rr ORDER BY src, dst, lag""".stripMargin) { (s, d) =>
-      val g = CausalOps.daily(s, d)
-      val st = g.groupBy("el").agg((dsum(col("v")) / count(lit(1))).as("mu"))
-      val cx = g.join(broadcast(st), "el")
-        .select(col("el"), col("di"), (col("v") - col("mu")).as("x"))
-      val den = cx.groupBy("el").agg(dsum(col("x") * col("x")).as("ss"))
-      val lg = s.range(1).select(explode(sequence(lit(1), lit(5))).as("k"))
-      val bSide = cx.select(col("el").as("bel"), col("di").as("bdi"),
-        col("x").as("bx"))
-      val acf = cx.crossJoin(broadcast(lg))
-        .join(bSide, col("bel") === col("el") && col("bdi") === col("di") - col("k"))
-        .join(broadcast(den.select(col("el").as("del"), col("ss"))),
-          col("del") === col("el"))
-        .groupBy("el", "k")
-        .agg((dsum(col("x") * col("bx")) / max(col("ss"))).as("rho"))
-      val acfB = acf.select(col("el").as("el2"), col("k").as("k2"),
-        col("rho").as("rho2"))
-      val bart = acf.join(acfB, col("k2") === col("k") && col("el2") =!= col("el"))
-        .groupBy(col("el").as("src"), col("el2").as("dst"))
-        .agg((lit(1.0) + lit(2.0) * dsum(col("rho") * col("rho2"))).as("bsum"))
-      val lag4 = s.range(1)
-        .select(explode(array(lit(0), lit(1), lit(2), lit(3))).as("lag"))
-      val y = g.select(col("el").as("yel"), col("di").as("ydi"), col("v").as("yv"))
-      val m = g.crossJoin(broadcast(lag4))
-        .join(y, col("yel") =!= col("el") && col("ydi") === col("di") + col("lag"))
-        .groupBy(col("el").as("msrc"), col("yel").as("mdst"), col("lag"))
-        .agg(count(lit(1)).as("n"),
-          dsum(col("v")).as("sx"), dsum(col("yv")).as("sy"),
-          dsum(col("v") * col("yv")).as("sxy"),
-          dsum(col("v") * col("v")).as("sxx"),
-          dsum(col("yv") * col("yv")).as("syy"))
-      val r = (col("n") * col("sxy") - col("sx") * col("sy")) /
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-          (col("n") * col("syy") - col("sy") * col("sy")))
-      val se = sqrt(col("bsum") / col("n"))
-      m.join(broadcast(bart), col("src") === col("msrc") && col("dst") === col("mdst"))
-        .select(col("msrc").as("src"), col("mdst").as("dst"), col("lag"),
+      bartlettLags(s, CausalOps.daily(s, d))
+        .select(col("src"), col("dst"), col("lag"),
           col("n").cast("long").as("n_days"),
-          r6(r).as("xcorr"), r6(se).as("bartlett_se"), r6(r / se).as("z"),
-          when(abs(r / se) > 1.959963984540054, 1).otherwise(0).as("significant"))
+          r6(col("r")).as("xcorr"), r6(col("se")).as("bartlett_se"),
+          r6(col("r") / col("se")).as("z"),
+          when(abs(col("r") / col("se")) > 1.959963984540054, 1).otherwise(0)
+            .as("significant"))
         .orderBy("src", "dst", "lag")
     },
 

@@ -42,6 +42,40 @@ object Round26Ops {
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
   private def dsumSql(x: String) = s"CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** Unrounded circular-shift surrogate columns — shared by q446's
+    * readout and q452's consensus scoreboard. Columns:
+    * (src, dst, r_obs, n_exceed, n_shifts, p).
+    */
+  private[graft] def circularNull(s: SparkSession, g: DataFrame): DataFrame = {
+    val ig = g.select(col("el"), col("v"),
+      (row_number().over(Window.partitionBy(col("el")).orderBy(col("di"))) - 1)
+        .as("t"),
+      count(lit(1)).over(Window.partitionBy(col("el"))).as("n"))
+    val sh = s.range(1).select(explode(sequence(lit(0), lit(29))).as("s"))
+    val x = ig.select(col("el").as("src"), col("t").as("xt"), col("v").as("xv"))
+    val rs = ig.crossJoin(broadcast(sh)).where(col("s") < col("n"))
+      .join(x, col("src") =!= col("el") &&
+        col("xt") === (col("t") - 1 + col("s") + col("n")) % col("n"))
+      .groupBy(col("src"), col("el").as("dst"), col("s"))
+      .agg(count(lit(1)).as("np"),
+        ((count(lit(1)) * dsum(col("xv") * col("v")) -
+          dsum(col("xv")) * dsum(col("v"))) /
+          sqrt((count(lit(1)) * dsum(col("xv") * col("xv")) -
+            dsum(col("xv")) * dsum(col("xv"))) *
+            (count(lit(1)) * dsum(col("v") * col("v")) -
+              dsum(col("v")) * dsum(col("v"))))).as("r"))
+    val ob = rs.where(col("s") === 0)
+      .select(col("src").as("osrc"), col("dst").as("odst"), col("r").as("r_obs"))
+    rs.join(broadcast(ob), col("osrc") === col("src") && col("odst") === col("dst"))
+      .groupBy("src", "dst")
+      .agg(max(col("r_obs")).as("r_obs"),
+        count_if(col("s") > 0 && abs(col("r")) >= abs(col("r_obs")))
+          .cast("long").as("n_exceed"),
+        count(lit(1)).cast("long").as("n_shifts"),
+        ((lit(1.0) + count_if(col("s") > 0 &&
+          abs(col("r")) >= abs(col("r_obs")))) / count(lit(1))).as("p"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Circular-shift surrogate p-value for the lag-1 lead-lag: for
@@ -79,35 +113,9 @@ object Round26Ops {
          |    / count(*), 6) AS p_surrogate
          |FROM rs JOIN ob ON ob.src = rs.src AND ob.dst = rs.dst
          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val g = CausalOps.daily(s, d)
-      val ig = g.select(col("el"), col("v"),
-        (row_number().over(Window.partitionBy(col("el")).orderBy(col("di"))) - 1)
-          .as("t"),
-        count(lit(1)).over(Window.partitionBy(col("el"))).as("n"))
-      val sh = s.range(1).select(explode(sequence(lit(0), lit(29))).as("s"))
-      val x = ig.select(col("el").as("src"), col("t").as("xt"), col("v").as("xv"))
-      val rs = ig.crossJoin(broadcast(sh)).where(col("s") < col("n"))
-        .join(x, col("src") =!= col("el") &&
-          col("xt") === (col("t") - 1 + col("s") + col("n")) % col("n"))
-        .groupBy(col("src"), col("el").as("dst"), col("s"))
-        .agg(count(lit(1)).as("np"),
-          ((count(lit(1)) * dsum(col("xv") * col("v")) -
-            dsum(col("xv")) * dsum(col("v"))) /
-            sqrt((count(lit(1)) * dsum(col("xv") * col("xv")) -
-              dsum(col("xv")) * dsum(col("xv"))) *
-              (count(lit(1)) * dsum(col("v") * col("v")) -
-                dsum(col("v")) * dsum(col("v"))))).as("r"))
-      val ob = rs.where(col("s") === 0)
-        .select(col("src").as("osrc"), col("dst").as("odst"), col("r").as("r_obs"))
-      rs.join(broadcast(ob), col("osrc") === col("src") && col("odst") === col("dst"))
-        .groupBy("src", "dst")
-        .agg(r6(max(col("r_obs"))).as("r_lag1"),
-          count_if(col("s") > 0 && abs(col("r")) >= abs(col("r_obs")))
-            .cast("long").as("n_exceed"),
-          count(lit(1)).cast("long").as("n_shifts"),
-          r6((lit(1.0) + count_if(col("s") > 0 &&
-            abs(col("r")) >= abs(col("r_obs")))) / count(lit(1)))
-            .as("p_surrogate"))
+      circularNull(s, CausalOps.daily(s, d))
+        .select(col("src"), col("dst"), r6(col("r_obs")).as("r_lag1"),
+          col("n_exceed"), col("n_shifts"), r6(col("p")).as("p_surrogate"))
         .orderBy("src", "dst")
     },
 

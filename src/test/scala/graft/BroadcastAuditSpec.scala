@@ -110,6 +110,9 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   offset grid, and the 1-row BH k* threshold
     "Round25Ops.scala" -> Set("tau", "st", "den", "lg", "lag4", "bart", "sd", "gm"),
     "Round26Ops.scala" -> Set("sh", "ob", "st", "nb", "ca", "tot", "qs", "pos"),
+    "Round27Ops.scala" -> Set("els", "hrs", "rate", "tg", "wg", "st"),
+    // ^ the O(P) element list / rate rows, literal hour/scale/window
+    //   grids, and the O(P) mean row
     // ^ the 30-row shift grid, O(P²) observed-r / burst-count rows,
     //   O(P) transition totals, the 1-row grand total, and the O(1)
     //   16-query vector set + its positive-margin row
