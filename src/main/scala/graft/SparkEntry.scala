@@ -60,6 +60,7 @@ object SparkEntry {
       operators.Round25Ops.defs ++
       operators.Round26Ops.defs ++
       operators.Round27Ops.defs ++
+      operators.Round28Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

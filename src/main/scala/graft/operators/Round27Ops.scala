@@ -47,7 +47,7 @@ object Round27Ops {
   /** The q230/q445 Granger CTE chain over a named (el, di, v) table,
     * prefixed to avoid collisions; ends in `<p>o(src, dst, gain)`.
     */
-  private def grangerCtes(tbl: String, p: String): String =
+  private[graft] def grangerCtes(tbl: String, p: String): String =
     s"""${p}g AS (
        |  SELECT x.el AS src, y.el AS dst, y.v AS yt, yl.v AS yl1, x.v AS xl1
        |  FROM $tbl y

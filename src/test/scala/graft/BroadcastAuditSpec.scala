@@ -113,6 +113,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Round27Ops.scala" -> Set("els", "hrs", "rate", "tg", "wg", "st"),
     // ^ the O(P) element list / rate rows, literal hour/scale/window
     //   grids, and the O(P) mean row
+    "Round28Ops.scala" -> Set("tot", "nv", "wm", "sc", "prev", "stot", "gl",
+      "drift", "leak"),
+    // ^ O(P)/O(label) stat rows, the O(P·7) weekday means, O(P²) IRLS
+    //   parameter rows, bounded split/type share grids, 1-row totals
     // ^ the 30-row shift grid, O(P²) observed-r / burst-count rows,
     //   O(P) transition totals, the 1-row grand total, and the O(1)
     //   16-query vector set + its positive-margin row
