@@ -61,6 +61,7 @@ object SparkEntry {
       operators.Round26Ops.defs ++
       operators.Round27Ops.defs ++
       operators.Round28Ops.defs ++
+      operators.Round29Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -76,17 +76,42 @@ object Round27Ops {
        |    round((sse_r - (cyy - b1*c1y - b2*c2y))/nullif(sse_r, 0), 6) AS gain
        |  FROM ${p}f)""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  /** The consensus scoreboard from any (el, di, v) grid — shared by
+    * batch q452 and the streaming refresh q467 (the causalRefresh
+    * contract: final stream refresh == batch oracle bit-for-bit).
+    */
+  private[graft] def consensusFromGrid(s: SparkSession, g: DataFrame): DataFrame = {
+    val rnk = g.select(col("el"), col("di"),
+      cume_dist().over(Window.partitionBy(col("el")).orderBy(col("v"))).as("v"))
+    val bl = Round25Ops.bartlettLags(s, g).where(col("lag") === 1)
+      .select(col("src"), col("dst"), r6(col("r")).as("r_lag1"),
+        r6(col("r") / col("se")).as("z"))
+    val gg = CausalOps.grangerFromGrid(g)
+      .select(col("src").as("gsrc"), col("dst").as("gdst"),
+        col("granger_gain"))
+    val rg = CausalOps.grangerFromGrid(rnk)
+      .select(col("src").as("rsrc"), col("dst").as("rdst"),
+        col("granger_gain").as("rank_granger_gain"))
+    val cn = Round26Ops.circularNull(s, g)
+      .select(col("src").as("csrc"), col("dst").as("cdst"),
+        r6(col("p")).as("p_surrogate"))
+    bl
+      .join(gg, col("gsrc") === col("src") && col("gdst") === col("dst"))
+      .join(rg, col("rsrc") === col("src") && col("rdst") === col("dst"))
+      .join(cn, col("csrc") === col("src") && col("cdst") === col("dst"))
+      .select(col("src"), col("dst"), col("r_lag1"),
+        col("z").as("bartlett_z"), col("granger_gain"),
+        col("rank_granger_gain"), col("p_surrogate"),
+        (when(abs(col("z")) > 1.959963984540054, 1).otherwise(0)
+          + when(col("granger_gain") >= 0.05, 1).otherwise(0)
+          + when(col("rank_granger_gain") >= 0.05, 1).otherwise(0)
+          + when(col("p_surrogate") <= 0.1, 1).otherwise(0)).as("votes"))
+      .orderBy("src", "dst")
+  }
 
-    /** The consensus edge scoreboard — four independent lead tests per
-      * directed pair, each with its conventional significance reading
-      * (|z| > z₀.₉₇₅, gain ≥ 0.05, surrogate p ≤ 0.1), and the vote
-      * count. The flagship "which element causes which" deliverable:
-      * every statistic is the SAME tree as its standalone query.
-      */
-    QueryDef(
-      "q452_causal_consensus",
-      s"""WITH ${CausalOps.dailySql},
+  /** The matching oracle text over the shared `daily` CTE. */
+  private[graft] val consensusSql: String =
+    s"""WITH ${CausalOps.dailySql},
          |rnk AS (
          |  SELECT el, di, cume_dist() OVER (PARTITION BY el ORDER BY v) AS v
          |  FROM daily),
@@ -161,35 +186,21 @@ object Round27Ops {
          |JOIN gdo ON gdo.src = bz.src AND gdo.dst = bz.dst
          |JOIN gro ON gro.src = bz.src AND gro.dst = bz.dst
          |JOIN sp ON sp.src = bz.src AND sp.dst = bz.dst
-         |ORDER BY src, dst""".stripMargin) { (s, d) =>
+         |ORDER BY src, dst""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** The consensus edge scoreboard — four independent lead tests per
+      * directed pair, each with its conventional significance reading
+      * (|z| > z₀.₉₇₅, gain ≥ 0.05, surrogate p ≤ 0.1), and the vote
+      * count. The flagship "which element causes which" deliverable:
+      * every statistic is the SAME tree as its standalone query; q467
+      * replays exactly this readout inside the streaming harness.
+      */
+    QueryDef("q452_causal_consensus", consensusSql) { (s, d) =>
       val g = CausalOps.daily(s, d)
       CausalOps.guardFullEnum(g, "q452_causal_consensus")
-      val rnk = g.select(col("el"), col("di"),
-        cume_dist().over(Window.partitionBy(col("el")).orderBy(col("v"))).as("v"))
-      val bl = Round25Ops.bartlettLags(s, g).where(col("lag") === 1)
-        .select(col("src"), col("dst"), r6(col("r")).as("r_lag1"),
-          r6(col("r") / col("se")).as("z"))
-      val gg = CausalOps.grangerFromGrid(g)
-        .select(col("src").as("gsrc"), col("dst").as("gdst"),
-          col("granger_gain"))
-      val rg = CausalOps.grangerFromGrid(rnk)
-        .select(col("src").as("rsrc"), col("dst").as("rdst"),
-          col("granger_gain").as("rank_granger_gain"))
-      val cn = Round26Ops.circularNull(s, g)
-        .select(col("src").as("csrc"), col("dst").as("cdst"),
-          r6(col("p")).as("p_surrogate"))
-      bl
-        .join(gg, col("gsrc") === col("src") && col("gdst") === col("dst"))
-        .join(rg, col("rsrc") === col("src") && col("rdst") === col("dst"))
-        .join(cn, col("csrc") === col("src") && col("cdst") === col("dst"))
-        .select(col("src"), col("dst"), col("r_lag1"),
-          col("z").as("bartlett_z"), col("granger_gain"),
-          col("rank_granger_gain"), col("p_surrogate"),
-          (when(abs(col("z")) > 1.959963984540054, 1).otherwise(0)
-            + when(col("granger_gain") >= 0.05, 1).otherwise(0)
-            + when(col("rank_granger_gain") >= 0.05, 1).otherwise(0)
-            + when(col("p_surrogate") <= 0.1, 1).otherwise(0)).as("votes"))
-        .orderBy("src", "dst")
+      consensusFromGrid(s, g)
     },
 
     /** Taylor's law per element: within each day, the mean and variance

@@ -1090,6 +1090,22 @@ object Streaming {
         graft.operators.Round22Ops.pageHinkleyFromGrid, Seq("el"))
     },
 
+    /** q452's consensus causal scoreboard as a per-micro-batch
+      * refreshed view (round 29): the LIVE "which element causes
+      * which" edge table — four independent lead tests (Bartlett z,
+      * Granger gain, rank-Granger gain, circular-shift surrogate p)
+      * with votes, re-derived per arriving micro-batch from the same
+      * maintained (el, day) grid. Final refresh == batch q452 oracle,
+      * bit-for-bit (shared consensusFromGrid tree).
+      */
+    QueryDef(
+      "q467_stream_consensus",
+      graft.operators.Round27Ops.consensusSql) { (s, d) =>
+      causalRefresh(s, d,
+        g => graft.operators.Round27Ops.consensusFromGrid(s, g),
+        Seq("src", "dst"))
+    },
+
     /** q434's Inclán–Tiao variance-changepoint as a per-micro-batch
       * refreshed view (round 24): the live "did the volatility regime
       * just break" readout next to q258's mean-shift CUSUM, re-derived

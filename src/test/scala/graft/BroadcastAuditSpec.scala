@@ -115,6 +115,9 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   grids, and the O(P) mean row
     "Round28Ops.scala" -> Set("tot", "nv", "wm", "sc", "prev", "stot", "gl",
       "drift", "leak"),
+    "Round29Ops.scala" -> Set("vv", "tr", "wm", "wm0", "anchor"),
+    // ^ the 1-row train vocabulary size, O(P) trend/weekday-mean/
+    //   anchor rows
     // ^ O(P)/O(label) stat rows, the O(P·7) weekday means, O(P²) IRLS
     //   parameter rows, bounded split/type share grids, 1-row totals
     // ^ the 30-row shift grid, O(P²) observed-r / burst-count rows,
