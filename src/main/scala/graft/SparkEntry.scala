@@ -62,6 +62,7 @@ object SparkEntry {
       operators.Round27Ops.defs ++
       operators.Round28Ops.defs ++
       operators.Round29Ops.defs ++
+      operators.Round30Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -118,6 +118,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Round29Ops.scala" -> Set("vv", "tr", "wm", "wm0", "anchor"),
     // ^ the 1-row train vocabulary size, O(P) trend/weekday-mean/
     //   anchor rows
+    "Round30Ops.scala" -> Set("lg"),
+    // ^ the 8-row lag grid
     // ^ O(P)/O(label) stat rows, the O(P·7) weekday means, O(P²) IRLS
     //   parameter rows, bounded split/type share grids, 1-row totals
     // ^ the 30-row shift grid, O(P²) observed-r / burst-count rows,
