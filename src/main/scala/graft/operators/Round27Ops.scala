@@ -200,7 +200,11 @@ object Round27Ops {
     QueryDef("q452_causal_consensus", consensusSql) { (s, d) =>
       val g = CausalOps.daily(s, d)
       CausalOps.guardFullEnum(g, "q452_causal_consensus")
-      consensusFromGrid(s, g)
+      // the batch edge table is materialized once per (session, sf-dir)
+      // and shared with q468's hub collapse; the streaming q467 path
+      // derives from per-batch grids and must never hit this cache
+      graft.PlanCache.cached(s, s"q452_edges|$d")(consensusFromGrid(s, g))
+        .orderBy("src", "dst")
     },
 
     /** Taylor's law per element: within each day, the mean and variance

@@ -64,7 +64,11 @@ object Round30Ops {
       }) { (s, d) =>
       val g = CausalOps.daily(s, d)
       CausalOps.guardFullEnum(g, "q468_causal_hubs")
-      val edge = Round27Ops.consensusFromGrid(s, g)
+      // shares q452's materialized edge table (one consensus derivation
+      // per session + sf-dir instead of two)
+      val edge = graft.PlanCache.cached(s, s"q452_edges|$d") {
+        Round27Ops.consensusFromGrid(s, g)
+      }
       val key = col("votes") * 1000.0 + abs(col("bartlett_z"))
       val outs = edge.groupBy(col("src").as("el")).agg(
         count_if(col("votes") >= 2).as("out_deg"),
