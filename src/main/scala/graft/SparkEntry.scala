@@ -63,6 +63,7 @@ object SparkEntry {
       operators.Round28Ops.defs ++
       operators.Round29Ops.defs ++
       operators.Round30Ops.defs ++
+      operators.Round31Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

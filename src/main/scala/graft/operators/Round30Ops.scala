@@ -27,6 +27,56 @@ object Round30Ops {
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
   private def dsumSql(x: String) = s"CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** q469's lead-time profile from any (el, di, v) grid — shared by
+    * the batch query and the streaming refresh q472 (the causalRefresh
+    * contract: final stream refresh == batch oracle bit-for-bit).
+    */
+  private[graft] def leadTimeFromGrid(s: SparkSession, g: DataFrame): DataFrame = {
+    val lg = s.range(1).select(explode(sequence(lit(0), lit(7))).as("lag"))
+    val y = g.select(col("el").as("yel"), col("di").as("ydi"), col("v").as("yv"))
+    val m = g.crossJoin(broadcast(lg))
+      .join(y, col("yel") =!= col("el") && col("ydi") === col("di") + col("lag"))
+      .groupBy(col("el").as("src"), col("yel").as("dst"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        ((count(lit(1)) * dsum(col("v") * col("yv")) -
+          dsum(col("v")) * dsum(col("yv"))) /
+          sqrt((count(lit(1)) * dsum(col("v") * col("v")) -
+            dsum(col("v")) * dsum(col("v"))) *
+            (count(lit(1)) * dsum(col("yv") * col("yv")) -
+              dsum(col("yv")) * dsum(col("yv"))))).as("r"))
+    val rk = m.select(col("src"), col("dst"), col("lag"), col("n"), col("r"),
+      row_number().over(Window.partitionBy(col("src"), col("dst"))
+        .orderBy(abs(col("r")).desc, col("lag"))).as("rk"))
+    rk.where(col("rk") === 1)
+      .select(col("src"), col("dst"), col("lag").cast("int").as("lead_days"),
+        r6(col("r")).as("peak_xcorr"), col("n").cast("long").as("n_days"),
+        when(col("lag") > 0, 1).otherwise(0).as("lagged_peak"))
+      .orderBy("src", "dst")
+  }
+
+  /** q469's oracle text, shared with the streaming q472. */
+  private[graft] val leadTimeSql: String =
+    s"""WITH ${CausalOps.dailySql},
+       |lg AS (SELECT unnest(generate_series(0, 7)) AS lag),
+       |m AS (
+       |  SELECT x.el AS src, y.el AS dst, lg.lag, count(*) AS n,
+       |    (count(*) * ${dsumSql("x.v * y.v")} - ${dsumSql("x.v")} * ${dsumSql("y.v")})
+       |      / sqrt((count(*) * ${dsumSql("x.v * x.v")} - ${dsumSql("x.v")} * ${dsumSql("x.v")})
+       |        * (count(*) * ${dsumSql("y.v * y.v")} - ${dsumSql("y.v")} * ${dsumSql("y.v")}))
+       |      AS r
+       |  FROM daily x CROSS JOIN lg
+       |  JOIN daily y ON y.el <> x.el AND y.di = x.di + lg.lag
+       |  GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT src, dst, lag, n, r,
+       |    row_number() OVER (PARTITION BY src, dst
+       |      ORDER BY abs(r) DESC, lag) AS rk
+       |  FROM m)
+       |SELECT src, dst, CAST(lag AS INT) AS lead_days,
+       |  round(r, 6) AS peak_xcorr, CAST(n AS BIGINT) AS n_days,
+       |  CASE WHEN lag > 0 THEN 1 ELSE 0 END AS lagged_peak
+       |FROM rk WHERE rk = 1 ORDER BY src, dst""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Causal hubs: per element, the number of outgoing and incoming
@@ -92,50 +142,10 @@ object Round30Ops {
       * "src's today shows up in dst k days later". The lag join is
       * grid×8, the argmax a bounded per-pair rank.
       */
-    QueryDef(
-      "q469_lead_time",
-      s"""WITH ${CausalOps.dailySql},
-         |lg AS (SELECT unnest(generate_series(0, 7)) AS lag),
-         |m AS (
-         |  SELECT x.el AS src, y.el AS dst, lg.lag, count(*) AS n,
-         |    (count(*) * ${dsumSql("x.v * y.v")} - ${dsumSql("x.v")} * ${dsumSql("y.v")})
-         |      / sqrt((count(*) * ${dsumSql("x.v * x.v")} - ${dsumSql("x.v")} * ${dsumSql("x.v")})
-         |        * (count(*) * ${dsumSql("y.v * y.v")} - ${dsumSql("y.v")} * ${dsumSql("y.v")}))
-         |      AS r
-         |  FROM daily x CROSS JOIN lg
-         |  JOIN daily y ON y.el <> x.el AND y.di = x.di + lg.lag
-         |  GROUP BY 1, 2, 3),
-         |rk AS (
-         |  SELECT src, dst, lag, n, r,
-         |    row_number() OVER (PARTITION BY src, dst
-         |      ORDER BY abs(r) DESC, lag) AS rk
-         |  FROM m)
-         |SELECT src, dst, CAST(lag AS INT) AS lead_days,
-         |  round(r, 6) AS peak_xcorr, CAST(n AS BIGINT) AS n_days,
-         |  CASE WHEN lag > 0 THEN 1 ELSE 0 END AS lagged_peak
-         |FROM rk WHERE rk = 1 ORDER BY src, dst""".stripMargin) { (s, d) =>
+    QueryDef("q469_lead_time", leadTimeSql) { (s, d) =>
       val g = CausalOps.daily(s, d)
       CausalOps.guardFullEnum(g, "q469_lead_time")
-      val lg = s.range(1).select(explode(sequence(lit(0), lit(7))).as("lag"))
-      val y = g.select(col("el").as("yel"), col("di").as("ydi"), col("v").as("yv"))
-      val m = g.crossJoin(broadcast(lg))
-        .join(y, col("yel") =!= col("el") && col("ydi") === col("di") + col("lag"))
-        .groupBy(col("el").as("src"), col("yel").as("dst"), col("lag"))
-        .agg(count(lit(1)).as("n"),
-          ((count(lit(1)) * dsum(col("v") * col("yv")) -
-            dsum(col("v")) * dsum(col("yv"))) /
-            sqrt((count(lit(1)) * dsum(col("v") * col("v")) -
-              dsum(col("v")) * dsum(col("v"))) *
-              (count(lit(1)) * dsum(col("yv") * col("yv")) -
-                dsum(col("yv")) * dsum(col("yv"))))).as("r"))
-      val rk = m.select(col("src"), col("dst"), col("lag"), col("n"), col("r"),
-        row_number().over(Window.partitionBy(col("src"), col("dst"))
-          .orderBy(abs(col("r")).desc, col("lag"))).as("rk"))
-      rk.where(col("rk") === 1)
-        .select(col("src"), col("dst"), col("lag").cast("int").as("lead_days"),
-          r6(col("r")).as("peak_xcorr"), col("n").cast("long").as("n_days"),
-          when(col("lag") > 0, 1).otherwise(0).as("lagged_peak"))
-        .orderBy("src", "dst")
+      leadTimeFromGrid(s, g)
     }
   )
 }

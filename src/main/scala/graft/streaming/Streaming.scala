@@ -1090,6 +1090,20 @@ object Streaming {
         graft.operators.Round22Ops.pageHinkleyFromGrid, Seq("el"))
     },
 
+    /** q469's lead-time profile as a per-micro-batch refreshed view
+      * (round 31): the live "src leads dst by k days" table — the
+      * argmax-lag cross-correlation re-derived per arriving micro-batch
+      * from the same maintained (el, day) grid. Final refresh == batch
+      * q469 oracle, bit-for-bit (shared leadTimeFromGrid tree).
+      */
+    QueryDef(
+      "q472_stream_lead_time",
+      graft.operators.Round30Ops.leadTimeSql) { (s, d) =>
+      causalRefresh(s, d,
+        g => graft.operators.Round30Ops.leadTimeFromGrid(s, g),
+        Seq("src", "dst"))
+    },
+
     /** q452's consensus causal scoreboard as a per-micro-batch
       * refreshed view (round 29): the LIVE "which element causes
       * which" edge table — four independent lead tests (Bartlett z,

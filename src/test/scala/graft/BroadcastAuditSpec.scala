@@ -120,6 +120,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     //   anchor rows
     "Round30Ops.scala" -> Set("lg"),
     // ^ the 8-row lag grid
+    "Round31Ops.scala" -> Set("ks", "cut"),
+    // ^ the 1-row BH k* threshold and the O(P) order-statistic cuts
     // ^ O(P)/O(label) stat rows, the O(P·7) weekday means, O(P²) IRLS
     //   parameter rows, bounded split/type share grids, 1-row totals
     // ^ the 30-row shift grid, O(P²) observed-r / burst-count rows,

@@ -84,6 +84,9 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
                                      // the screened O(P²) pair grid
                                      // (cap-guarded grain, same class
                                      // as the CausalOps pair windows)
+    "Round31Ops.scala" -> (1, 1),    // q470 BH p-rank + m_t count over
+                                     // the guardFullEnum-capped edge
+                                     // grid (same class as q438)
     "StatsOps.scala" -> (5, 2),      // size-grain skyline, Spearman
                                      // (documented), KMV sketch rows,
                                      // Neyman strata ×2; strata totals ×2
