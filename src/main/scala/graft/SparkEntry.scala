@@ -9,7 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL-expressible) its DuckDB oracle.
   */
 object SparkEntry {
-  private def allDefs: Seq[QueryDef] =
+  // lazy val, not def (round 12, VERDICT r11 #8): `queries` is read once
+  // per QUERY by the driver's Verify loop, and a def here rebuilt all
+  // ~470 QueryDefs — including their embedded oracle-SQL string
+  // concatenations — on every lookup. Registration is already split by
+  // family module (each `defs` below is its own class file, nowhere near
+  // the JVM 64K method limit); caching the assembled registry removes
+  // the per-run re-registration overhead entirely.
+  private lazy val allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.RelationalExt.defs ++
       operators.RelationalMore.defs ++
@@ -76,12 +83,12 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Shared parser for the Bench/Verify comma-separated name-filter env

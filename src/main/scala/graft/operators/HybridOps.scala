@@ -208,7 +208,7 @@ object HybridOps {
         |               c.clabel) AS rn
         |  FROM embeddings e CROSS JOIN centv c),
         |a AS (SELECT vec_id, emb, clabel FROM assigned
-        |  WHERE rn = 1 AND vec_id < 4096),
+        |  WHERE rn = 1),
         |pairs AS (
         |  SELECT x.clabel, x.vec_id AS keep_id, y.vec_id AS prune_id,
         |    list_cosine_similarity(x.emb, y.emb) AS cos

@@ -430,17 +430,32 @@ object RelationalMore {
         .orderBy("fold")
     },
 
-    /** Stratified (per-stratum Bernoulli) sampling — `df.stat.sampleBy`
-      * with a fraction per event_type, the curriculum/class-balance
-      * sampler of a training-data pipeline (scales as a pure map-side
-      * filter: no shuffle, no state). Seeded RNG ⇒ rows-only check;
-      * deterministic for a fixed seed + file split layout.
+    /** Stratified sampling — a per-stratum fraction over event_type, the
+      * curriculum/class-balance sampler of a training-data pipeline.
+      * Selection is the q132/q220/q275 portable-hash idiom instead of
+      * `sampleBy`'s seeded RNG: keep a row iff md5(event_id)'s 60-bit
+      * slice mod 10⁶ falls under fraction·10⁶ — deterministic across
+      * engines, runs, AND file-split layouts (sampleBy's seed is only
+      * stable for a fixed partitioning), so the oracle verifies it
+      * bit-for-bit. Still a pure map-side filter: no shuffle, no state,
+      * fractions folded into one CASE expression (no join).
       */
-    QueryDef.noOracle("q127_sample_stratified") { (s, d) =>
-      val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
-        "error" -> 0.05, "signup" -> 0.1)
+    QueryDef(
+      "q127_sample_stratified",
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |  < CASE event_type WHEN 'click' THEN 500000 WHEN 'view' THEN 250000
+        |      WHEN 'purchase' THEN 1000000 WHEN 'error' THEN 50000
+        |      WHEN 'signup' THEN 100000 ELSE 0 END
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val fractions = Map("click" -> 500000L, "view" -> 250000L,
+        "purchase" -> 1000000L, "error" -> 50000L, "signup" -> 100000L)
+      val cut = fractions.foldLeft(lit(0L)) { case (acc, (et, ppm)) =>
+        when(col("event_type") === et, ppm).otherwise(acc)
+      }
       Tables.events(s, d)
-        .stat.sampleBy("event_type", fractions, 42L)
+        .where(conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000L < cut)
         .select("event_id", "event_type", "user_id")
         .orderBy("event_id")
     },

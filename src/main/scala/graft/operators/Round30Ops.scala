@@ -93,12 +93,15 @@ object Round30Ops {
         // reuse the full consensus statement as a subquery, then the
         // node-grain collapse on top
         s"""WITH edge AS ($body),
+           |st AS (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src
+           |      ORDER BY votes DESC, abs(bartlett_z) DESC, dst DESC) AS rn
+           |  FROM edge),
            |outs AS (
            |  SELECT src AS el,
            |    count_if(votes >= 2) AS out_deg,
-           |    ${dsumSql("p_surrogate")} / count(*) AS mean_out_p,
-           |    max_by(dst, votes * 1000.0 + abs(bartlett_z)) AS strongest_dst,
-           |    max(votes * 1000.0 + abs(bartlett_z)) AS strongest_key
+           |    ${dsumSql("p_surrogate")} / count(*) AS mean_out_p
            |  FROM edge GROUP BY 1),
            |ins AS (
            |  SELECT dst AS el, count_if(votes >= 2) AS in_deg
@@ -108,8 +111,9 @@ object Round30Ops {
            |  CAST(ins.in_deg AS BIGINT) AS in_deg,
            |  CAST(outs.out_deg - ins.in_deg AS BIGINT) AS net_flow,
            |  round(outs.mean_out_p, 6) AS mean_out_p,
-           |  outs.strongest_dst AS strongest_dst
+           |  st.dst AS strongest_dst
            |FROM outs JOIN ins ON ins.el = outs.el
+           |JOIN st ON st.src = outs.el AND st.rn = 1
            |ORDER BY el""".stripMargin
       }) { (s, d) =>
       val g = CausalOps.daily(s, d)
@@ -119,12 +123,14 @@ object Round30Ops {
       val edge = graft.PlanCache.cached(s, s"q452_edges|$d") {
         Round27Ops.consensusFromGrid(s, g)
       }
-      val key = col("votes") * 1000.0 + abs(col("bartlett_z"))
+      // lexicographic (votes, |z|, dst) tiebreak — a struct key gives a
+      // total order, unlike the additive votes*1000+|z| composite (which
+      // both inverts at |z|>1000 and leaves exact ties engine-arbitrary)
+      val key = struct(col("votes"), abs(col("bartlett_z")), col("dst"))
       val outs = edge.groupBy(col("src").as("el")).agg(
         count_if(col("votes") >= 2).as("out_deg"),
         (dsum(col("p_surrogate")) / count(lit(1))).as("mean_out_p"),
-        max_by(col("dst"), key).as("strongest_dst"),
-        max(key).as("strongest_key"))
+        max_by(col("dst"), key).as("strongest_dst"))
       val ins = edge.groupBy(col("dst").as("iel"))
         .agg(count_if(col("votes") >= 2).as("in_deg"))
       outs.join(ins, col("iel") === col("el"))

@@ -1028,7 +1028,7 @@ object Streaming {
         .oracle.get) { (s, d) =>
       causalRefresh(s, d, grid =>
         graft.operators.CausalOps.leadLagFromGrid(s, grid),
-        Seq("src", "dst", "lag"))
+        Seq("src", "dst", "lag"), guardAs = Some("q249_stream_leadlag"))
     },
 
     /** q230's Granger-lite as a per-micro-batch refreshed view (round
@@ -1044,7 +1044,8 @@ object Streaming {
       graft.operators.CausalOps.defs.find(_.name == "q230_granger_lite").get
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
-        graft.operators.CausalOps.grangerFromGrid, Seq("src", "dst"))
+        graft.operators.CausalOps.grangerFromGrid, Seq("src", "dst"),
+        guardAs = Some("q256_stream_granger"))
     },
 
     /** q248's market-adjusted partial correlation as a per-micro-batch
@@ -1057,7 +1058,8 @@ object Streaming {
       graft.operators.CausalOps.defs.find(_.name == "q248_partial_corr").get
         .oracle.get) { (s, d) =>
       causalRefresh(s, d,
-        graft.operators.CausalOps.partialCorrFromGrid, Seq("src", "dst"))
+        graft.operators.CausalOps.partialCorrFromGrid, Seq("src", "dst"),
+        guardAs = Some("q257_stream_partial_corr"))
     },
 
     /** q233's CUSUM changepoint as a per-micro-batch refreshed view
@@ -1101,7 +1103,7 @@ object Streaming {
       graft.operators.Round30Ops.leadTimeSql) { (s, d) =>
       causalRefresh(s, d,
         g => graft.operators.Round30Ops.leadTimeFromGrid(s, g),
-        Seq("src", "dst"))
+        Seq("src", "dst"), guardAs = Some("q472_stream_lead_time"))
     },
 
     /** q452's consensus causal scoreboard as a per-micro-batch
@@ -1117,7 +1119,7 @@ object Streaming {
       graft.operators.Round27Ops.consensusSql) { (s, d) =>
       causalRefresh(s, d,
         g => graft.operators.Round27Ops.consensusFromGrid(s, g),
-        Seq("src", "dst"))
+        Seq("src", "dst"), guardAs = Some("q467_stream_consensus"))
     },
 
     /** q434's Inclán–Tiao variance-changepoint as a per-micro-batch
@@ -1273,6 +1275,10 @@ object Streaming {
                 .as("di"),
               (col("sv").cast("double") / col("n")).as("v"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // three of the panel's readouts (leadlag/granger/pcorr) are
+            // pair-grain — same element-cardinality fence as their batch
+            // twins, checked once per refresh over the cached grid
+            graft.operators.CausalOps.guardFullEnum(grid, "q357_stream_causal_panel")
             val melted = readouts.flatMap { r =>
               r.fn(s, grid).collect().toSeq.flatMap { row =>
                 val k = r.ids.map(c => String.valueOf(row.getAs[Any](c))).mkString("|")
@@ -1544,7 +1550,8 @@ object Streaming {
     * same state/tree argument covers all three).
     */
   private def causalRefresh(s: SparkSession, d: String,
-      readout: DataFrame => DataFrame, sortCols: Seq[String]): DataFrame = {
+      readout: DataFrame => DataFrame, sortCols: Seq[String],
+      guardAs: Option[String] = None): DataFrame = {
     val agg = eventStream(s, d)
       .withWatermark("ts", "40 days")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("el"))
@@ -1559,6 +1566,11 @@ object Streaming {
             datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
               .as("di"),
             (col("sv").cast("double") / col("n")).as("v"))
+          // pair-grain readouts (O(P²) or worse per refresh) carry the
+          // SAME element-cardinality fence their batch twins enforce —
+          // without it a high-cardinality domain hits the quadratic
+          // blowup silently on the streaming path (r11 advice)
+          guardAs.foreach(n => graft.operators.CausalOps.guardFullEnum(grid, n))
           val r = readout(grid)
           // O(P²) rows — the per-batch refreshed artifact
           latest.set((r.schema, r.collect()))

@@ -74,6 +74,31 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HybridOps.MaxSemCluster == 4096L)
   }
 
+  test("q262 stays full-corpus at vec_id >= 4096 on BOTH sides; only q367's audit is bounded") {
+    // r11 advice: a find-replace once leaked q367's bounded-audit filter
+    // ('vec_id < 4096') into q262's ORACLE while the engine stayed
+    // full-corpus — invisible at verify fixtures (max vec_id 1999) but a
+    // false mismatch at ScaleGen sf1. Pin both halves:
+    // (a) statically — q262's oracle carries no vec_id bound, q367's does;
+    val o262 = HybridOps.defs.find(_.name == "q262_semdedup").get.oracle.get
+    val o367 = HybridOps.defs.find(_.name == "q367_semdedup_recall").get.oracle.get
+    assert(!o262.contains("vec_id < 4096"),
+      "q262's oracle must be full-corpus (no bounded-audit vec_id filter)")
+    assert(o367.contains("vec_id < 4096"),
+      "q367's oracle is the bounded-audit form by design")
+    // (b) behaviorally — on a fixture whose vec_ids ALL sit above the
+    // audit bound, the engine still assigns every vector to a cluster
+    // (n_members sums to the corpus size, not to the sub-4096 subset).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("q262hi").toString
+    Tables.embeddings(spark, sf)
+      .withColumn("vec_id", col("vec_id") + lit(4096L))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = byName("q262_semdedup")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == 500L,
+      "engine dropped vectors with vec_id >= 4096 — bounded-audit filter leaked in")
+  }
+
   test("q280 nDCG: bounded by 1, consistent with hits, ideal list scores exactly 1") {
     val rows = byName("q280_ndcg_eval")(spark, sf).collect()
     assert(rows.length == 1)

@@ -10,8 +10,8 @@ import org.scalatest.BeforeAndAfterAll
   * adjacent coverage only (SURVEY §2.D footnotes): q38 (sketch error
   * bounds), q77 (attention is a distribution), q78 (eval metrics match
   * the q20/q21 oracle formulas recomputed independently), q127
-  * (stratified sample: seeded-deterministic, binomial per-stratum
-  * bounds).
+  * (stratified sample — oracle-checked since round 12, kept here for the
+  * binomial per-stratum distribution bounds the oracle can't express).
   */
 class RowsOnlySpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
@@ -121,11 +121,14 @@ class RowsOnlySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q127 stratified sample is seeded-deterministic with binomial per-stratum fractions") {
+  test("q127 stratified sample is hash-deterministic with binomial per-stratum fractions") {
+    // q127 is oracle-checked since round 12 (portable md5 selection, no
+    // RNG); this spec keeps the distributional sanity check — the hash
+    // slice must still BEHAVE like a fair per-stratum Bernoulli draw.
     val run1 = SparkEntry.queries("q127_sample_stratified")(spark, sf).collect()
     val run2 = SparkEntry.queries("q127_sample_stratified")(spark, sf).collect()
     assert(run1.map(_.getLong(0)).sameElements(run2.map(_.getLong(0))),
-      "same seed must reproduce the same sample")
+      "hash selection must reproduce the same sample")
     val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
       "error" -> 0.05, "signup" -> 0.1)
     val totals = Tables.events(spark, sf).groupBy("event_type").count()
