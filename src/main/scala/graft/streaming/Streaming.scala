@@ -58,16 +58,46 @@ object Streaming {
     if (shm.isDirectory || shm.mkdirs()) shm.getAbsolutePath else "target/graft-io"
   }
 
-  /** The file source requires a directory; stage the single events
-    * parquet into a per-sf scratch dir once (idempotent).
+  /** The file source requires a directory; stage the events parquet into
+    * a per-sf scratch dir once (idempotent). `$d/events.parquet` is a
+    * single FILE in the driver's testdata but a DIRECTORY of part files
+    * from ScaleGen — the round-12 fix: the old single-file Files.copy
+    * silently staged an EMPTY directory for the latter, so every
+    * streaming query at the sf1/sf10 rungs processed zero micro-batches
+    * and Bench recorded the fast failure as a timing. A stage is now
+    * only considered valid if it actually contains parquet bytes, so
+    * the empty stages of earlier runs self-heal.
     */
-  private def stageDir(d: String): String = {
+  private[graft] def stageDir(d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
-    val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst)) {
+    // the file-stream source does NOT recurse, so part files from a
+    // directory-layout source are staged FLAT into `dir` itself
+    def staged: Boolean = Files.isDirectory(dir) && {
+      val st = Files.list(dir)
+      try st.anyMatch(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    if (!staged) {
       Files.createDirectories(dir)
-      Files.copy(Paths.get(s"$d/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+      val src = Paths.get(s"$d/events.parquet")
+      if (Files.isDirectory(src)) {
+        // drop any empty nested dir a pre-fix run left behind
+        val stale = dir.resolve("events.parquet")
+        if (Files.isDirectory(stale)) {
+          val st = Files.walk(stale)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+          finally st.close()
+        }
+        val st = Files.list(src)
+        try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.copy(p, dir.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING))
+        finally st.close()
+      } else Files.copy(src, dir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
     }
     dir.toString
   }
@@ -113,10 +143,25 @@ object Streaming {
   def warm(s: SparkSession, d: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/warm_stream")
-    val dst = dir.resolve("region.parquet")
-    if (!Files.exists(dst)) {
+    // staged FLAT (the file-stream source does not recurse) — handles
+    // both the single-file and the ScaleGen part-dir layouts
+    def staged: Boolean = Files.isDirectory(dir) && {
+      val st = Files.list(dir)
+      try st.anyMatch(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    if (!staged) {
       Files.createDirectories(dir)
-      Files.copy(Paths.get(s"$d/region.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+      val src = Paths.get(s"$d/region.parquet")
+      if (Files.isDirectory(src)) {
+        val st = Files.list(src)
+        try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => Files.copy(p, dir.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING))
+        finally st.close()
+      } else Files.copy(src, dir.resolve("region.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
     }
     val schema = s.read.parquet(s"$d/region.parquet").schema
     val agg = s.readStream.schema(schema).parquet(dir.toString)
