@@ -62,7 +62,7 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outFile)), "UTF-8")
-        """"(q\d+[A-Za-z0-9_]*)":([0-9]+\.?[0-9]*)""".r
+        """"(q\d+[A-Za-z0-9_]*)":\s*([0-9]+\.?[0-9]*)""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
@@ -83,9 +83,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       try {
+        val cacheBefore = PlanCache.keys
         val t1 = timeOnce()
         val t = prior.get(name) match {
           case Some(p) if t1 > 1.5 * p && t1 > 1.0 =>
+            // drop whatever the first timing persisted, so the second
+            // timing measures the same cold work (self-cached queries
+            // like q363 otherwise retime against their own warm cache)
+            PlanCache.drop(PlanCache.keys -- cacheBefore)
             val t2 = timeOnce()
             retimed(name) = (t1, t2)
             math.min(t1, t2)

@@ -54,9 +54,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // ^ lit channels; 1row; lit scenarios; 1row
     "HybridOps.scala" -> Set("cents", "g", "ig", "nn", "probes", "qdf", "st"),
     // ^ model centroids; 1row ×2; topk; lit probes; topk queries; 1row
-    "InferenceOps.scala" -> Set("a", "arms", "b", "base", "gs", "h", "hi",
-      "iw", "lo", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
-    // ^ 1row aggregates and lit replica/salt/quantile tables throughout
+    "InferenceOps.scala" -> Set("a", "arms", "b", "band", "base", "gs", "h",
+      "iw", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
+    // ^ 1row aggregates (incl. q303's 1-row CI band) and lit
+    //   replica/salt/quantile tables throughout
     "LLMPipeline.scala" -> Set("cents", "s"), // model centroids; lit range
     "Multimodal.scala" -> Set("tot", "leftDf"), // 1row ×2
     "PipelineMore.scala" -> Set("n"), // 1row

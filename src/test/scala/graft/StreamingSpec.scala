@@ -235,4 +235,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$sq diverged from $bq: ${stream.take(2)} vs ${batch.take(2)}")
     }
   }
+
+  test("streaming source staging handles a ScaleGen-style directory-layout events.parquet") {
+    // round-12 regression pin: with a single-file Files.copy stage, a
+    // directory-layout source staged EMPTY and every streaming query at
+    // the scale rungs processed zero micro-batches (Bench then recorded
+    // the fast failure as a timing). Build a mini scale-dir whose
+    // events.parquet is a DIRECTORY of part files and require the
+    // streaming result to equal the single-file dir's result exactly.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("dirlayout").toString
+    // multi-part directory layout (ScaleGen's shape, incl. its NTZ ts)
+    Tables.events(spark, sf).repartition(3)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fromDir = SparkEntry.queries("q80_stream_tumbling")(spark, dir)
+      .collect().map(_.toSeq)
+    val fromFile = SparkEntry.queries("q80_stream_tumbling")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(fromDir.nonEmpty, "directory-layout source streamed zero rows")
+    assert(fromDir.toSeq == fromFile.toSeq,
+      "directory-layout streaming result diverged from single-file result")
+  }
 }
