@@ -448,7 +448,21 @@ object Round12Ops {
       // moment aggregate twice (two full fact scans; seen in the
       // executed plan), which breaks the operator's one-pass contract
       val fm = graft.PlanCache.cached(s, s"q363_fold_moments|$d") {
-        f.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
+        // The moment pass is CAST-BOUND, not IO-bound (~0.6 µs/row to
+        // quantize each of 14 products to DECIMAL(38,12) — the price of
+        // the cross-engine exact-sum contract), so its parallelism is
+        // whatever the scan gives it. Single-row-group test files give
+        // it ONE task (parquet can't split inside a row group); a real
+        // table's thousands of row groups give it thousands. Repartition
+        // ONLY when the scan is split-starved — on a many-split table
+        // this branch never fires and no shuffle is added. Decimal sums
+        // are order-free, so the result is bit-identical either way
+        // (measured round 12: 7.0 s → 4.6 s whole-query at sf0.1,
+        // hash unchanged; the residual is the pre-exchange md5 fold
+        // projection, which Catalyst pushes below the repartition).
+        val scanParts = f.rdd.getNumPartitions
+        val src = if (scanParts < 16) f.repartition(32) else f
+        src.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
           cvMoms.map { case (n, e) =>
             sum(expr(e).cast("decimal(38,12)")).as(n) }: _*)
       }
