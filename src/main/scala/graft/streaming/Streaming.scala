@@ -68,11 +68,19 @@ object Streaming {
     * only considered valid if it actually contains parquet bytes, so
     * the empty stages of earlier runs self-heal.
     */
-  private[graft] def stageDir(d: String): String = {
+  private[graft] def stageDir(d: String): String =
+    stageFlat(d, "events.parquet", "events_stream")
+
+  /** Stage `$d/$table` (single file OR ScaleGen part-file directory)
+    * FLAT into a per-sf scratch dir — the file-stream source does not
+    * recurse, so part files must land in the stage dir itself. A stage
+    * is only valid if it actually contains parquet bytes (pre-fix runs
+    * staged EMPTY nested dirs for directory-layout sources; those
+    * self-heal here).
+    */
+  private def stageFlat(d: String, table: String, tag: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
-    // the file-stream source does NOT recurse, so part files from a
-    // directory-layout source are staged FLAT into `dir` itself
+    val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$tag")
     def staged: Boolean = Files.isDirectory(dir) && {
       val st = Files.list(dir)
       try st.anyMatch(p => Files.isRegularFile(p) &&
@@ -81,10 +89,10 @@ object Streaming {
     }
     if (!staged) {
       Files.createDirectories(dir)
-      val src = Paths.get(s"$d/events.parquet")
+      val src = Paths.get(s"$d/$table")
       if (Files.isDirectory(src)) {
         // drop any empty nested dir a pre-fix run left behind
-        val stale = dir.resolve("events.parquet")
+        val stale = dir.resolve(table)
         if (Files.isDirectory(stale)) {
           val st = Files.walk(stale)
           try st.sorted(java.util.Comparator.reverseOrder())
@@ -96,7 +104,7 @@ object Streaming {
           .forEach(p => Files.copy(p, dir.resolve(p.getFileName.toString),
             StandardCopyOption.REPLACE_EXISTING))
         finally st.close()
-      } else Files.copy(src, dir.resolve("events.parquet"),
+      } else Files.copy(src, dir.resolve(table),
         StandardCopyOption.REPLACE_EXISTING)
     }
     dir.toString
@@ -141,30 +149,9 @@ object Streaming {
     * [[graft.Bench]] before timing.
     */
   def warm(s: SparkSession, d: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(s"$ioBase/${d.replaceAll("[^A-Za-z0-9.]", "_")}/warm_stream")
-    // staged FLAT (the file-stream source does not recurse) — handles
-    // both the single-file and the ScaleGen part-dir layouts
-    def staged: Boolean = Files.isDirectory(dir) && {
-      val st = Files.list(dir)
-      try st.anyMatch(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      finally st.close()
-    }
-    if (!staged) {
-      Files.createDirectories(dir)
-      val src = Paths.get(s"$d/region.parquet")
-      if (Files.isDirectory(src)) {
-        val st = Files.list(src)
-        try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .forEach(p => Files.copy(p, dir.resolve(p.getFileName.toString),
-            StandardCopyOption.REPLACE_EXISTING))
-        finally st.close()
-      } else Files.copy(src, dir.resolve("region.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    val dir = stageFlat(d, "region.parquet", "warm_stream")
     val schema = s.read.parquet(s"$d/region.parquet").schema
-    val agg = s.readStream.schema(schema).parquet(dir.toString)
+    val agg = s.readStream.schema(schema).parquet(dir)
       .groupBy(col(schema.head.name)).agg(count(lit(1)).as("n"))
     drain(s, agg, "graft_stream_warm", "complete")
     // also warm the transformWithState/RocksDB path: provider class +
@@ -172,7 +159,7 @@ object Streaming {
     // costs that otherwise land on the first stateful-v2 query (q109)
     locally {
       import s.implicits._
-      val tws = s.readStream.schema(schema).parquet(dir.toString)
+      val tws = s.readStream.schema(schema).parquet(dir)
         .select(col(schema.head.name).cast("long"), lit(1.0))
         .as[(Long, Double)]
         .groupByKey(_._1)
@@ -1607,18 +1594,25 @@ object Streaming {
     val q = withStreamConf(s) {
       agg.writeStream.outputMode("complete")
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // persist before the guard + readout (the q357 panel's rule):
+          // the guard's countDistinct and every derivation of `grid`
+          // inside the readout tree would otherwise each re-read the
+          // stateful aggregation's state store
           val grid = b.select(col("el"),
             datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
               .as("di"),
             (col("sv").cast("double") / col("n")).as("v"))
-          // pair-grain readouts (O(P²) or worse per refresh) carry the
-          // SAME element-cardinality fence their batch twins enforce —
-          // without it a high-cardinality domain hits the quadratic
-          // blowup silently on the streaming path (r11 advice)
-          guardAs.foreach(n => graft.operators.CausalOps.guardFullEnum(grid, n))
-          val r = readout(grid)
-          // O(P²) rows — the per-batch refreshed artifact
-          latest.set((r.schema, r.collect()))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // pair-grain readouts (O(P²) or worse per refresh) carry the
+            // SAME element-cardinality fence their batch twins enforce —
+            // without it a high-cardinality domain hits the quadratic
+            // blowup silently on the streaming path (r11 advice)
+            guardAs.foreach(n => graft.operators.CausalOps.guardFullEnum(grid, n))
+            val r = readout(grid)
+            // O(P²) rows — the per-batch refreshed artifact
+            latest.set((r.schema, r.collect()))
+          } finally grid.unpersist()
         }.start()
     }
     try q.processAllAvailable() finally q.stop()

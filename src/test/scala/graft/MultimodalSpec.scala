@@ -53,7 +53,8 @@ class MultimodalSpec extends AnyFunSuite {
     (0L to 8L).foreach { id =>
       val f = BmpCodec.decode(BmpCodec.encode(id))
       assert(f.width == 8 + (id % 9).toInt && f.height == 8 + (id * 3 % 9).toInt, s"doc $id")
-      assert(f.meanB >= 0 && f.meanB <= 255 && f.meanG >= 0 && f.meanR <= 255, s"doc $id")
+      for ((m, c) <- Seq(f.meanB -> "B", f.meanG -> "G", f.meanR -> "R"))
+        assert(m >= 0 && m <= 255, s"doc $id channel $c mean $m out of byte range")
     }
     // signed-byte regression guard: pixel values >127 must not sum negative
     val big = BmpCodec.decode(BmpCodec.encode(7L)) // 31·7=217 > 127 at (0,0)
