@@ -36,6 +36,18 @@ object HybridOps {
     * discipline). */
   private[graft] val MaxSemCluster = 4096L
 
+  /** Sub-cluster chunk size for q474's SCALE path: oversized clusters are
+    * split into deterministic chunks of at most this many members before
+    * the pair join, so pair work per row is < cap regardless of how the
+    * corpus clusters — the adaptive answer to the loud [[MaxSemCluster]]
+    * failure q262 raises on duplicate-rich corpora (sf10's largest
+    * cluster is 22,946). 32 is deliberately small enough that the sf0.01
+    * verify fixture (largest cluster 64) EXERCISES the split, so the
+    * chunking semantics themselves are oracle-checked; production tuning
+    * trades it against recall (larger cap → more within-chunk pairs
+    * found, quadratically more work per chunk). */
+  private[graft] val SemSplitCap = 32
+
   /** q262's cluster assignment, shared with the q367 recall audit:
     * label-centroid means + the q65 broadcast-fold argmax, PlanCache'd
     * per (session, dir) — see the q262 docstring for the full scale
@@ -67,7 +79,8 @@ object HybridOps {
                 struct(cos.as("cos"), c.getField("clabel").as("clabel")))
                 .otherwise(acc)
             }))
-        .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"))
+        .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"),
+          col("best.cos").as("acos"))
     }
   }
 
@@ -249,6 +262,99 @@ object HybridOps {
       mem.join(pairs.withColumnRenamed("clabel", "pcl"),
           col("pcl") === col("clabel"), "left")
         .groupBy(col("clabel").as("cluster"), col("n_members"))
+        .agg(coalesce(count(col("prune_id")), lit(0L)).as("n_dup_pairs"),
+          coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
+          r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))
+        .orderBy("cluster")
+    },
+
+    /** SemDeDup at ANY scale (round 12): the adaptive sibling of q262.
+      * q262's contract is "clustering bounds cluster size" and it fails
+      * LOUDLY when a duplicate-rich corpus breaks that bound (at sf10 the
+      * largest argmax-cosine cluster is 22,946 > MaxSemCluster=4096, so
+      * q262 refuses the quadratic join — the designed behavior). This
+      * query is the path that still RUNS there: each cluster's members
+      * are ordered by round-6 cosine-to-own-centroid (vec_id tie-break —
+      * near-duplicates have near-identical centroid cosines, so the
+      * ordering is a 1-D semantic projection) and chunked into
+      * sub-clusters of at most [[SemSplitCap]]; the near-dup pair join
+      * then keys on (cluster, chunk). Pair work per row is < cap BY
+      * CONSTRUCTION — total candidate pairs ≤ N·cap/2, linear in N with
+      * no guard needed, the shape that survives 100 TB. The price is
+      * recall across chunk boundaries: measured at sf0.01 the split
+      * finds 10 of q262's 14 within-cluster pairs (0.714, pinned in
+      * HybridSpec) — the standard SemDeDup-style approximation, reported
+      * honestly per the q226/q367 measured-error discipline. The
+      * split window is cluster-partitioned (never global); a cluster's
+      * rows serialize through one task only for the rank pass, which is
+      * a row_number scan, not a join.
+      */
+    QueryDef(
+      "q474_semdedup_scaled",
+      s"""WITH pos AS (
+        |  SELECT label, unnest(list_transform(embedding::DOUBLE[],
+        |    (x, i) -> {'x': x, 'i': i}), recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, i, avg(x) AS cx FROM pos GROUP BY 1, 2),
+        |centv AS (
+        |  SELECT clabel, list(cx ORDER BY i) AS cvec FROM cent GROUP BY clabel),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.clabel,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS acos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |               c.clabel) AS rn
+        |  FROM embeddings e CROSS JOIN centv c),
+        |a AS (SELECT vec_id, emb, clabel, acos FROM assigned WHERE rn = 1),
+        |b AS (
+        |  SELECT vec_id, emb, clabel,
+        |    CAST((row_number() OVER (PARTITION BY clabel
+        |      ORDER BY round(acos, 6) DESC, vec_id) - 1) // $SemSplitCap AS INT)
+        |      AS chunk
+        |  FROM a),
+        |pairs AS (
+        |  SELECT x.clabel, y.vec_id AS prune_id,
+        |    list_cosine_similarity(x.emb, y.emb) AS cos
+        |  FROM b x JOIN b y ON x.clabel = y.clabel AND x.chunk = y.chunk
+        |    AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4),
+        |mem AS (
+        |  SELECT clabel, count(*) AS n_members,
+        |    count(DISTINCT chunk) AS n_chunks
+        |  FROM b GROUP BY 1)
+        |SELECT m.clabel AS cluster, m.n_members,
+        |  CAST(m.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(count(p.prune_id), 0) AS BIGINT) AS n_dup_pairs,
+        |  CAST(coalesce(count(DISTINCT p.prune_id), 0) AS BIGINT) AS n_pruned,
+        |  round(coalesce(max(p.cos), -1), 6) AS max_cos
+        |FROM mem m LEFT JOIN pairs p ON p.clabel = m.clabel
+        |GROUP BY 1, 2, 3 ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val a = semAssign(s, d)
+      // deterministic 1-D split: rank by round-6 centroid cosine within
+      // the cluster, chunk every SemSplitCap ranks. No size guard — the
+      // chunk IS the bound.
+      val rankW = Window.partitionBy(col("clabel"))
+        .orderBy(round(col("acos"), 6).desc, col("vec_id"))
+      val b = a.withColumn("chunk",
+        floor((row_number().over(rankW) - 1) / SemSplitCap).cast("int"))
+      val x = b.select(col("clabel"), col("chunk"),
+        col("vec_id").as("keep_id"), col("emb").as("xe"))
+      val y = b.select(col("clabel").as("cl2"), col("chunk").as("ch2"),
+        col("vec_id").as("prune_id"), col("emb").as("ye"))
+      val pairs = x.join(y,
+          col("clabel") === col("cl2") && col("chunk") === col("ch2") &&
+            col("keep_id") < col("prune_id"))
+        .select(col("clabel"), col("prune_id"),
+          Kernels.cosine(col("xe"), col("ye")).as("cos"))
+        .where(col("cos") >= 0.4)
+      val mem = b.groupBy(col("clabel")).agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("chunk")).as("n_chunks"))
+      mem.join(pairs.withColumnRenamed("clabel", "pcl"),
+          col("pcl") === col("clabel"), "left")
+        .groupBy(col("clabel").as("cluster"), col("n_members"), col("n_chunks"))
         .agg(coalesce(count(col("prune_id")), lit(0L)).as("n_dup_pairs"),
           coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
           r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))

@@ -253,6 +253,122 @@ object Multimodal {
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_r"), 6).as("mean_r"))
         .orderBy("doc_id")
+    },
+
+    /** COMPRESSED-format image decode (round 12): q473 proved the decode
+      * plumbing on an uncompressed raster; this one exercises the full
+      * compressed pipeline a production image column actually needs —
+      * [[graft.functions.PngCodec]] synthesizes byte-valid truecolor
+      * PNGs (chunk framing + CRC-32, zlib-deflated scanlines split
+      * across two IDAT chunks, rows cycling through all five predictor
+      * filters) and the SAME batched mapPartitions kernel parses them
+      * back: signature check, per-chunk CRC verification, IHDR parse,
+      * IDAT reassembly, `java.util.zip.Inflater` decompression, and the
+      * five-filter unfilter walk (Paeth included). Pixel values are
+      * closed-form in (doc_id, x, y, channel), so the oracle recomputes
+      * every channel mean arithmetically — a wrong predictor, a missed
+      * CRC, or a botched multi-chunk reassembly is a hash mismatch.
+      * Compressed SIZE is deliberately not an output column (deflate
+      * byte output is zlib-version-dependent); the inflated size
+      * `n_raw_bytes` = h·(1+3w) is exact. Same 100 TB shape as q473:
+      * embarrassingly parallel, payloads never leave their partition.
+      */
+    QueryDef(
+      "q475_png_decode",
+      """WITH assets AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id * 5) % 9 AS INT) AS height
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |g AS (SELECT unnest(range(0, 17)) AS i),
+        |px AS (
+        |  SELECT a.doc_id, a.width, a.height, gx.i AS x, gy.i AS y
+        |  FROM assets a JOIN g gx ON gx.i < a.width JOIN g gy ON gy.i < a.height)
+        |SELECT doc_id, width, height, 8 AS bit_depth, 2 AS color_type,
+        |  4 AS n_chunks,
+        |  CAST(height * (1 + width * 3) AS BIGINT) AS n_raw_bytes,
+        |  round(sum((31 * doc_id + 7 * x + 13 * y) % 256) / (width * height), 6) AS mean_r,
+        |  round(sum((31 * doc_id + 7 * x + 13 * y + 97) % 256) / (width * height), 6) AS mean_g,
+        |  round(sum((31 * doc_id + 7 * x + 13 * y + 194) % 256) / (width * height), 6) AS mean_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.PngCodec
+      val ids = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // batched, like q85/q473
+          batch.map { docId =>
+            val payload = PngCodec.encode(docId)
+            val f = PngCodec.decode(payload) // every column below comes from the BYTES
+            (docId, f.width, f.height, f.bitDepth, f.colorType, f.nChunks,
+              f.nRawBytes, f.meanR, f.meanG, f.meanB)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "bit_depth", "color_type",
+          "n_chunks", "n_raw_bytes", "mean_r", "mean_g", "mean_b")
+        .select(col("doc_id"), col("width"), col("height"), col("bit_depth"),
+          col("color_type"), col("n_chunks"), col("n_raw_bytes"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    /** AUDIO decode (round 12): the third modality, same discipline as
+      * q473/q475 — [[graft.functions.WavCodec]] synthesizes byte-valid
+      * RIFF/WAVE PCM16 assets (canonical fmt chunk, an ancillary LIST
+      * chunk ahead of data so the chunk walk is genuinely exercised) and
+      * the batched kernel PARSES them: RIFF/WAVE magic validation, sized
+      * chunk walk with RIFF word-alignment, fmt parse with loud rejects
+      * of non-PCM/stereo/non-16-bit forms, signed-LE sample read, and
+      * signal statistics (peak, RMS energy, zero crossings) accumulated
+      * from the decoded samples. Sample values are closed-form in
+      * (doc_id, t) so the oracle recomputes every statistic exactly
+      * (integer energy sums are exact at these magnitudes; RMS rounds
+      * the identical double). sample_rate/duration come from the PARSED
+      * fmt fields, not the generator. Embarrassingly parallel at 100 TB,
+      * like its image siblings.
+      */
+    QueryDef(
+      "q476_wav_decode",
+      """WITH assets AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 100 AS INT) AS n
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |g AS (SELECT unnest(range(0, 300)) AS t),
+        |s AS (
+        |  SELECT a.doc_id, a.n, g.t,
+        |    ((31 * a.doc_id + 17 * g.t) % 4001) - 2000 AS v
+        |  FROM assets a JOIN g ON g.t < a.n),
+        |w AS (
+        |  SELECT doc_id, n, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM s)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(n AS INT) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms,
+        |  CAST(count_if(pv IS NOT NULL AND v * pv < 0) AS BIGINT) AS zero_cross
+        |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.WavCodec
+      val ids = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.grouped(32).flatMap { batch => // batched, like q85/q473/q475
+          batch.map { docId =>
+            val payload = WavCodec.encode(docId)
+            val f = WavCodec.decode(payload) // every column below comes from the BYTES
+            (docId, f.sampleRate, f.channels, f.bits, f.nSamples,
+              f.durationMs, f.peak, f.rms, f.zeroCross)
+          }
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+          "duration_ms", "peak", "rms", "zero_cross")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), col("duration_ms"), col("peak"),
+          round(col("rms"), 6).as("rms"), col("zero_cross"))
+        .orderBy("doc_id")
     }
   )
 }

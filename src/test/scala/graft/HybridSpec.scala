@@ -126,6 +126,44 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
       "result must be cosine-descending")
   }
+  test("q474 scaled semdedup: chunks bound pair work, pairs are a subset of q262's, recall stays useful") {
+    val scaled = byName("q474_semdedup_scaled")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") -> r).toMap
+    val full = byName("q262_semdedup")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") -> r).toMap
+    assert(scaled.keySet == full.keySet, "same assignment ⇒ same clusters")
+    val cap = HybridOps.SemSplitCap
+    scaled.values.foreach { r =>
+      val members = r.getAs[Long]("n_members")
+      val chunks = r.getAs[Long]("n_chunks")
+      // equal-width chunking: exactly ceil(members / cap) chunks, so no
+      // chunk can exceed cap members — the bound that replaces the guard
+      assert(chunks == (members + cap - 1) / cap,
+        s"chunk count is not ceil(members/cap): $r")
+    }
+    // the split must actually FIRE at this fixture (else the test is
+    // vacuous): at least one cluster has > cap members ⇒ > 1 chunk
+    assert(scaled.values.exists(_.getAs[Long]("n_chunks") > 1),
+      s"no cluster exceeded cap=$cap — fixture no longer exercises the split")
+    // chunk-scoped pairs ⊆ cluster-scoped pairs, per cluster
+    scaled.foreach { case (c, r) =>
+      val f = full(c)
+      assert(r.getAs[Long]("n_members") == f.getAs[Long]("n_members"), s"$r vs $f")
+      assert(r.getAs[Long]("n_dup_pairs") <= f.getAs[Long]("n_dup_pairs"),
+        s"split found pairs q262 cannot see: $r vs $f")
+      assert(r.getAs[Long]("n_pruned") <= f.getAs[Long]("n_pruned"), s"$r vs $f")
+      assert(r.getAs[Double]("max_cos") <= f.getAs[Double]("max_cos") + 1e-9,
+        s"$r vs $f")
+    }
+    // measured recall of the split vs the unsplit pair total — the honest
+    // price of boundedness; pinned ≥ 0.5 (measured 0.714 at sf0.01)
+    val found = scaled.values.map(_.getAs[Long]("n_dup_pairs")).sum.toDouble
+    val truth = full.values.map(_.getAs[Long]("n_dup_pairs")).sum.toDouble
+    if (truth > 0)
+      assert(found / truth >= 0.5,
+        f"split recall ${found / truth}%.3f fell below 0.5 ($found of $truth pairs)")
+  }
+
   test("q367 recall audit: found pairs subset of truth, recall in [0,1], tau=0.4 row consistent with q262") {
     val rows = byName("q367_semdedup_recall")(spark, sf).collect()
     assert(rows.length == 3, "one row per threshold")
