@@ -38,6 +38,12 @@ object Kernels {
   def arrayNorm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
+  /** Squared euclidean distance of two double-array columns — same
+    * codegen'd left-to-right fold discipline as [[arrayDot]]. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
     arrayDot(a, b) / (arrayNorm(a) * arrayNorm(b))

@@ -361,6 +361,101 @@ object HybridOps {
         .orderBy("cluster")
     },
 
+    /** K-MEANS RE-CLUSTERING (round 12) — the third leg of the SemDeDup
+      * scale story. q262's guard message says "re-cluster with more
+      * centroids (SemDeDup's K must grow with N)"; this operator IS that
+      * re-clustering: K=64 k-means over the embedding space with
+      * deterministic init (centroids seeded from vec_id < 64) and two
+      * Lloyd iterations, each iteration = one broadcast-fold ARGMIN
+      * assignment (the semAssign/q65 map-side pattern — centroids are
+      * K×64 doubles, always broadcastable, zero assignment shuffle) plus
+      * one dim-grain mean update (posexplode → groupBy(cid, i) — K·64 =
+      * 4,096 groups regardless of corpus size, a fixed-size shuffle).
+      * At sf0.01 the largest k-means cluster has 14 members vs 64 for
+      * the label clustering — exactly the "K grows with N" contract that
+      * keeps q262's within-cluster pair join quadratic-safe. Readout per
+      * final cluster: membership, WCSS, max member distance (the k-means
+      * objective, so a wrong assignment or a stale centroid is a hash
+      * mismatch). Assignment argmin margins measured at sf0.01: min
+      * second-best gap 1.29e-4 ≥ 10⁹× double ULP, so cross-engine
+      * distance deviation cannot flip a membership.
+      */
+    QueryDef(
+      "q477_kmeans_recluster",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 64),
+        |a1 AS (
+        |  SELECT e.vec_id, e.emb, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.emb, c.cvec) ASC, c.cid) AS rn
+        |  FROM e CROSS JOIN c0 c),
+        |s1 AS (SELECT vec_id, emb, cid FROM a1 WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, i, avg(x) AS cx FROM (
+        |    SELECT cid, unnest(list_transform(emb, (x, i) -> {'x': x, 'i': i}),
+        |      recursive := true) FROM s1) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(cx ORDER BY i) AS cvec FROM m1 GROUP BY cid),
+        |a2 AS (
+        |  SELECT e.vec_id, e.emb, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.emb, c.cvec) ASC, c.cid) AS rn
+        |  FROM e CROSS JOIN c1 c),
+        |s2 AS (SELECT vec_id, emb, cid FROM a2 WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, i, avg(x) AS cx FROM (
+        |    SELECT cid, unnest(list_transform(emb, (x, i) -> {'x': x, 'i': i}),
+        |      recursive := true) FROM s2) GROUP BY 1, 2),
+        |c2 AS (SELECT cid, list(cx ORDER BY i) AS cvec FROM m2 GROUP BY cid)
+        |SELECT s2.cid AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  round(CAST(sum(CAST(list_distance(s2.emb, c.cvec) ** 2
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS wcss,
+        |  round(max(list_distance(s2.emb, c.cvec)), 6) AS max_dist
+        |FROM s2 JOIN c2 c ON c.cid = s2.cid
+        |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.functions.Kernels
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // one Lloyd assignment: broadcast the packed centroid table, fold
+      // to the argmin (strict < keeps the smallest cid on exact ties —
+      // the oracle's `ORDER BY dist ASC, cid` rule)
+      def assign(cents: DataFrame): DataFrame = {
+        val packed = cents.agg(
+          array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+        e.crossJoin(broadcast(packed))
+          .withColumn("best", aggregate(col("cents"),
+            struct(lit(Double.MaxValue).as("d2"),
+              lit(null).cast("long").as("cid")),
+            (acc, c) => {
+              val d2 = Kernels.sqDist(col("emb"), c.getField("cvec"))
+              when(d2 < acc.getField("d2"),
+                struct(d2.as("d2"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            }))
+          .select(col("vec_id"), col("emb"), col("best.cid").as("cid"))
+      }
+      // one mean update: fixed-size shuffle (K·dims groups)
+      def means(assigned: DataFrame): DataFrame = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          st => st.getField("cx")).as("cvec"))
+      val c0 = e.where(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("emb").as("cvec"))
+      val s2 = assign(means(assign(c0)))
+      val c2 = means(s2).withColumnRenamed("cid", "mcid")
+      val d2 = Kernels.sqDist(col("emb"), col("cvec"))
+      s2.join(c2, col("mcid") === col("cid"))
+        .select(col("cid"), d2.as("dd"))
+        .groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("dd").cast("decimal(38,12)")).cast("double"), 6)
+            .as("wcss"),
+          round(max(sqrt(col("dd"))), 6).as("max_dist"))
+        .orderBy("cluster")
+    },
+
     /** Sparse TF-IDF cosine similarity join — the lexical counterpart of
       * the dense embedding path (q64/q98): candidate pairs come from an
       * inverted-index posting-list join keyed on the TERM, restricted to

@@ -164,6 +164,29 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
         f"split recall ${found / truth}%.3f fell below 0.5 ($found of $truth pairs)")
   }
 
+  test("q477 k-means recluster: partition of the corpus, objective coherent, K-grows-with-N holds") {
+    val rows = byName("q477_kmeans_recluster")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "k-means assignment must partition the corpus")
+    rows.foreach { r =>
+      val wcss = r.getAs[Double]("wcss"); val md = r.getAs[Double]("max_dist")
+      assert(wcss >= 0 && md >= 0, s"$r")
+      // wcss is the SUM of squared member distances, so it dominates the
+      // largest single one
+      assert(md * md <= wcss + 1e-6, s"max_dist² exceeds wcss: $r")
+      assert(r.getAs[Long]("n_members") >= 1, s"empty cluster emitted: $r")
+    }
+    // the point of re-clustering: K=64 k-means clusters are far smaller
+    // than the 10 label-centroid clusters q262 is stuck with
+    val kmMax = rows.map(_.getAs[Long]("n_members")).max
+    val labelMax = byName("q262_semdedup")(spark, sf).collect()
+      .map(_.getAs[Long]("n_members")).max
+    assert(kmMax < labelMax,
+      s"k-means largest cluster $kmMax not smaller than label clustering's $labelMax")
+  }
+
   test("q367 recall audit: found pairs subset of truth, recall in [0,1], tau=0.4 row consistent with q262") {
     val rows = byName("q367_semdedup_recall")(spark, sf).collect()
     assert(rows.length == 3, "one row per threshold")
