@@ -114,12 +114,25 @@ object Relational {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      // Aggregation pushed BELOW the join (round 12): the naive form —
+      // join 60M lineitems to orders, then countDistinct(o_orderkey) —
+      // shuffles the full lineitem-grain (priority, orderkey) pair stream
+      // through a two-phase distinct expand, and that wide shuffle went
+      // super-linear at the sf10 rung (14.1x isolated for 10x data:
+      // spill-bound). Pre-aggregating lineitem per l_orderkey first cuts
+      // the joined row count to ORDER grain before anything wide moves:
+      // one map-side-combined 15M-key shuffle, an order-grain join, and a
+      // plain count (each surviving orderkey appears exactly once, and an
+      // order has one priority, so count == the oracle's COUNT(DISTINCT)
+      // over the join — orders without lineitems appear in neither).
+      val lrev = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      lrev.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          count(lit(1)).as("n_orders"),
+          r2(sum(col("rev"))).as("revenue"))
         .orderBy("o_orderpriority")
     },
 
