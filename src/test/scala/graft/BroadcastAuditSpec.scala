@@ -52,11 +52,11 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Extensions.scala" -> Set("Seq", "recallQueries"), // lit; topk
     "GraphOps.scala" -> Set("chDf", "full", "scen", "tot"),
     // ^ lit channels; 1row; lit scenarios; 1row
-    "HybridOps.scala" -> Set("cents", "g", "ig", "nn", "packed", "probes",
+    "HybridOps.scala" -> Set("cArr", "cents", "g", "ig", "nn", "probes",
       "qdf", "st"),
-    // ^ model centroids; 1row ×2; topk; model (q477's K=64 packed
-    //   centroid row — K fixed by construction); lit probes; topk
-    //   queries; 1row
+    // ^ model (q477's K=64 centroid matrix, sc.broadcast into the typed
+    //   Lloyd kernel — K fixed by construction); model centroids;
+    //   1row ×2; topk; lit probes; topk queries; 1row
     "InferenceOps.scala" -> Set("a", "arms", "b", "band", "base", "gs", "h",
       "iw", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
     // ^ 1row aggregates (incl. q303's 1-row CI band) and lit
