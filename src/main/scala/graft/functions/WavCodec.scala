@@ -22,10 +22,13 @@ package graft.functions
   */
 object WavCodec {
 
-  /** Decoded features: fmt metadata + signal statistics. */
+  /** Decoded features: fmt metadata + signal statistics. `energy` is
+    * the EXACT integer Σv² (sums of int16 squares stay well inside a
+    * Long), so downstream corpus-level RMS can be recomputed exactly
+    * instead of through a per-file float round-trip. */
   final case class WavFeatures(sampleRate: Int, channels: Int, bits: Int,
       nSamples: Int, durationMs: Long, peak: Int, rms: Double,
-      zeroCross: Long)
+      zeroCross: Long, energy: Long)
 
   /** Deterministic sample value at time t: bounded ±2000, int16-safe. */
   private def sample(docId: Long, t: Int): Int =
@@ -125,6 +128,6 @@ object WavCodec {
       t += 1
     }
     WavFeatures(rate, channels, bits, n, n.toLong * 1000L / rate, peak,
-      math.sqrt(energy.toDouble / n), zc)
+      math.sqrt(energy.toDouble / n), zc, energy)
   }
 }

@@ -1498,6 +1498,66 @@ object Streaming {
       val (schema, rows) = latest.get()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("event_type")
+    },
+
+    /** STREAMING MEDIA INGESTION (round 12): the production shape for
+      * multimodal columns — assets arrive on a file stream, a typed
+      * per-partition kernel decodes them (the REAL WAV parser of q476,
+      * not a stub), and a stateful per-source aggregate maintains the
+      * corpus signal profile. State is O(sources): the decode itself is
+      * stateless map work, so the stream scales with input rate, not
+      * history. Corpus-level RMS is exact — the kernel emits the exact
+      * integer Σv² per asset and the aggregate combines energies, so
+      * streaming == batch to the last bit and the finite-source result
+      * equals the batch SQL the oracle runs (complete mode: the final
+      * micro-batch's table IS the full aggregate).
+      */
+    QueryDef(
+      "q478_stream_wav_ingest",
+      """WITH assets AS (
+        |  SELECT doc_id, source, CAST(200 + doc_id % 100 AS INT) AS n
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |g AS (SELECT unnest(range(0, 300)) AS t),
+        |s AS (
+        |  SELECT a.doc_id, a.source, a.n, g.t,
+        |    ((31 * a.doc_id + 17 * g.t) % 4001) - 2000 AS v
+        |  FROM assets a JOIN g ON g.t < a.n),
+        |w AS (
+        |  SELECT doc_id, source, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM s)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_assets,
+        |  CAST(count(*) AS BIGINT) AS total_samples,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms_all,
+        |  CAST(count_if(pv IS NOT NULL AND v * pv < 0) AS BIGINT) AS zero_cross
+        |FROM w GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.WavCodec
+      val docSchema = graft.Tables.documents(s, d).schema
+      val decoded = s.readStream.schema(docSchema)
+        .parquet(stageFlat(d, "documents.parquet", "docs_stream"))
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.grouped(32).flatMap { batch => // batched, like q85/q473/q476
+            batch.map { case (docId, src) =>
+              val f = WavCodec.decode(WavCodec.encode(docId))
+              (src, f.nSamples.toLong, f.peak, f.energy, f.zeroCross)
+            }
+          }
+        }.toDF("source", "n_samples", "peak", "energy", "zero_cross")
+      val agg = decoded.groupBy("source").agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_samples")).as("total_samples"),
+        max(col("peak")).as("peak"),
+        round(sqrt(sum(col("energy")).cast("double") /
+          sum(col("n_samples"))), 6).as("rms_all"),
+        sum(col("zero_cross")).as("zero_cross"))
+      drain(s, agg, "graft_wav_ingest", "complete")
+        .orderBy("source")
     }
   )
 

@@ -258,4 +258,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromDir.toSeq == fromFile.toSeq,
       "directory-layout streaming result diverged from single-file result")
   }
+
+  test("q478 streaming WAV ingest equals an exact batch recomputation through the same codec") {
+    import graft.functions.WavCodec
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q478_stream_wav_ingest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // batch truth recomputed directly through the codec on the driver —
+    // streaming must match to the LAST BIT (exact integer energies)
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") % 7 === 0)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2).map { case (src, ds) =>
+      val fs = ds.map { case (id, _) => WavCodec.decode(WavCodec.encode(id)) }
+      val totN = fs.map(_.nSamples.toLong).sum
+      val energy = fs.map(_.energy).sum
+      src -> (ds.length.toLong, totN, fs.map(_.peak).max,
+        BigDecimal(math.sqrt(energy.toDouble / totN))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        fs.map(_.zeroCross).sum)
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, totN, peak, rms, zc) = bySource(src)
+      assert(r.getAs[Long]("n_assets") == n, s"$src assets")
+      assert(r.getAs[Long]("total_samples") == totN, s"$src samples")
+      assert(r.getAs[Int]("peak") == peak, s"$src peak")
+      assert(r.getAs[Double]("rms_all") == rms, s"$src rms")
+      assert(r.getAs[Long]("zero_cross") == zc, s"$src zero crossings")
+    }
+    assert(rows.length == bySource.size, "source set mismatch")
+  }
 }
