@@ -48,12 +48,19 @@ object HybridOps {
     * found, quadratically more work per chunk). */
   private[graft] val SemSplitCap = 32
 
-  /** q262's cluster assignment, shared with the q367 recall audit:
-    * label-centroid means + the q65 broadcast-fold argmax, PlanCache'd
-    * per (session, dir) — see the q262 docstring for the full scale
-    * rationale. */
+  /** q262's cluster assignment, shared with the q367 recall audit and
+    * q474's split: label-centroid means + an argmax-cosine assignment,
+    * PlanCache'd per (session, dir) — see the q262 docstring for the
+    * full scale rationale. The argmax runs as a typed mapPartitions
+    * over the driver-collected centroid table (label-grain, ≤ a few
+    * dozen rows — the bounded model-grain collect): the earlier
+    * Column-fold form allocated a zip_with scratch array per centroid
+    * per row and cost ~300 s at 5M vectors (the q477 kernel lesson).
+    * Ascending-index dot/norm loops and strict > with centroids in
+    * ascending-clabel order reproduce the fold's summation order and
+    * smallest-clabel tie rule exactly — same doubles, same hashes. */
   private def semAssign(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.Kernels
+    import s.implicits._
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
     val cent = e
@@ -63,24 +70,35 @@ object HybridOps {
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
         st => st.getField("cx")).as("cvec"))
-    val cents = cent
-      .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
-        .as("cents"))
     PlanCache.cached(s, s"semdedup_assign|$d") {
-      e.crossJoin(broadcast(cents))
-        .withColumn("best",
-          aggregate(col("cents"),
-            struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
-            (acc, c) => {
-              val rawCos = Kernels.cosine(col("emb"), c.getField("cvec"))
-              val cos = when(rawCos.isNull || isnan(rawCos), lit(-2.0))
-                .otherwise(rawCos)
-              when(cos > acc.getField("cos"),
-                struct(cos.as("cos"), c.getField("clabel").as("clabel")))
-                .otherwise(acc)
-            }))
-        .select(col("vec_id"), col("emb"), col("best.clabel").as("clabel"),
-          col("best.cos").as("acos"))
+      val cArr = cent.select(col("clabel"), col("cvec"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cArr)
+      e.select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (vid, emb) =>
+            var bestCos = -3.0; var bestC = Integer.MIN_VALUE
+            var k = 0
+            while (k < cs.length) {
+              val cv = cs(k)._2
+              var cos = -2.0
+              if (emb != null) {
+                var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+                while (i < emb.length) {
+                  dot += emb(i) * cv(i); na += emb(i) * emb(i)
+                  nb += cv(i) * cv(i); i += 1
+                }
+                val c = dot / (math.sqrt(na) * math.sqrt(nb))
+                if (!c.isNaN) cos = c
+              }
+              if (cos > bestCos) { bestCos = cos; bestC = cs(k)._1 }
+              k += 1
+            }
+            (vid, emb, bestC, bestCos)
+          }
+        }.toDF("vec_id", "emb", "clabel", "acos")
     }
   }
 
