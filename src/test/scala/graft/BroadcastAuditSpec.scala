@@ -52,11 +52,12 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "Extensions.scala" -> Set("Seq", "recallQueries"), // lit; topk
     "GraphOps.scala" -> Set("chDf", "full", "scen", "tot"),
     // ^ lit channels; 1row; lit scenarios; 1row
-    "HybridOps.scala" -> Set("cArr", "cents", "g", "ig", "nn", "probes",
-      "qdf", "st"),
-    // ^ model (q477's K=64 centroid matrix, sc.broadcast into the typed
-    //   Lloyd kernel — K fixed by construction); model centroids;
-    //   1row ×2; topk; lit probes; topk queries; 1row
+    "HybridOps.scala" -> Set("cArr", "g", "ig", "nn", "probes", "qdf", "st"),
+    // ^ model (the centroid matrices — q477's K=64 and semAssign's
+    //   label-grain table — sc.broadcast into typed kernels, both
+    //   bounded by construction); 1row ×2; topk; lit probes; topk
+    //   queries; 1row. The old broadcast(cents) join-hint site is gone
+    //   (round 12: the fold argmax became the typed kernel).
     "InferenceOps.scala" -> Set("a", "arms", "b", "band", "base", "gs", "h",
       "iw", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
     // ^ 1row aggregates (incl. q303's 1-row CI band) and lit
