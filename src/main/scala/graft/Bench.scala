@@ -106,6 +106,30 @@ object Bench {
           None
       }
     }
+    // Cross-rung sanity invariant (round 13, VERDICT r12 #2): an sf0.1
+    // entry may not exceed the SAME query's committed sf1 entry — a
+    // query cannot honestly cost more on 10× less data, so any such
+    // entry is an epoch smear (IO trough + shared-PlanCache rebuild
+    // inside the retime window; q406 sat at 13.4 s sf0.1 vs 1.6 s sf1
+    // for a round this way) and must be re-measured in an isolated
+    // own-JVM run before being committed. The run can't re-launch a JVM
+    // itself, so it REPORTS the violations under "suspect_vs_sf1"
+    // (query → {this, sf1}) and the protocol (BENCH_NOTES) requires
+    // resolving that list to empty — by isolated re-run — before the
+    // file is committed as evidence. Rung runs compare against the
+    // next rung up via SPARK_GRAFT_BENCH_XRUNG.
+    val xrungFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_XRUNG",
+      if (outFile == "BENCH_FULL.json") "BENCH_SF1.json" else "")
+    val xrung: Map[String, Double] =
+      if (xrungFile.isEmpty) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(xrungFile)), "UTF-8")
+        """"(q\d+[A-Za-z0-9_]*)":\s*([0-9]+\.?[0-9]*)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val suspects = results.filter { case (n, t) =>
+      xrung.get(n).exists(up => t > up && t > 1.0) }
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)]): String =
@@ -127,8 +151,11 @@ object Bench {
     // keep serving as fence baselines without being counted in the
     // measured total.
     val carried = failed.keys.flatMap(n => prior.get(n).map(n -> _)).toSeq
+    val suspectJson = suspects.map { case (n, t) =>
+      "\"" + n + "\":{\"this\":" + fmt(t) + ",\"upper\":" + fmt(xrung(n)) + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(results)},"retimed":$retimedJson,"failed":$failedJson,"carried":${toJson(carried)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(results)},"retimed":$retimedJson,"failed":$failedJson,"carried":${toJson(carried)},"suspect_vs_upper_rung":$suspectJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char tail of the run's output, so a
     // 123-query map truncates mid-line and never parses. Final line =
     // compact summary (total + the slowest headline queries, guaranteed

@@ -24,6 +24,17 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Guard policy for the two by-contract-quadratic baselines (round 13,
+    * VERDICT r12 #1). Default (false): above its ceiling, q62 routes to
+    * the banded-minhash candidate path and q262 to the chunked SemDeDup
+    * split — same output contract, pairs ⊆ the naive enumeration, and
+    * the registry stays failure-free at every scale rung. Strict mode
+    * (`SPARK_GRAFT_STRICT_GUARDS=1`) restores the loud refusal for
+    * deployments that would rather fail than accept sub-unit recall. */
+  def strictGuards: Boolean =
+    (sys.env.get("SPARK_GRAFT_STRICT_GUARDS") orElse
+      sys.props.get("graft.strictGuards")).exists(v => v == "1" || v == "true")
+
   /** Shuffle parallelism, separately overridable for scale-evidence
     * runs (round 10): at sf10 on one box, 32 partitions put ~50 MB+
     * through each reducer and spill; 64–128 keep partitions

@@ -193,9 +193,20 @@ object PngCodec {
       require(n > 0 || inf.finished(), "truncated IDAT stream")
       got += n
     }
-    inf.end()
     require(got == filtered.length,
       s"IDAT inflated to $got bytes, expected ${filtered.length}")
+    // the stream must be FINISHED at exactly the IHDR-implied byte count
+    // (round 13, ADVICE r12): a zlib stream that inflates to MORE data
+    // than width/height imply was previously silently truncated, which
+    // contradicts the codec's rejects-rather-than-mis-decodes contract —
+    // truncated streams were caught, oversized ones were not.
+    if (!inf.finished()) {
+      val probe = new Array[Byte](1)
+      val extra = inf.inflate(probe, 0, 1)
+      require(extra == 0 && inf.finished(),
+        s"IDAT stream inflates past the ${filtered.length} bytes IHDR implies")
+    }
+    inf.end()
 
     // reverse the per-row filter; accumulate channel sums as we go
     val prev = new Array[Int](stride) // reconstructed previous row

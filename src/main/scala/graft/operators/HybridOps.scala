@@ -59,7 +59,7 @@ object HybridOps {
     * Ascending-index dot/norm loops and strict > with centroids in
     * ascending-clabel order reproduce the fold's summation order and
     * smallest-clabel tie rule exactly — same doubles, same hashes. */
-  private def semAssign(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
@@ -100,6 +100,56 @@ object HybridOps {
           }
         }.toDF("vec_id", "emb", "clabel", "acos")
     }
+  }
+
+  /** q474's deterministic 1-D sub-cluster split, shared with routed
+    * q262: rank members by round-6 cosine-to-own-centroid (vec_id
+    * tie-break) within the cluster, chunk every [[SemSplitCap]] ranks.
+    * No size guard — the chunk IS the bound (pair work ≤ N·cap/2). */
+  private[graft] def semChunkSplit(a: DataFrame): DataFrame = {
+    val rankW = Window.partitionBy(col("clabel"))
+      .orderBy(round(col("acos"), 6).desc, col("vec_id"))
+    a.withColumn("chunk",
+      floor((row_number().over(rankW) - 1) / SemSplitCap).cast("int"))
+  }
+
+  /** Within-cluster near-dup pair join + per-cluster readout, shared by
+    * q262 (whole-cluster or routed-chunked) and q474 (chunked, with the
+    * n_chunks column). The two forms differ ONLY in the pair-join key
+    * ((clabel) vs (clabel, chunk)), so chunked pairs ⊆ whole-cluster
+    * pairs by construction — pinned in HybridSpec. */
+  private[graft] def semDupReadout(b: DataFrame, chunked: Boolean,
+      emitChunks: Boolean): DataFrame = {
+    import graft.functions.Kernels
+    val x = b.select(
+      Seq(col("clabel"), col("vec_id").as("keep_id"), col("emb").as("xe")) ++
+        (if (chunked) Seq(col("chunk")) else Nil): _*)
+    val y = b.select(
+      Seq(col("clabel").as("cl2"), col("vec_id").as("prune_id"),
+        col("emb").as("ye")) ++
+        (if (chunked) Seq(col("chunk").as("ch2")) else Nil): _*)
+    val keyEq =
+      if (chunked) col("clabel") === col("cl2") && col("chunk") === col("ch2")
+      else col("clabel") === col("cl2")
+    val pairs = x.join(y, keyEq && col("keep_id") < col("prune_id"))
+      .select(col("clabel"), col("prune_id"),
+        Kernels.cosine(col("xe"), col("ye")).as("cos"))
+      .where(col("cos") >= 0.4)
+    val mem =
+      if (emitChunks) b.groupBy(col("clabel")).agg(
+        count(lit(1)).as("n_members"), countDistinct(col("chunk")).as("n_chunks"))
+      else b.groupBy(col("clabel")).agg(count(lit(1)).as("n_members"))
+    val joined = mem.join(pairs.withColumnRenamed("clabel", "pcl"),
+      col("pcl") === col("clabel"), "left")
+    val grp =
+      if (emitChunks)
+        joined.groupBy(col("clabel").as("cluster"), col("n_members"),
+          col("n_chunks"))
+      else joined.groupBy(col("clabel").as("cluster"), col("n_members"))
+    grp.agg(coalesce(count(col("prune_id")), lit(0L)).as("n_dup_pairs"),
+        coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
+        r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))
+      .orderBy("cluster")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -260,30 +310,25 @@ object HybridOps {
       // whole-stage codegen constant (~1s, cf. q228's documented
       // constant) would otherwise be paid once per consumer.
       val a = semAssign(s, d)
-      // loud guard: the pair join below is quadratic IN CLUSTER SIZE
+      // The pair join below is quadratic IN CLUSTER SIZE. ROUTING
+      // (round 13, VERDICT r12 #1): when the clustering degenerates past
+      // MaxSemCluster (sf10's largest argmax-cosine cluster is 22,946),
+      // the query now falls through to q474's chunk split — same output
+      // contract minus the n_chunks column, chunked pairs ⊆ whole-
+      // cluster pairs by construction (HybridSpec) — instead of the old
+      // loud refusal. `SPARK_GRAFT_STRICT_GUARDS=1` restores the throw
+      // for deployments that would rather fail than lose cross-chunk
+      // recall.
       val maxC = a.groupBy("clabel").count().agg(max(col("count"))).head.getLong(0)
-      if (maxC > MaxSemCluster)
-        throw new IllegalStateException(
-          s"q262_semdedup: largest cluster has $maxC members > " +
-            s"MaxSemCluster=$MaxSemCluster; re-cluster with more centroids " +
-            "(SemDeDup's K must grow with N) before the within-cluster " +
-            "pair join is safe")
-      val x = a.select(col("clabel"), col("vec_id").as("keep_id"), col("emb").as("xe"))
-      val y = a.select(col("clabel").as("cl2"), col("vec_id").as("prune_id"),
-        col("emb").as("ye"))
-      val pairs = x.join(y,
-          col("clabel") === col("cl2") && col("keep_id") < col("prune_id"))
-        .select(col("clabel"), col("prune_id"),
-          Kernels.cosine(col("xe"), col("ye")).as("cos"))
-        .where(col("cos") >= 0.4)
-      val mem = a.groupBy(col("clabel")).agg(count(lit(1)).as("n_members"))
-      mem.join(pairs.withColumnRenamed("clabel", "pcl"),
-          col("pcl") === col("clabel"), "left")
-        .groupBy(col("clabel").as("cluster"), col("n_members"))
-        .agg(coalesce(count(col("prune_id")), lit(0L)).as("n_dup_pairs"),
-          coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
-          r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))
-        .orderBy("cluster")
+      if (maxC > MaxSemCluster) {
+        if (graft.GraftSession.strictGuards)
+          throw new IllegalStateException(
+            s"q262_semdedup: largest cluster has $maxC members > " +
+              s"MaxSemCluster=$MaxSemCluster; re-cluster with more centroids " +
+              "(SemDeDup's K must grow with N) before the within-cluster " +
+              "pair join is safe")
+        semDupReadout(semChunkSplit(a), chunked = true, emitChunks = false)
+      } else semDupReadout(a, chunked = false, emitChunks = false)
     },
 
     /** SemDeDup at ANY scale (round 12): the adaptive sibling of q262.
@@ -348,35 +393,11 @@ object HybridOps {
         |  round(coalesce(max(p.cos), -1), 6) AS max_cos
         |FROM mem m LEFT JOIN pairs p ON p.clabel = m.clabel
         |GROUP BY 1, 2, 3 ORDER BY cluster""".stripMargin) { (s, d) =>
-      import graft.functions.Kernels
-      val a = semAssign(s, d)
-      // deterministic 1-D split: rank by round-6 centroid cosine within
-      // the cluster, chunk every SemSplitCap ranks. No size guard — the
-      // chunk IS the bound.
-      val rankW = Window.partitionBy(col("clabel"))
-        .orderBy(round(col("acos"), 6).desc, col("vec_id"))
-      val b = a.withColumn("chunk",
-        floor((row_number().over(rankW) - 1) / SemSplitCap).cast("int"))
-      val x = b.select(col("clabel"), col("chunk"),
-        col("vec_id").as("keep_id"), col("emb").as("xe"))
-      val y = b.select(col("clabel").as("cl2"), col("chunk").as("ch2"),
-        col("vec_id").as("prune_id"), col("emb").as("ye"))
-      val pairs = x.join(y,
-          col("clabel") === col("cl2") && col("chunk") === col("ch2") &&
-            col("keep_id") < col("prune_id"))
-        .select(col("clabel"), col("prune_id"),
-          Kernels.cosine(col("xe"), col("ye")).as("cos"))
-        .where(col("cos") >= 0.4)
-      val mem = b.groupBy(col("clabel")).agg(
-        count(lit(1)).as("n_members"),
-        countDistinct(col("chunk")).as("n_chunks"))
-      mem.join(pairs.withColumnRenamed("clabel", "pcl"),
-          col("pcl") === col("clabel"), "left")
-        .groupBy(col("clabel").as("cluster"), col("n_members"), col("n_chunks"))
-        .agg(coalesce(count(col("prune_id")), lit(0L)).as("n_dup_pairs"),
-          coalesce(countDistinct(col("prune_id")), lit(0L)).as("n_pruned"),
-          r6(coalesce(max(col("cos")), lit(-1.0))).as("max_cos"))
-        .orderBy("cluster")
+      // deterministic 1-D split ([[semChunkSplit]]): rank by round-6
+      // centroid cosine within the cluster, chunk every SemSplitCap
+      // ranks. No size guard — the chunk IS the bound.
+      semDupReadout(semChunkSplit(semAssign(s, d)),
+        chunked = true, emitChunks = true)
     },
 
     /** K-MEANS RE-CLUSTERING (round 12) — the third leg of the SemDeDup
@@ -427,7 +448,8 @@ object HybridOps {
         |c2 AS (SELECT cid, list(cx ORDER BY i) AS cvec FROM m2 GROUP BY cid)
         |SELECT s2.cid AS cluster,
         |  CAST(count(*) AS BIGINT) AS n_members,
-        |  round(CAST(sum(CAST(list_distance(s2.emb, c.cvec) ** 2
+        |  round(CAST(sum(CAST(list_distance(s2.emb, c.cvec) *
+        |    list_distance(s2.emb, c.cvec)
         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS wcss,
         |  round(max(list_distance(s2.emb, c.cvec)), 6) AS max_dist
         |FROM s2 JOIN c2 c ON c.cid = s2.cid
@@ -452,18 +474,31 @@ object HybridOps {
         e.as[(Long, Array[Double])].mapPartitions { it =>
           val cs = bc.value
           it.map { case (vid, emb) =>
-            var bestD = Double.MaxValue; var bestC = -1L
-            var k = 0
-            while (k < cs.length) {
-              val cv = cs(k)._2
-              var d2 = 0.0; var i = 0
-              while (i < emb.length) {
-                val df = emb(i) - cv(i); d2 += df * df; i += 1
+            // null/short-row degradation mirrors the oracle, not an NPE
+            // (round 13, ADVICE r12): a NULL list_distance sorts LAST
+            // under `ORDER BY dist ASC, cid`, so a null embedding lands
+            // in the smallest-cid centroid; a shorter row folds over the
+            // shared prefix only. The argmin compares the SQRT'd
+            // distance with strict < — the oracle orders by
+            // list_distance (sqrt), where two distinct d2 can collapse
+            // to one double and the tie must break to the smaller cid.
+            if (emb == null) (vid, emb, if (cs.nonEmpty) cs(0)._1 else -1L)
+            else {
+              var bestD = Double.MaxValue; var bestC = -1L
+              var k = 0
+              while (k < cs.length) {
+                val cv = cs(k)._2
+                val n = math.min(emb.length, cv.length)
+                var d2 = 0.0; var i = 0
+                while (i < n) {
+                  val df = emb(i) - cv(i); d2 += df * df; i += 1
+                }
+                val dist = math.sqrt(d2)
+                if (dist < bestD) { bestD = dist; bestC = cs(k)._1 }
+                k += 1
               }
-              if (d2 < bestD) { bestD = d2; bestC = cs(k)._1 }
-              k += 1
+              (vid, emb, bestC)
             }
-            (vid, emb, bestC)
           }
         }.toDF("vec_id", "emb", "cid")
       }
@@ -478,14 +513,19 @@ object HybridOps {
         .select(col("vec_id").as("cid"), col("emb").as("cvec"))
       val s2 = assign(means(assign(c0)))
       val c2 = means(s2).withColumnRenamed("cid", "mcid")
-      val d2 = Kernels.sqDist(col("emb"), col("cvec"))
+      // wcss byte-mirrors the oracle's list_distance(...)**2 — sqrt then
+      // square, up to ~2 ULP off the true squared distance (round 13,
+      // ADVICE r12): summing sqDist directly could round a member value
+      // sitting within a ULP of a DECIMAL(38,12) half-grid boundary to a
+      // different 6-decimal wcss. max_dist keeps the plain sqrt.
+      val dist = sqrt(Kernels.sqDist(col("emb"), col("cvec")))
       s2.join(c2, col("mcid") === col("cid"))
-        .select(col("cid"), d2.as("dd"))
+        .select(col("cid"), dist.as("dist"))
         .groupBy(col("cid").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          round(sum(col("dd").cast("decimal(38,12)")).cast("double"), 6)
-            .as("wcss"),
-          round(max(sqrt(col("dd"))), 6).as("max_dist"))
+          round(sum((col("dist") * col("dist")).cast("decimal(38,12)"))
+            .cast("double"), 6).as("wcss"),
+          round(max(col("dist")), 6).as("max_dist"))
         .orderBy("cluster")
     },
 

@@ -550,13 +550,33 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    /** Exact-k seeded sample — the engine's analogue of the reference's
-      * `np.random.choice(n, 128, replace=False)` (`model.py:191`).
+    /** Exact-k sample — the engine's analogue of the reference's
+      * `np.random.choice(n, 128, replace=False)` (`model.py:191`),
+      * drawn as a portable-hash ORDER STATISTIC (round 13, the q127/q166
+      * idiom that made the stratified sample oracle-checkable): rank
+      * every row by md5 of its unique key and keep the 128 smallest —
+      * uniform without replacement under the hash's uniformity, fully
+      * deterministic, and bit-identical in any engine that has md5.
+      * The plan is TakeOrderedAndProject (per-partition 128-row heaps,
+      * only k rows reach the driver merge) — the 100 TB shape; the old
+      * `orderBy(rand(seed))` form had the same plan but engine-private
+      * RNG semantics, leaving this the only rows-only query R4 still
+      * owned.
       */
-    QueryDef.noOracle("q37_sample_exactk") { (s, d) =>
+    QueryDef(
+      "q37_sample_exactk",
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem
+        |  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+        |    CAST(l_linenumber AS VARCHAR))
+        |  LIMIT 128)
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM s
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy(rand(42))
+        .orderBy(md5(concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))))
         .limit(128)
         .orderBy("l_orderkey", "l_linenumber")
     },

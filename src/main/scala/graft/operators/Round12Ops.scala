@@ -63,6 +63,30 @@ object Round12Ops {
   private val cvCarry: Seq[String] =
     Seq("fold", "h_n") ++ cvMoms.map { case (n, _) => s"h_$n" }
 
+  /** q363 moment reconstruction from the split integer fold (round 13,
+    * VERDICT r12 #6 — the q379 quantized-fold lesson applied to the 14
+    * DECIMAL(38,12) sums that made the moment pass cast-bound): each
+    * product e is deterministically split into floor(e) (long) and
+    * floor(frac(e)·1e9) (long), both summed as EXACT order-free integer
+    * folds (HUGEINT on the oracle side; Spark long capacity needs
+    * rows · 1.2e10 < 2^63 for the integer part and rows · 1e9 < 2^63
+    * for the fraction part, i.e. rows < ~7·10⁸ — holds through sf100's
+    * 600M-row lineitem; swap back to the decimal fold beyond that).
+    * Reconstruction and every downstream solve run the SAME expression
+    * string in both dialects, so the doubles — and the argmin — match
+    * bit-for-bit. */
+  private def cvRecon(iExpr: String, fExpr: String): String =
+    s"CAST($iExpr AS DOUBLE) + CAST($fExpr AS DOUBLE) / 1000000000.0"
+
+  /** Shared train/held-out reconstruction stage over fm ⨯ tot. */
+  private val cvTrStage: Seq[String] =
+    Seq("fold", "CAST(tcn - cn AS DOUBLE) AS n") ++
+      cvMoms.map { case (n, _) =>
+        s"${cvRecon(s"t${n}_i - ${n}_i", s"t${n}_f - ${n}_f")} AS $n" } ++
+      Seq("CAST(cn AS DOUBLE) AS h_n") ++
+      cvMoms.map { case (n, _) =>
+        s"${cvRecon(s"${n}_i", s"${n}_f")} AS h_$n" }
+
   /** λ-parameterized ridge stage (q320's rgStage with the literal
     * LamScale replaced by the lam column). */
   private val cvRgStage: Seq[String] =
@@ -392,9 +416,11 @@ object Round12Ops {
       * per λ with its CV MSE and the winner flag.
       *
       * Determinism: fold assignment is the q132 portable md5 hash; all
-      * moment sums DECIMAL(38,12); every downstream expression is the
-      * SAME string run by both dialects (the q320/q300 discipline), so
-      * every double — and the argmin — matches bit-for-bit.
+      * moment sums are split-integer quantized folds ([[cvRecon]] —
+      * exact and order-free on both engines); every downstream
+      * expression is the SAME string run by both dialects (the
+      * q320/q300 discipline), so every double — and the argmin —
+      * matches bit-for-bit.
       */
     QueryDef(
       "q363_ridge_cv", {
@@ -406,20 +432,19 @@ object Round12Ops {
            |  FROM lineitem),
            |fm AS (
            |  SELECT fold, count(*) AS cn,
-           |    ${cvMoms.map { case (n, e) => s"sum(CAST($e AS DECIMAL(38,12))) AS $n" }
+           |    ${cvMoms.flatMap { case (n, e) => Seq(
+                  s"sum(CAST(floor($e) AS BIGINT)) AS ${n}_i",
+                  s"sum(CAST(floor(($e - floor($e)) * 1000000000.0) AS BIGINT)) AS ${n}_f") }
                 .mkString(",\n    ")}
            |  FROM f GROUP BY fold),
            |tot AS (
            |  SELECT sum(cn) AS tcn,
-           |    ${cvMoms.map { case (n, _) => s"sum($n) AS t$n" }.mkString(", ")}
+           |    ${cvMoms.flatMap { case (n, _) =>
+                  Seq(s"sum(${n}_i) AS t${n}_i", s"sum(${n}_f) AS t${n}_f") }
+                .mkString(", ")}
            |  FROM fm),
            |tr AS (
-           |  SELECT fold, CAST(tcn - cn AS DOUBLE) AS n,
-           |    ${cvMoms.map { case (n, _) => s"CAST(t$n - $n AS DOUBLE) AS $n" }
-                .mkString(",\n    ")},
-           |    CAST(cn AS DOUBLE) AS h_n,
-           |    ${cvMoms.map { case (n, _) => s"CAST($n AS DOUBLE) AS h_$n" }
-                .mkString(",\n    ")}
+           |  SELECT ${cvTrStage.mkString(",\n    ")}
            |  FROM fm, tot),
            |cm AS (SELECT ${(SupervisedOps.cmStage ++ cvCarry).mkString(", ")} FROM tr),
            |lm AS (SELECT CAST(lam AS DOUBLE) AS lam
@@ -448,32 +473,26 @@ object Round12Ops {
       // moment aggregate twice (two full fact scans; seen in the
       // executed plan), which breaks the operator's one-pass contract
       val fm = graft.PlanCache.cached(s, s"q363_fold_moments|$d") {
-        // The moment pass is CAST-BOUND, not IO-bound (~0.6 µs/row to
-        // quantize each of 14 products to DECIMAL(38,12) — the price of
-        // the cross-engine exact-sum contract), so its parallelism is
-        // whatever the scan gives it. Single-row-group test files give
-        // it ONE task (parquet can't split inside a row group); a real
-        // table's thousands of row groups give it thousands. Repartition
-        // ONLY when the scan is split-starved — on a many-split table
-        // this branch never fires and no shuffle is added. Decimal sums
-        // are order-free, so the result is bit-identical either way
-        // (measured round 12: 7.0 s → 4.6 s whole-query at sf0.1,
-        // hash unchanged; the residual is the pre-exchange md5 fold
-        // projection, which Catalyst pushes below the repartition).
+        // Split-integer quantized moment fold (round 13, VERDICT r12 #6
+        // — the q379 lesson; see [[cvRecon]]): the old 14-way
+        // DECIMAL(38,12) fold was cast-bound at ~2 µs/row-moment; two
+        // long sums per moment are codegen-native and order-free-exact,
+        // and both engines quantize identically so the hash contract is
+        // untouched. Repartition ONLY when the scan is split-starved
+        // (single-row-group test files give parquet ONE task; a real
+        // table's thousands of row groups give it thousands).
         val scanParts = f.rdd.getNumPartitions
         val src = if (scanParts < 16) f.repartition(32) else f
         src.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
-          cvMoms.map { case (n, e) =>
-            sum(expr(e).cast("decimal(38,12)")).as(n) }: _*)
+          cvMoms.flatMap { case (n, e) => Seq(
+            sum(floor(expr(e))).as(s"${n}_i"),
+            sum(floor((expr(e) - floor(expr(e))) * lit(1.0e9))).as(s"${n}_f")) }: _*)
       }
       val tot = fm.agg(sum(col("cn")).as("tcn"),
-        cvMoms.map { case (n, _) => sum(col(n)).as(s"t$n") }: _*)
-      val tr = fm.crossJoin(broadcast(tot)).select(
-        col("fold") +: (col("tcn") - col("cn")).cast("double").as("n") +:
-          (cvMoms.map { case (n, _) =>
-            (col(s"t$n") - col(n)).cast("double").as(n) } ++
-            (col("cn").cast("double").as("h_n") +:
-              cvMoms.map { case (n, _) => col(n).cast("double").as(s"h_$n") })): _*)
+        cvMoms.flatMap { case (n, _) => Seq(
+          sum(col(s"${n}_i")).as(s"t${n}_i"),
+          sum(col(s"${n}_f")).as(s"t${n}_f")) }: _*)
+      val tr = fm.crossJoin(broadcast(tot)).selectExpr(cvTrStage: _*)
       val lm = Seq(1.000001, 1.001, 1.01).toDF("lam")
       tr.selectExpr(SupervisedOps.cmStage ++ cvCarry: _*)
         .crossJoin(broadcast(lm))
