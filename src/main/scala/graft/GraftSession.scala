@@ -30,10 +30,23 @@ object GraftSession {
     * split — same output contract, pairs ⊆ the naive enumeration, and
     * the registry stays failure-free at every scale rung. Strict mode
     * (`SPARK_GRAFT_STRICT_GUARDS=1`) restores the loud refusal for
-    * deployments that would rather fail than accept sub-unit recall. */
+    * deployments that would rather fail than accept sub-unit recall.
+    * The `graft.strictGuards` system property takes precedence over the
+    * env var (round 14, ADVICE r13): props are the per-JVM override a
+    * test can set and unset deterministically, while the env var is the
+    * deployment-wide default a single process cannot change. */
   def strictGuards: Boolean =
-    (sys.env.get("SPARK_GRAFT_STRICT_GUARDS") orElse
-      sys.props.get("graft.strictGuards")).exists(v => v == "1" || v == "true")
+    (sys.props.get("graft.strictGuards") orElse
+      sys.env.get("SPARK_GRAFT_STRICT_GUARDS")).exists(v => v == "1" || v == "true")
+
+  /** Surface an above-ceiling routing decision (round 14, ADVICE r13):
+    * when q62/q262 take their approximate scale path, the output is the
+    * reduced-recall variant while the registered SQL oracle still
+    * describes the exact form — correctness runs never reach this scale,
+    * but a scale-evidence run must RECORD that the approximate plan ran.
+    * WARN level so it lands in driver logs at default verbosity. */
+  def routedWarn(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.routing").warn(msg)
 
   /** Shuffle parallelism, separately overridable for scale-evidence
     * runs (round 10): at sf10 on one box, 32 partitions put ~50 MB+

@@ -38,12 +38,31 @@ import org.apache.spark.sql.functions._
   *    10-way distance ties while the geometry stays sf0.1-like.
   *  - region/nation are genuine fixed dimensions (25 nations at any
   *    scale) and are copied as-is.
+  *
+  * Seed spaces (round 14, VERDICT r13 #5 — the sf100 rotation-exhaustion
+  * fix): a COMPOSED rung (sf100 generated FROM sf10) applies this
+  * generator's document permutation twice, and two alphabet ROTATIONS
+  * compose into another rotation of the same 10-member space — so the
+  * first sf100 generation collapsed 100 (sf10 rotation) × 10 (second
+  * pass) replica pairs onto ~10-member exact-clone classes, a generator
+  * artifact the dedup family then measured instead of real data. The
+  * optional fourth argument `seedBase` (default 0 = the historical
+  * rotation scheme, so existing sf1/sf10 corpora stay reproducible)
+  * switches each replica's permutation to a seeded Fisher–Yates shuffle
+  * of each alphabet — a family of 10!² permutations per seed space, so
+  * permutations drawn in DIFFERENT rungs (different seedBase) compose
+  * into distinct full permutations instead of cycling. The embedding
+  * nudge dimension/value are seed-mixed the same way (the rotation
+  * scheme's (i,0)/(0,i) second-pass pairs composed to identical nudges).
+  *
+  *   sbt "runMain graft.ScaleGen /tmp/graft_sf10 /tmp/graft_sf100 10 2"
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val seedBase = if (args.length > 3) args(3).toLong else 0L
     val spark = GraftSession.build("graft-scalegen")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -76,6 +95,33 @@ object ScaleGen {
     // this generator supports.
     val alpha = "aeioubcdfg" // letters permuted per replica for documents
     val beta = "hjklmnpqrs" // second, disjoint rotation alphabet
+    // Per-replica permutation of (alpha, beta): seedBase 0 = rotations
+    // (historical rungs); nonzero = seeded shuffles (independent space
+    // per rung — see the scaladoc). Replica 0 always passes through so
+    // the source rung's corpus survives composition intact.
+    def docPerm(i: Int): (String, String) =
+      if (seedBase == 0L) {
+        val permA = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+        val j = (i / alpha.length) % beta.length
+        (permA, beta.drop(j) + beta.take(j))
+      } else if (i == 0) (alpha, beta)
+      else {
+        val rnd = new java.util.Random(seedBase * 1000003L + i)
+        def shuffle(in: String): String = {
+          val a = in.toCharArray; var k = a.length - 1
+          while (k > 0) {
+            val r = rnd.nextInt(k + 1)
+            val t = a(k); a(k) = a(r); a(r) = t; k -= 1
+          }
+          new String(a)
+        }
+        (shuffle(alpha), shuffle(beta))
+      }
+    def nudgeDim(i: Int): Int =
+      if (seedBase == 0L) i % 64 else (((seedBase * 17 + i) % 64).toInt)
+    def nudgeVal(i: Int): Float =
+      if (seedBase == 0L) (((i * 7 + 1) % 13) * 1e-3).toFloat
+      else (((((seedBase * 31 + i) * 7 + 1) % 13) + 1) * 1e-3).toFloat
     def write(name: String, df: DataFrame, parts: Int): Unit = {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -113,9 +159,7 @@ object ScaleGen {
         col("props"))
     }, 8)
     write("documents", replicate(documents) { (df, i) =>
-      val permA = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
-      val j = (i / alpha.length) % beta.length
-      val permB = beta.drop(j) + beta.take(j)
+      val (permA, permB) = docPerm(i)
       df.select(shift("doc_id", dSpan, i),
         translate(col("text"), alpha + beta, permA + permB).as("text"),
         col("lang"), col("source"), col("n_chars"))
@@ -124,7 +168,7 @@ object ScaleGen {
       val emb =
         if (i == 0) col("embedding")
         else transform(col("embedding"), (x, ix) =>
-          when(ix === lit(i % 64), (x + lit(((i * 7 + 1) % 13) * 1e-3f)).cast("float"))
+          when(ix === lit(nudgeDim(i)), (x + lit(nudgeVal(i))).cast("float"))
             .otherwise(x)).cast("array<float>")
       df.select(shift("vec_id", vSpan, i), emb.as("embedding"), col("label"))
     }, 2)

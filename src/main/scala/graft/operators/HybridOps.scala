@@ -327,6 +327,11 @@ object HybridOps {
               s"MaxSemCluster=$MaxSemCluster; re-cluster with more centroids " +
               "(SemDeDup's K must grow with N) before the within-cluster " +
               "pair join is safe")
+        graft.GraftSession.routedWarn(
+          s"q262_semdedup: largest cluster $maxC > MaxSemCluster=$MaxSemCluster — " +
+            "taking the chunk-split APPROXIMATE path (pairs ⊆ exact, recall < 1 " +
+            "across chunk boundaries); set SPARK_GRAFT_STRICT_GUARDS=1 to fail " +
+            "loudly instead")
         semDupReadout(semChunkSplit(a), chunked = true, emitChunks = false)
       } else semDupReadout(a, chunked = false, emitChunks = false)
     },
@@ -474,21 +479,28 @@ object HybridOps {
         e.as[(Long, Array[Double])].mapPartitions { it =>
           val cs = bc.value
           it.map { case (vid, emb) =>
-            // null/short-row degradation mirrors the oracle, not an NPE
-            // (round 13, ADVICE r12): a NULL list_distance sorts LAST
+            // Null rows mirror the oracle, malformed rows fail LOUDLY
+            // (round 14, ADVICE r13): a NULL list_distance sorts LAST
             // under `ORDER BY dist ASC, cid`, so a null embedding lands
-            // in the smallest-cid centroid; a shorter row folds over the
-            // shared prefix only. The argmin compares the SQRT'd
-            // distance with strict < — the oracle orders by
-            // list_distance (sqrt), where two distinct d2 can collapse
-            // to one double and the tie must break to the smaller cid.
+            // in the smallest-cid centroid; a WRONG-DIMENSION row raises
+            // in DuckDB (list_distance rejects mismatched lengths), so
+            // the engine raises too instead of silently folding a prefix
+            // distance. The argmin compares the SQRT'd distance with
+            // strict < — the oracle orders by list_distance (sqrt),
+            // where two distinct d2 can collapse to one double and the
+            // tie must break to the smaller cid.
             if (emb == null) (vid, emb, if (cs.nonEmpty) cs(0)._1 else -1L)
             else {
               var bestD = Double.MaxValue; var bestC = -1L
               var k = 0
               while (k < cs.length) {
                 val cv = cs(k)._2
-                val n = math.min(emb.length, cv.length)
+                if (emb.length != cv.length) throw new IllegalStateException(
+                  s"q477_kmeans_recluster: vec_id=$vid has dimension " +
+                    s"${emb.length} != centroid dimension ${cv.length} — " +
+                    "mixed-dimension embeddings (DuckDB list_distance " +
+                    "raises here too)")
+                val n = emb.length
                 var d2 = 0.0; var i = 0
                 while (i < n) {
                   val df = emb(i) - cv(i); d2 += df * df; i += 1

@@ -297,8 +297,15 @@ object LLMPipeline {
       // `SPARK_GRAFT_STRICT_GUARDS=1` restores the refusal.
       val maxClasses = guardExactJaccard(cls)
       val cross =
-        if (maxClasses > MaxExactJaccardClasses) q62CrossBanded(cls)
-        else q62CrossNaive(s, cls)
+        if (maxClasses > MaxExactJaccardClasses) {
+          graft.GraftSession.routedWarn(
+            s"q62_near_dup_jaccard: $maxClasses classes in one source > " +
+              s"MaxExactJaccardClasses=$MaxExactJaccardClasses — taking the " +
+              "banded-minhash APPROXIMATE candidate path (pairs ⊆ naive, " +
+              "recall < 1 on low-J pairs); set SPARK_GRAFT_STRICT_GUARDS=1 " +
+              "to fail loudly instead")
+          q62CrossBanded(cls)
+        } else q62CrossNaive(s, cls)
       q62Readout(cross, cls)
     },
 

@@ -71,12 +71,35 @@ object Round12Ops {
     * folds (HUGEINT on the oracle side; Spark long capacity needs
     * rows · 1.2e10 < 2^63 for the integer part and rows · 1e9 < 2^63
     * for the fraction part, i.e. rows < ~7·10⁸ — holds through sf100's
-    * 600M-row lineitem; swap back to the decimal fold beyond that).
-    * Reconstruction and every downstream solve run the SAME expression
-    * string in both dialects, so the doubles — and the argmin — match
-    * bit-for-bit. */
+    * 600M-row lineitem). Past [[SplitFoldLongRowCap]] the long sums
+    * would WRAP SILENTLY, so [[cvFoldAggs]] switches the SAME quantized
+    * fold to DECIMAL(38,0) accumulation (round 14, ADVICE r13 — the
+    * loud-guard discipline applied as a lossless fallback): the summed
+    * terms are identical integers either way and reconstruction is the
+    * same expression string in both dialects, so the doubles — and the
+    * argmin — match bit-for-bit at every scale. */
   private def cvRecon(iExpr: String, fExpr: String): String =
     s"CAST($iExpr AS DOUBLE) + CAST($fExpr AS DOUBLE) / 1000000000.0"
+
+  /** Rows above which q363's split-integer moment fold must not use
+    * long accumulators: max |product| ≈ 1.2e10 (y·y at extendedprice
+    * ~1e5), so rows · 1.2e10 reaches 2⁶³ near 7.7·10⁸ — capped at 7·10⁸
+    * with margin. DuckDB is unaffected (HUGEINT sums). */
+  private[graft] val SplitFoldLongRowCap = 700L * 1000 * 1000
+
+  /** The 29 fold aggregates of q363's moment pass: row count + a
+    * (floor(e), floor(frac(e)·1e9)) sum pair per moment. `useLong`
+    * picks the accumulator type — codegen-native longs inside the safe
+    * row bound, exact DECIMAL(38,0) beyond it — with identical summed
+    * terms, so both variants reconstruct the same doubles (pinned in
+    * Round12Spec). */
+  private[graft] def cvFoldAggs(useLong: Boolean): Seq[org.apache.spark.sql.Column] = {
+    def acc(c: org.apache.spark.sql.Column) =
+      if (useLong) c else c.cast("decimal(38,0)")
+    count(lit(1)).as("cn") +: cvMoms.flatMap { case (n, e) => Seq(
+      sum(acc(floor(expr(e)))).as(s"${n}_i"),
+      sum(acc(floor((expr(e) - floor(expr(e))) * lit(1.0e9)))).as(s"${n}_f")) }
+  }
 
   /** Shared train/held-out reconstruction stage over fm ⨯ tot. */
   private val cvTrStage: Seq[String] =
@@ -483,10 +506,12 @@ object Round12Ops {
         // table's thousands of row groups give it thousands).
         val scanParts = f.rdd.getNumPartitions
         val src = if (scanParts < 16) f.repartition(32) else f
-        src.groupBy(col("fold")).agg(count(lit(1)).as("cn"),
-          cvMoms.flatMap { case (n, e) => Seq(
-            sum(floor(expr(e))).as(s"${n}_i"),
-            sum(floor((expr(e) - floor(expr(e))) * lit(1.0e9))).as(s"${n}_f")) }: _*)
+        // overflow guard (round 14, ADVICE r13): past the safe long
+        // bound, same fold in DECIMAL(38,0) — lossless fallback, one
+        // metadata-served count(*) per (session, dir) to decide
+        val useLong = Tables.lineitem(s, d).count() <= SplitFoldLongRowCap
+        val aggs = cvFoldAggs(useLong)
+        src.groupBy(col("fold")).agg(aggs.head, aggs.tail: _*)
       }
       val tot = fm.agg(sum(col("cn")).as("tcn"),
         cvMoms.flatMap { case (n, _) => Seq(

@@ -66,7 +66,15 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.operators.LLMPipeline.guardExactJaccard(cls(1000)) == 1000L)
     // above it, default mode: still returns (the caller routes)
     assert(graft.operators.LLMPipeline.guardExactJaccard(cls(limit + 1)) == limit + 1)
-    // above it, strict mode: loud failure naming the banding alternative
+    // above it, strict mode: loud failure naming the banding alternative.
+    // The props override only reaches strictGuards when the env var is
+    // absent on the OTHER precedence order; since round 14 props take
+    // precedence (testability), but an env var set to "1" would still
+    // make the BELOW-ceiling default-mode assertions above meaningless —
+    // so require a clean environment rather than silently testing the
+    // wrong mode (ADVICE r13).
+    assume(!sys.env.contains("SPARK_GRAFT_STRICT_GUARDS"),
+      "SPARK_GRAFT_STRICT_GUARDS is set in the environment; strict-mode test skipped")
     sys.props("graft.strictGuards") = "1"
     try {
       val e = intercept[IllegalStateException] {
@@ -93,17 +101,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded.keySet.subsetOf(naive.keySet),
       "banded route emitted a source the naive form does not")
     assert(banded.nonEmpty, "banded route found nothing at fixture scale")
-    var exact = 0
     for ((src, b) <- banded) {
       val n = naive(src)
       assert(b.getLong(1) <= n.getLong(1), s"$src: banded n_pairs_50 > naive")
       assert(b.getLong(2) == n.getLong(2), s"$src: within-class identical count differs")
       assert(b.getDouble(3) <= n.getDouble(3) + 1e-12, s"$src: banded max_j > naive")
-      if (b.getLong(1) == n.getLong(1)) exact += 1
     }
-    // J=1 classes always collide in every band; this fixture's dup
-    // structure is clone-dominated, so most sources should be exact
-    assert(exact > 0, "banded route recalled no source exactly")
+    // Recall floor (round 14, VERDICT r13 #1b): per-source exactness is
+    // NOT an invariant — cross-class pairs have J < 1 by construction
+    // (identical token sets are the SAME class), so their band-collision
+    // probability 1−(1−J²)⁴ < 1 and a handful of borderline pairs per
+    // source makes "some source is exact" a data accident, not a
+    // guarantee. What the banding design DOES promise is useful
+    // aggregate recall on a ≥0.5-Jaccard workload (J=0.5 ⇒ per-band
+    // J²=0.25, 4 bands ⇒ ≥68% per pair, higher-J pairs asymptote to 1);
+    // pinned ≥ 0.5 like HybridSpec's q474 split-recall idiom (the
+    // measured value is logged each run via info() below).
+    val found = banded.values.map(_.getLong(1)).sum.toDouble
+    val truth = naive.values.map(_.getLong(1)).sum.toDouble
+    info(f"banded aggregate recall ${found / truth}%.3f ($found of $truth pairs)")
+    assert(truth > 0, "fixture lost its near-dup structure — test is vacuous")
+    assert(found / truth >= 0.5,
+      f"banded aggregate recall ${found / truth}%.3f fell below 0.5 ($found of $truth pairs)")
   }
 
 }

@@ -74,6 +74,56 @@ class HybridSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(HybridOps.MaxSemCluster == 4096L)
   }
 
+  test("q262 above the ceiling: default mode ROUTES to the chunk split (same schema, pairs ⊆ naive); strict mode throws") {
+    // round 14 (VERDICT r13 #3): the round-13 routing fix shipped with
+    // no fixture pushing a cluster past MaxSemCluster in default mode,
+    // so the routed semDupReadout(chunked = true, emitChunks = false)
+    // variant — including its output schema — was untested. Build one:
+    // a single-label corpus of 4,200 deterministic dim-8 vectors, so
+    // the one label-centroid cluster has 4,200 > 4,096 members.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q262route").toString
+    (0 until 4200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 7) % 13) + 1).toFloat / 13f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // default mode: must NOT throw, and must emit q262's UNCHUNKED
+    // schema (no n_chunks column — the routing is transparent)
+    val routed = byName("q262_semdedup")(spark, dir)
+    assert(routed.columns.toSeq ==
+      Seq("cluster", "n_members", "n_dup_pairs", "n_pruned", "max_cos"),
+      s"routed q262 changed its output contract: ${routed.columns.mkString(",")}")
+    val r = routed.collect()
+    assert(r.map(_.getAs[Long]("n_members")).sum == 4200L,
+      "routing dropped vectors")
+    // pairs ⊆ what strict-mode naive enumeration would count on the
+    // SAME assignment (the chunk key only ever restricts the join)
+    val naive = HybridOps.semDupReadout(
+        HybridOps.semAssign(spark, dir), chunked = false, emitChunks = false)
+      .collect().map(x => x.getAs[Int]("cluster") -> x).toMap
+    assert(r.nonEmpty && r.forall { x =>
+      val n = naive(x.getAs[Int]("cluster"))
+      x.getAs[Long]("n_dup_pairs") <= n.getAs[Long]("n_dup_pairs") &&
+        x.getAs[Long]("n_pruned") <= n.getAs[Long]("n_pruned") &&
+        x.getAs[Double]("max_cos") <= n.getAs[Double]("max_cos") + 1e-9
+    }, "routed pairs escaped the naive enumeration")
+    // the fixture must actually have near-dup structure or this is vacuous
+    assert(r.map(_.getAs[Long]("n_dup_pairs")).sum > 0,
+      "fixture produced no within-chunk pairs — test is vacuous")
+    // strict mode: the loud guard is still there behind the escape hatch
+    assume(!sys.env.contains("SPARK_GRAFT_STRICT_GUARDS"),
+      "SPARK_GRAFT_STRICT_GUARDS is set in the environment; strict-mode leg skipped")
+    sys.props("graft.strictGuards") = "1"
+    try {
+      val e = intercept[IllegalStateException] {
+        byName("q262_semdedup")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("MaxSemCluster"))
+    } finally sys.props.remove("graft.strictGuards")
+  }
+
   test("q262 stays full-corpus at vec_id >= 4096 on BOTH sides; only q367's audit is bounded") {
     // r11 advice: a find-replace once leaked q367's bounded-audit filter
     // ('vec_id < 4096') into q262's ORACLE while the engine stayed

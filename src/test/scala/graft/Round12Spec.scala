@@ -98,6 +98,33 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus plants duplicated spans; some doc must lose words")
   }
 
+  test("q363 split fold: long and DECIMAL(38,0) accumulators sum identical integers") {
+    // round 14 (ADVICE r13): past SplitFoldLongRowCap the long fold
+    // would wrap silently, so q363 switches the SAME quantized fold to
+    // decimal accumulation. Pin that both variants produce identical
+    // per-fold sums (the summed terms are the same integers; only the
+    // accumulator type differs), so the fallback cannot move a hash.
+    val f = Tables.lineitem(spark, sf).select(
+      col("l_quantity").as("x1"), col("l_discount").as("x2"),
+      col("l_tax").as("x3"), col("l_extendedprice").as("y"),
+      (conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("#"),
+        col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 5).cast("int").as("fold"))
+    def fold(useLong: Boolean): Map[Int, Seq[BigDecimal]] = {
+      val aggs = graft.operators.Round12Ops.cvFoldAggs(useLong)
+      f.groupBy(col("fold")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          r.getInt(0) -> (1 until r.length).map(i => BigDecimal(r.get(i).toString))
+        }.toMap
+    }
+    val (lg, dec) = (fold(true), fold(false))
+    assert(lg.keySet == dec.keySet && lg.nonEmpty)
+    lg.foreach { case (k, vs) =>
+      assert(vs == dec(k), s"fold $k: long and decimal sums diverge")
+    }
+    assert(graft.operators.Round12Ops.SplitFoldLongRowCap == 700L * 1000 * 1000)
+  }
+
   test("q363 ridge CV: closed-form held-out MSE equals direct per-row scoring; exactly one winner") {
     val r = byName("q363_ridge_cv")(spark, sf).collect()
     assert(r.length === 3)
