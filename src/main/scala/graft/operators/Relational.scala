@@ -204,8 +204,25 @@ object Relational {
         .orderBy("r_name", "n_name")
     },
 
-    /** Theta join: equi component on nationkey keeps it a hash join with a
-      * residual range predicate (no cartesian blow-up at scale).
+    /** Theta-join READOUT via order statistics (round 14, the sf10-rung
+      * find): the equi-plus-inequality join's returned aggregate — pair
+      * count and mean balance gap per nation — is computable without
+      * materializing a single pair. The naive hash-join-with-residual
+      * form is Θ(C·S) per nation BY THE PREDICATE (every qualifying pair
+      * is a row) and measured 53× at the sf10 rung (100× pair work from
+      * 10× data — the one shape no join strategy can save). Instead:
+      * union both sides, order by (acctbal, side) within the nation —
+      * customers first on ties, so the strict `>` excludes equal
+      * balances — and a running supplier (count, Σbal) gives each
+      * customer row its qualifying-pair count `scnt` and gap
+      * contribution `scnt·c_bal − Σs_bal` in one O((C+S) log) window
+      * pass. Decimal(38,12) accumulation (money doubles quantize back
+      * exactly) keeps the totals order-free-exact; the ORACLE keeps the
+      * literal pair enumeration, so DuckDB independently cross-checks
+      * the rewrite pair-for-pair. Parallelism is the nation count here;
+      * at 100 TB grain the same pass range-partitions by (nation,
+      * acctbal) with per-range supplier offsets (the TwoPhase
+      * prefix-sum idiom).
       */
     QueryDef(
       "q09_theta_join",
@@ -217,12 +234,26 @@ object Relational {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin) { (s, d) =>
-      Tables.customer(s, d)
-        .join(broadcast(Tables.supplier(s, d)),
-          col("c_nationkey") === col("s_nationkey") && col("c_acctbal") > col("s_acctbal"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_pairs"), r6(avg(col("c_acctbal") - col("s_acctbal"))).as("avg_gap"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"),
+        col("s_acctbal").as("bal"), lit(1L).as("isS"))
+      val cu = Tables.customer(s, d).select(col("c_nationkey").as("nk"),
+        col("c_acctbal").as("bal"), lit(0L).as("isS"))
+      val w = Window.partitionBy(col("nk")).orderBy(col("bal"), col("isS"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = "decimal(38,12)"
+      val uni = su.unionByName(cu)
+        .withColumn("scnt", sum(col("isS")).over(w))
+        .withColumn("ssum", sum(when(col("isS") === 1,
+          col("bal").cast(dec)).otherwise(lit(null))).over(w))
+      uni.where(col("isS") === 0)
+        .groupBy("nk")
+        .agg(sum(col("scnt")).as("n_pairs"),
+          sum(col("scnt") * col("bal").cast(dec) -
+            coalesce(col("ssum"), lit(0).cast(dec))).as("gapsum"))
+        .where(col("n_pairs") > 0)
+        .join(broadcast(Tables.nation(s, d)), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_pairs"),
+          r6(col("gapsum").cast("double") / col("n_pairs").cast("double")).as("avg_gap"))
         .orderBy("n_name")
     },
 
