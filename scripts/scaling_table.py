@@ -22,7 +22,9 @@ FAMILIES = [
     ("scan + decimal agg", "q01_pricing_summary"),
     ("join + agg (TPC-H Q4 shape)", "q04_join_inner_agg"),
     ("exact dedup", "q60_dedup_exact"),
+    ("near-dup Jaccard (exact→banded)", "q62_near_dup_jaccard"),
     ("MinHash LSH near-dup", "q71_minhash_lsh"),
+    ("portable MinHash banding", "q220_minhash_portable"),
     ("LSH candidate pairs", "q225_lsh_candidate_pairs"),
     ("SemDeDup (chunk-bounded)", "q474_semdedup_scaled"),
     ("k-means recluster", "q477_kmeans_recluster"),
