@@ -28,6 +28,20 @@ object Round17Ops {
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
   private def dsumSql(x: String) = s"CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE)"
 
+  /** q395's nine IRLS weighted moments, name → product over the z2
+    * projection (v = p(1−p), vz = v·eta + (t−p)) — stated once and
+    * consumed by BOTH dialects' split-integer quantized folds. */
+  private val irlsMoms: Seq[(String, String)] = Seq(
+    "a11" -> "v", "a12" -> "v*x1", "a13" -> "v*x2", "a22" -> "v*x1*x1",
+    "a23" -> "v*x1*x2", "a33" -> "v*x2*x2",
+    "b1" -> "vz", "b2" -> "vz*x1", "b3" -> "vz*x2")
+
+  /** Moment reconstruction from the split fold — the SAME expression
+    * string run by both dialects (the q363 cvRecon discipline), so the
+    * reconstructed doubles are bit-identical. */
+  private def irlsRecon(n: String): String =
+    s"CAST(${n}_i AS DOUBLE) + CAST(${n}_f AS DOUBLE) / 1000000000.0 AS $n"
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Baron–Kenny (1986) mediation analysis with the Sobel (1982)
@@ -444,13 +458,22 @@ object Round17Ops {
       "q395_propensity_strata", {
         val dt = Round16Ops.neDtStage(Seq.empty).mkString(", ")
         val wS = Round16Ops.neWStage(Seq.empty).mkString(", ")
+        // The nine IRLS weighted moments run as split-integer quantized
+        // folds (round 14 — the q363/q379 lesson applied to this
+        // query's hot pass: the DECIMAL(38,12) casts were 74 of the
+        // 96 s sf10 isolated cost; quantized, the two passes run at
+        // scan speed). Both engines floor-quantize each product into
+        // (floor(e), floor(frac(e)·1e9)) and sum exactly — HUGEINT in
+        // DuckDB, long in Spark inside the q363 row cap with the same
+        // DECIMAL(38,0) fallback beyond — and reconstruct with the
+        // IDENTICAL expression string, so every double matches
+        // bit-for-bit (the q320/q300 discipline).
         def irls(tag: String, prev: String) =
           s"""m$tag AS (
-             |  SELECT ${dsumSql("v")} AS a11, ${dsumSql("v*x1")} AS a12,
-             |    ${dsumSql("v*x2")} AS a13, ${dsumSql("v*x1*x1")} AS a22,
-             |    ${dsumSql("v*x1*x2")} AS a23, ${dsumSql("v*x2*x2")} AS a33,
-             |    ${dsumSql("vz")} AS b1, ${dsumSql("vz*x1")} AS b2,
-             |    ${dsumSql("vz*x2")} AS b3
+             |  SELECT ${irlsMoms.map { case (n, e) =>
+                  s"sum(CAST(floor($e) AS BIGINT)) AS ${n}_i, " +
+                    s"sum(CAST(floor(($e - floor($e)) * 1000000000.0) AS BIGINT)) AS ${n}_f" }
+                  .mkString(",\n    ")}
              |  FROM (
              |    SELECT x1, x2, p*(CAST(1 AS DOUBLE) - p) AS v,
              |      p*(CAST(1 AS DOUBLE) - p)*eta + (t - p) AS vz
@@ -459,7 +482,9 @@ object Round17Ops {
              |        CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE)
              |          + exp(-(q.c0 + q.c1*fx.x1 + q.c2*fx.x2))) AS p
              |      FROM fx CROSS JOIN $prev q) z1) z2),
-             |d$tag AS (SELECT $dt FROM m$tag),
+             |r$tag AS (SELECT ${irlsMoms.map(m => irlsRecon(m._1)).mkString(", ")}
+             |  FROM m$tag),
+             |d$tag AS (SELECT $dt FROM r$tag),
              |p$tag AS (SELECT $wS FROM d$tag)""".stripMargin
         s"""WITH fx AS MATERIALIZED (
            |  SELECT CASE WHEN l_discount >= CAST(0.05 AS DOUBLE)
@@ -517,17 +542,29 @@ object Round17Ops {
       val pb = fx.agg((dsum(col("t")) / count(lit(1))).as("pbar"))
       val p0i = pb.select(log(col("pbar") / (lit(1.0) - col("pbar"))).as("c0"),
         lit(0.0).as("c1"), lit(0.0).as("c2"))
+      // split-integer quantized moment folds (see the oracle-side
+      // scaladoc above): long accumulators inside the q363 row cap,
+      // lossless DECIMAL(38,0) beyond it — identical summed terms, same
+      // reconstruction string as the oracle, bit-identical doubles
+      val useLong = Tables.lineitem(s, d).count() <= Round12Ops.SplitFoldLongRowCap
       def irls(prev: DataFrame): DataFrame = {
         val eta = col("c0") + col("c1") * col("x1") + col("c2") * col("x2")
         val p = lit(1.0) / (lit(1.0) + exp(-eta))
-        val v = p * (lit(1.0) - p)
-        val vz = v * eta + (col("t") - p)
-        fx.crossJoin(broadcast(prev)).agg(
-            dsum(v).as("a11"), dsum(v * col("x1")).as("a12"),
-            dsum(v * col("x2")).as("a13"), dsum(v * col("x1") * col("x1")).as("a22"),
-            dsum(v * col("x1") * col("x2")).as("a23"),
-            dsum(v * col("x2") * col("x2")).as("a33"),
-            dsum(vz).as("b1"), dsum(vz * col("x1")).as("b2"), dsum(vz * col("x2")).as("b3"))
+        def acc(c: Column) = if (useLong) c else c.cast("decimal(38,0)")
+        // materialize v/vz ONCE per row (the oracle's z2 projection):
+        // the 18 fold aggregates would otherwise each re-evaluate the
+        // exp()-heavy sigmoid per row inside their own agg expression
+        val z2 = fx.crossJoin(broadcast(prev)).select(
+          col("x1"), col("x2"),
+          (p * (lit(1.0) - p)).as("v"),
+          ((p * (lit(1.0) - p)) * eta + (col("t") - p)).as("vz"))
+        def prod(e: String): Column =
+          e.split('*').map(t => col(t)).reduce(_ * _)
+        val folds = irlsMoms.flatMap { case (n, e) => Seq(
+          sum(acc(floor(prod(e)))).as(s"${n}_i"),
+          sum(acc(floor((prod(e) - floor(prod(e))) * lit(1.0e9)))).as(s"${n}_f")) }
+        z2.agg(folds.head, folds.tail: _*)
+          .selectExpr(irlsMoms.map(m => irlsRecon(m._1)): _*)
           .selectExpr(Round16Ops.neDtStage(Seq.empty): _*)
           .selectExpr(Round16Ops.neWStage(Seq.empty): _*)
       }
