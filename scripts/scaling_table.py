@@ -44,6 +44,7 @@ FAMILIES = [
     ("multimodal byte kernels", "q85_multimodal_features"),
     ("WAV decode", "q476_wav_decode"),
     ("bootstrap CI (resample x200)", "q303_bootstrap_ci"),
+    ("propensity strata (IRLS+rank)", "q395_propensity_strata"),
     ("ridge CV moment fold", "q363_ridge_cv"),
     ("triangle count", "q364_triangles"),
 ]
