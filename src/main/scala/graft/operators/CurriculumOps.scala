@@ -483,7 +483,7 @@ object CurriculumOps {
            |SELECT a_id, b_id, round(j, 6) AS jaccard
            |FROM scoredp WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin
       }) { (s, d) =>
-      graft.functions.SortedIntersectCount.register(s)
+      import s.implicits._
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
       val tokArr = docs.select(col("doc_id"),
@@ -502,26 +502,80 @@ object CurriculumOps {
             col(s"mh${2 * b + 1}").cast("string")).as("key"))
       }
       val bands = mh.select(col("doc_id"),
+          array((0 until 8).map(si => col(s"mh$si")): _*).as("mhs"),
           explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .select(col("doc_id"), col("mhs"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
         .withColumn("bn", count(lit(1)).over(
           Window.partitionBy(col("band"), col("key"))))
         .where(col("bn") <= 64)
         .drop("bn")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(tokArr.select(col("doc_id").as("a_id"), col("ws").as("aw")), "a_id")
-        .join(tokArr.select(col("doc_id").as("b_id"), col("ws").as("bw")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          expr("sorted_intersect_count(aw, bw)").cast("double").as("inter"),
-          size(col("aw")).as("na"), size(col("bw")).as("nb"))
-        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-        .where(col("j") >= 0.5)
+      // Candidate generation + verify run INSIDE each surviving
+      // (band, key) bucket (round 14 — the q62 carry-payload rewrite
+      // applied to the capped pipeline: the candidates → global
+      // DISTINCT → two candidate-grain join-backs to the token arrays
+      // were the sf100 cost, 150.7 s isolated; in-bucket it is 56.0 s).
+      // Cross-band dedup must respect the CAP: a pair may only be
+      // skipped at band b when an earlier band b' both matches on keys
+      // AND SURVIVED the ≤64 cut (an oversized b'-bucket generated no
+      // pairs), so each doc row carries its surviving-band set and the
+      // check is `keys equal at b' ∧ b' surviving` — provably the same
+      // pair set as the DISTINCT over the capped bands table. The
+      // verify is the same sorted_intersect_count two-pointer merge,
+      // inlined; jaccard doubles are identical small-integer ratios.
+      val mask = bands.groupBy("doc_id")
+        .agg(collect_set(col("band")).as("sv"))
+      val enriched = bands
+        .join(mask, "doc_id")
+        .join(tokArr, "doc_id")
+        .select(col("band"), col("key"), col("doc_id"), col("mhs"),
+          col("sv"), col("ws"))
+        .as[(Int, String, Long, Array[Long], Array[Int], Array[Long])]
+      val pairs = enriched
+        .groupByKey { case (band, key, _, _, _, _) => (band, key) }
+        .flatMapGroups { (gk: (Int, String),
+            it: Iterator[(Int, String, Long, Array[Long], Array[Int], Array[Long])]) =>
+          val band = gk._1
+          val rows = it.toArray.sortBy(_._3) // ascending doc_id
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < rows.length - 1) {
+            val (_, _, aId, amhs, asv, aw) = rows(i)
+            var jj = i + 1
+            while (jj < rows.length) {
+              val (_, _, bId, bmhs, _, bw) = rows(jj)
+              // skip iff an earlier SURVIVING band already bucketed this
+              // pair (keys equal at b' ⇒ same bucket ⇒ same survival)
+              var dup = false; var bb = 0
+              while (bb < band && !dup) {
+                if (amhs(2 * bb) == bmhs(2 * bb) &&
+                    amhs(2 * bb + 1) == bmhs(2 * bb + 1)) {
+                  var k = 0
+                  while (k < asv.length && !dup) {
+                    if (asv(k) == bb) dup = true
+                    k += 1
+                  }
+                }
+                bb += 1
+              }
+              if (!dup) {
+                var x = 0; var y = 0; var inter = 0
+                while (x < aw.length && y < bw.length) {
+                  val c = java.lang.Long.compare(aw(x), bw(y))
+                  if (c == 0) { inter += 1; x += 1; y += 1 }
+                  else if (c < 0) x += 1
+                  else y += 1
+                }
+                val j = inter.toDouble / (aw.length + bw.length - inter)
+                if (j >= 0.5) out += ((aId, bId, j))
+              }
+              jj += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      pairs.toDF("a_id", "b_id", "j")
         .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     },
