@@ -71,6 +71,7 @@ object SparkEntry {
       operators.Round29Ops.defs ++
       operators.Round30Ops.defs ++
       operators.Round31Ops.defs ++
+      operators.Round32Ops.defs ++
       operators.Observability.defs ++
       streaming.Streaming.defs ++
       sources.Sources.defs

@@ -410,8 +410,15 @@ object Extensions {
       val nVecs = Tables.embeddings(s, d).count()
       val nPlanes = if (nVecs <= 4096) 8 else if (nVecs <= 32768) 12 else 16
       val bucket = Lsh.bucketColumn(emb, Lsh.hyperplanes(nPlanes))
+      // Null embeddings bucket to NULL on the oracle side (the
+      // hyperplane dot is NULL), and NULL joins nothing — they
+      // contribute no pair. Mirror that BEFORE the typed encoding
+      // (round 15, ADVICE r14: a null array would also NPE the norms
+      // pass, and a null bucket cannot encode into the primitive-Int
+      // field).
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), emb.as("emb"), bucket.cast("int").as("bucket"))
+        .where(col("emb").isNotNull && col("bucket").isNotNull)
       // Within-bucket pair work runs as a typed per-bucket kernel
       // (round 14 — the q477/semAssign HOF-allocation lesson applied to
       // the PAIR grain): the join + Kernels.cosine form materialized a
@@ -430,6 +437,22 @@ object Extensions {
         .groupByKey(_._4)
         .flatMapGroups { (bk: Int, it: Iterator[(Long, Int, Array[Double], Int)]) =>
           val rows = it.toArray
+          // Loud occupancy guard (round 15, ADVICE r14): the adaptive
+          // plane tier is SUPPOSED to bound expected bucket size, but a
+          // degenerate direction cluster can defeat a fixed tier — the
+          // O(B²) pair loop and the O(B) vector residency then land on
+          // one task. Warn (and refuse under strict guards) instead of
+          // silently OOM-ing; the fix at that scale is more planes, not
+          // a bigger executor.
+          if (rows.length > Lsh.MaxNearDupBucket) {
+            val msg = s"q98_embedding_neardup: bucket $bk holds " +
+              s"${rows.length} vectors > MaxNearDupBucket=" +
+              s"${Lsh.MaxNearDupBucket} — O(B²) pair enumeration on one " +
+              "task; raise the plane tier for this corpus"
+            if (graft.GraftSession.strictGuards)
+              throw new IllegalStateException(msg)
+            graft.GraftSession.routedWarn(msg)
+          }
           val norms = rows.map { r =>
             val a = r._3; var na = 0.0; var k = 0
             while (k < a.length) { na += a(k) * a(k); k += 1 }
@@ -442,13 +465,24 @@ object Extensions {
             var j = i + 1
             while (j < rows.length) {
               val be = rows(j)._3
-              var dot = 0.0; var k = 0
-              while (k < ae.length) { dot += ae(k) * be(k); k += 1 }
-              val cos = dot / (norms(i) * norms(j))
-              if (cos >= 0.4) {
-                nPairs += 1
-                if (cos > maxCos) maxCos = cos
-                if (al == rows(j)._2) same += 1
+              // Ragged pair: the old Column plan's zip_with null-padded
+              // → null cosine → filtered; keep that contract (the
+              // oracle's list_cosine_similarity would refuse the pair
+              // outright, so no hash surface exists either way).
+              if (be.length == ae.length) {
+                var dot = 0.0; var k = 0
+                while (k < ae.length) { dot += ae(k) * be(k); k += 1 }
+                val cos = dot / (norms(i) * norms(j))
+                // NaN (zero-norm row): Spark SQL and DuckDB both order
+                // NaN above every value, so `cos >= 0.4` ADMITS it and
+                // max() returns NaN — mirror that instead of inheriting
+                // Scala's always-false NaN compare (ADVICE r14).
+                if (cos >= 0.4 || cos.isNaN) {
+                  nPairs += 1
+                  if (cos.isNaN) maxCos = Double.NaN
+                  else if (!maxCos.isNaN && cos > maxCos) maxCos = cos
+                  if (al == rows(j)._2) same += 1
+                }
               }
               j += 1
             }

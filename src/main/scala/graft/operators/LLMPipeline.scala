@@ -645,18 +645,21 @@ object LLMPipeline {
         .orderBy("doc_id")
     },
 
-    /** MinHash-LSH near-dup pairs, hand-rolled in pure Catalyst
-      * expressions: shingle → per-band minhash (`array_min` over
-      * `xxhash64`) → shuffle self-join on (band, signature) → exact
-      * Jaccard verify (`array_intersect` on the shingle sets) → keep
-      * dist <= 0.2. Same candidate→verify shape as MLlib's
-      * `approxSimilarityJoin`, but every step stays inside whole-stage
-      * codegen (no UDF distance, no SparseVector boxing) — measured ~10x
-      * faster at sf0.1 and the O(n·bands) scale path for 100 TB, where
-      * the band-signature join replaces q62's per-block quadratic pass.
-      * Hash values are implementation-defined (xxhash64 seeds), so the
-      * driver does the rows-only check (no ANSI-SQL oracle exists for a
-      * hash family).
+    /** MinHash-LSH near-dup pairs, hand-rolled: shingle → per-band
+      * minhash (`array_min` over `xxhash64`) → in-bucket pair
+      * enumeration inside each (band, signature) group with the exact
+      * sorted-merge Jaccard verify → keep dist <= 0.2. Same
+      * candidate→verify shape as MLlib's `approxSimilarityJoin` (the
+      * original round-3 motivation — this form measured ~10x faster
+      * than MLlib at sf0.1), signature generation stays inside
+      * whole-stage codegen, and since round 15 the candidate+verify
+      * stage is the q62/q225 carry-payload kernel — no global distinct,
+      * no join-backs. Hash values are implementation-defined (xxhash64
+      * seeds), so the driver does the rows-only check (no ANSI-SQL
+      * oracle exists for a hash family); the ORACLED siblings are
+      * q220/q225 (portable-md5 family), which are also the capped,
+      * loud-guarded production path — this query is the uncapped
+      * xxhash64 parity demonstration of the same pipeline.
       */
     QueryDef.noOracle("q71_minhash_lsh") { (s, d) =>
       // 2-word shingles, not unigrams: this corpus' vocabulary is tiny,
@@ -707,33 +710,71 @@ object LLMPipeline {
       // candidates: ids only through the (band, sig) join — the shingle
       // arrays are re-attached for the verify step, so the wide payload
       // never rides through the exploded band shuffle
-      val banded = signed.select(col("doc_id"), col("source"),
-        size(col("sh64")).as("nsh"),
-        posexplode(array((0 until numBands).map(b => col(s"sig$b")): _*))
-          .as(Seq("band", "sig")))
-      // size-ratio prefilter inside the band join: J >= 0.8 forces
-      // |A| and |B| within 1.25x of each other, so the cheap int
-      // predicate prunes candidates before the array payload is ever
-      // re-attached for the exact verify
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-            && col("a.doc_id") < col("b.doc_id")
-            && col("a.nsh") * 4 <= col("b.nsh") * 5
-            && col("b.nsh") * 4 <= col("a.nsh") * 5)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.source").as("source"))
-        .dropDuplicates("a_id", "b_id") // a pair may collide in both bands
-      val verified = cand
-        .join(signed.select(col("doc_id").as("a_id"), col("sh64").as("aw")), "a_id")
-        .join(signed.select(col("doc_id").as("b_id"), col("sh64").as("bw")), "b_id")
-        .select(col("source"),
-          expr("sorted_intersect_count(aw, bw)").cast("double").as("inter"),
-          size(col("aw")).as("na"), size(col("bw")).as("nb"))
-        .withColumn("jaccard_dist",
-          lit(1.0) - col("inter") / (col("na") + col("nb") - col("inter")))
-        .where(col("jaccard_dist") <= 0.2)
-      verified.groupBy("source")
+      // Candidate generation + verify run INSIDE each (band, sig)
+      // bucket (round 15 — the q62/q225 carry-payload rewrite applied
+      // to the last banded pipeline still shaped candidates → global
+      // dropDuplicates → two candidate-grain join-backs; that shape was
+      // q71's 143 s at sf100 and exponent 0.65, the dedup family's
+      // worst). Each band row carries its verify payload (sorted sh64
+      // plus the full 3-signature vector); pairs enumerate in-bucket
+      // with the size-ratio prefilter (J >= 0.8 forces |A|,|B| within
+      // 1.25x) applied before the merge, and cross-band dedup emits a
+      // pair only at its LOWEST matching band — with no occupancy cap
+      // every band "survives", so that is provably the dropDuplicates
+      // set. Degenerate-bucket risk is what the 2-shingle vocabulary
+      // blow-up and the exact-dedup-first step bound on this pipeline;
+      // the CAPPED production path with the loud guard is q220/q225.
+      import s.implicits._
+      val bandRows = signed.select(col("doc_id"), col("source"),
+          array((0 until numBands).map(b => col(s"sig$b")): _*).as("sigs"),
+          col("sh64"),
+          posexplode(array((0 until numBands).map(b => col(s"sig$b")): _*))
+            .as(Seq("band", "sig")))
+        .select(col("band"), col("sig"), col("doc_id"), col("source"),
+          col("sigs"), col("sh64"))
+        .as[(Int, Long, Long, String, Array[Long], Array[Long])]
+      val pairDists = bandRows
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (gk: (Int, Long),
+            it: Iterator[(Int, Long, Long, String, Array[Long], Array[Long])]) =>
+          val band = gk._1
+          val rows = it.toArray.sortBy(_._3) // ascending doc_id
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          var i = 0
+          while (i < rows.length - 1) {
+            val (_, _, _, aSrc, aSigs, aw) = rows(i)
+            val na = aw.length
+            var j = i + 1
+            while (j < rows.length) {
+              val (_, _, _, _, bSigs, bw) = rows(j)
+              val nb = bw.length
+              // size-ratio prefilter before anything touches the arrays
+              if (na * 4 <= nb * 5 && nb * 4 <= na * 5) {
+                var dup = false; var bb = 0
+                while (bb < band && !dup) {
+                  if (aSigs(bb) == bSigs(bb)) dup = true
+                  bb += 1
+                }
+                if (!dup) {
+                  var x = 0; var y = 0; var inter = 0
+                  while (x < na && y < nb) {
+                    val c = java.lang.Long.compare(aw(x), bw(y))
+                    if (c == 0) { inter += 1; x += 1; y += 1 }
+                    else if (c < 0) x += 1
+                    else y += 1
+                  }
+                  val dist = 1.0 - inter.toDouble / (na + nb - inter)
+                  if (dist <= 0.2) out += ((aSrc, dist))
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      pairDists.toDF("source", "jaccard_dist")
+        .groupBy("source")
         .agg(count(lit(1)).as("n_candidate_pairs"),
           r6(min(col("jaccard_dist"))).as("min_dist"))
         .orderBy("source")

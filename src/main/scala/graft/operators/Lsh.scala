@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions.{array, lit, when}
 object Lsh {
   val Dim = 64
 
+  /** Loud-guard ceiling for a single LSH bucket in the per-bucket pair
+    * kernels (q98): beyond this the O(B²) enumeration and the O(B)
+    * vector residency concentrate on one task — warn (refuse under
+    * strict guards) and direct the operator to a wider plane tier
+    * rather than silently OOM (round 15, ADVICE r14). 64k vectors ×
+    * 64 doubles ≈ 32 MB resident, ~2.1B pairs — the practical knee.
+    * The `graft.maxNearDupBucket` system property overrides it so a
+    * spec can trip the guard on a 5-row fixture instead of 65k rows
+    * (same prop-over-constant convention as `graft.strictGuards`). */
+  def MaxNearDupBucket: Int =
+    sys.props.get("graft.maxNearDupBucket").map(_.toInt).getOrElse(65536)
+
   /** Deterministic plane family, identical across JVMs and engines (the
     * oracle SQL embeds the same literals). Prefix-stable: the first b
     * rows of a wider family equal `hyperplanes(b)`, so widening only

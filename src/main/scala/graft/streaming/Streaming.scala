@@ -115,17 +115,64 @@ object Streaming {
     s.readStream.schema(rawSchema(s, d)).parquet(stageDir(d))
       .withColumn("ts", tsAsTimestamp(s, d))
 
-  /** Run a finite streaming DF to a memory sink, return the sink table. */
+  /** Distributed-drain switch (round 15, VERDICT r14 #3): the finite
+    * drains collect every emitted row into a driver-side memory sink —
+    * right for correctness runs (Verify hashes the rows anyway) but a
+    * harness CEILING for scale evidence: q197's sf100 output (~95M
+    * session rows) exceeds driver maxResultSize by design, so the one
+    * operator family whose 1000× behavior matters most could not be
+    * measured. `SPARK_GRAFT_STREAM_DRAIN=parquet` reroutes the drain to
+    * a distributed parquet sink (foreachBatch, so update/complete modes
+    * keep their memory-sink accumulation semantics: append/update
+    * append each batch's emitted rows, complete overwrites) and the
+    * readback is a parquet scan — Bench's `.count()` then never ships a
+    * row to the driver. Default (driver unset) is bit-identical to the
+    * old memory path. */
+  private[graft] def drainParquet: Boolean =
+    sys.env.get("SPARK_GRAFT_STREAM_DRAIN").contains("parquet")
+
+  private val drainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Fresh sink dir for `name` — a retime re-run in the same JVM must
+    * not append onto the first run's files. */
+  private def newDrainDir(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_drain_$name")
+    drainDirs.put(name, dir.toString)
+    dir.toString
+  }
+
+  /** writeStream writer pointed at the selected drain sink. */
+  private[graft] def drainWriter(df: DataFrame, name: String, mode: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    if (drainParquet) {
+      val dir = newDrainDir(name)
+      val saveMode = if (mode == "complete") "overwrite" else "append"
+      df.writeStream.outputMode(mode)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode(saveMode).parquet(s"$dir/data")
+        }
+    } else df.writeStream.format("memory").queryName(name).outputMode(mode)
+
+  /** Read back what the selected drain sink wrote. */
+  private[graft] def drainTable(s: SparkSession, name: String): DataFrame =
+    if (drainParquet) {
+      val dir = drainDirs.get(name)
+      try s.read.parquet(s"$dir/data")
+      catch { case _: Throwable => s.emptyDataFrame } // zero-batch stream
+    } else s.table(name)
+
+  /** Run a finite streaming DF to the drain sink, return the result. */
   private def drain(s: SparkSession, df: DataFrame, name: String,
                     mode: String): DataFrame = {
     val q = withStreamConf(s) {
-      df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
+      drainWriter(df, name, mode).start()
     }
     try {
       q.processAllAvailable()
     } finally q.stop()
-    s.table(name)
+    drainTable(s, name)
   }
 
   /** Stateful streaming operators instantiate one state store per
@@ -422,8 +469,7 @@ object Streaming {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          updated.writeStream.format("memory").queryName("graft_tws")
-            .outputMode("update").start()
+          drainWriter(updated, "graft_tws", "update").start()
         } finally prev match {
           case Some(p) => s.conf.set(key, p)
           case None => s.conf.unset(key)
@@ -432,7 +478,7 @@ object Streaming {
       try q.processAllAvailable() finally q.stop()
       // update mode emits one row per key per micro-batch that saw input;
       // n_events strictly increases, so max_by picks the final state
-      s.table("graft_tws")
+      drainTable(s, "graft_tws")
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"),
           round(max_by(col("total_raw"), col("n_events")), 2).as("total"))
@@ -482,15 +528,14 @@ object Streaming {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          sessions.writeStream.format("memory").queryName("graft_tws_timers")
-            .outputMode("append").start()
+          drainWriter(sessions, "graft_tws_timers", "append").start()
         } finally prev match {
           case Some(p) => s.conf.set(key, p)
           case None => s.conf.unset(key)
         }
       }
       try q.processAllAvailable() finally q.stop()
-      s.table("graft_tws_timers")
+      drainTable(s, "graft_tws_timers")
         .select(col("user_id"),
           date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
             .as("session_start"),
@@ -524,15 +569,14 @@ object Streaming {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          updated.writeStream.format("memory").queryName("graft_tws_map")
-            .outputMode("update").start()
+          drainWriter(updated, "graft_tws_map", "update").start()
         } finally prev match {
           case Some(p) => s.conf.set(key, p)
           case None => s.conf.unset(key)
         }
       }
       try q.processAllAvailable() finally q.stop()
-      s.table("graft_tws_map")
+      drainTable(s, "graft_tws_map")
         .groupBy("user_id", "event_type")
         .agg(max(col("n_raw")).as("n"),
           round(max_by(col("total_raw"), col("n_raw")), 2).as("total"))
@@ -572,15 +616,14 @@ object Streaming {
         s.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          updated.writeStream.format("memory").queryName("graft_tws_list")
-            .outputMode("update").start()
+          drainWriter(updated, "graft_tws_list", "update").start()
         } finally prev match {
           case Some(p) => s.conf.set(key, p)
           case None => s.conf.unset(key)
         }
       }
       try q.processAllAvailable() finally q.stop()
-      s.table("graft_tws_list")
+      drainTable(s, "graft_tws_list")
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"),
           round(max_by(col("top3_raw"), col("n_events")), 2).as("top3"))

@@ -53,6 +53,102 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dupFp = once.groupBy("setfp").count().where(col("count") > 1).count()
     assert(dupFp == 0)
   }
+
+  /** Spark-side mirror of q225's minhash component:
+    * conv(substring(md5(w || '#s'), 1, 15), 16, 10) as a long. */
+  private def mh(w: String, seed: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((w + "#" + seed).getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("q225 cap-aware first-surviving-band dedup equals the global-distinct form on an oversized-bucket fixture") {
+    // round 15 (VERDICT r14 #1): the round-14 in-bucket rewrite of
+    // q225 replaced candidates → global DISTINCT → join-back with
+    // in-bucket enumeration + first-SURVIVING-band dedup. Its subtle
+    // rule — skip a pair at band b only if an earlier band b' both
+    // key-matches AND survived the ≤64 cap — had no fixture pushing an
+    // oversized bucket through it. Build one:
+    //  * 70 docs share an anchor token that is the argmin of minhash
+    //    seeds 0 AND 1 over the whole vocabulary, so ALL 70 share the
+    //    band-0 key → one 70-member bucket > 64 → band 0 is excluded.
+    //  * docs 0 and 1 differ by one extra token chosen so bands 1–3
+    //    also key-match; band 0 is their LOWEST matching band but it
+    //    did not survive, so the pair MUST still be emitted (at band
+    //    1) — a naive "skip if any earlier band matches" drops it.
+    //  * docs 100/101 are exact clones in small buckets (multi-band
+    //    match, all surviving) — emitted exactly once, at band 0.
+    val pool = (0 until 2000).map(i => f"tok$i%04d")
+    val cands = pool.sortBy(w => mh(w, 0) + mh(w, 1))
+    val wstar = cands.find { c =>
+      pool.count(w => w != c && mh(w, 0) > mh(c, 0) && mh(w, 1) > mh(c, 1)) >= 720
+    }.get
+    val okw = pool.filter(w =>
+      w != wstar && mh(w, 0) > mh(wstar, 0) && mh(w, 1) > mh(wstar, 1))
+    val docWords = scala.collection.mutable.LinkedHashMap[Long, Seq[String]]()
+    for (k <- 0 until 70) docWords(k.toLong) = wstar +: okw.slice(10 * k, 10 * k + 10)
+    val d0mins = (2 until 8).map(s => s -> docWords(0L).map(mh(_, s)).min).toMap
+    val extra = okw.drop(700).find(w => (2 until 8).forall(s => mh(w, s) > d0mins(s))).get
+    docWords(1L) = docWords(0L) :+ extra
+    docWords(100L) = okw.slice(710, 718)
+    docWords(101L) = docWords(100L)
+    for (k <- 0 until 10) docWords(200L + k) = okw.slice(718 + 3 * k, 721 + 3 * k)
+
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q225cap").toString
+    docWords.toSeq.map { case (id, ws) =>
+      val text = ws.mkString(" ")
+      (id, text, "en", "fix", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference: signatures → capped band buckets → global
+    // DISTINCT pair set → exact Jaccard — the pre-round-14 form.
+    val sig = docWords.map { case (id, ws) =>
+      id -> (0 until 8).map(seed => ws.distinct.map(mh(_, seed)).min).toArray
+    }.toMap
+    val buckets = scala.collection.mutable.Map[(Int, (Long, Long)), List[Long]]()
+    for ((id, sg) <- sig; b <- 0 until 4) {
+      val key = (b, (sg(2 * b), sg(2 * b + 1)))
+      buckets(key) = id :: buckets.getOrElse(key, Nil)
+    }
+    val oversized = buckets.filter(_._2.length > 64)
+    assert(oversized.nonEmpty && oversized.head._2.length == 70 &&
+      oversized.head._1._1 == 0, "fixture lost its oversized band-0 bucket — test is vacuous")
+    val surviving = buckets.filter(_._2.length <= 64)
+    def bandMatch(a: Long, b: Long, bd: Int): Boolean =
+      sig(a)(2 * bd) == sig(b)(2 * bd) && sig(a)(2 * bd + 1) == sig(b)(2 * bd + 1)
+    assert((0 until 4).forall(bandMatch(0L, 1L, _)),
+      "fixture pair (0,1) no longer matches at all bands — test is vacuous")
+    val expectPairs = surviving.values.flatMap { ms =>
+      val srt = ms.sorted
+      for (i <- srt.indices; j <- (i + 1) until srt.length) yield (srt(i), srt(j))
+    }.toSet
+    assert(expectPairs.contains((0L, 1L)),
+      "fixture pair (0,1) fell out of the surviving buckets — test is vacuous")
+    val expected = expectPairs.toSeq.map { case (a, b) =>
+      val (wa, wb) = (docWords(a).toSet, docWords(b).toSet)
+      val j = wa.intersect(wb).size.toDouble / wa.union(wb).size
+      (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._3 >= 0.5).sorted
+
+    val got = graft.operators.CurriculumOps.defs
+      .find(_.name == "q225_lsh_candidate_pairs").get.fn(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))).toSeq.sorted
+    assert(got == expected,
+      s"cap-aware in-bucket pair set diverged from the global-distinct form:\n" +
+        s"got      $got\nexpected $expected")
+    // the load-bearing case by name: the pair whose lowest matching
+    // band was capped out is present exactly once
+    assert(got.count(p => p._1 == 0L && p._2 == 1L) == 1,
+      "pair (0,1) — lowest matching band oversized — missing or double-emitted")
+    assert(got.count(p => p._1 == 100L && p._2 == 101L) == 1,
+      "exact-clone pair (100,101) missing or double-emitted")
+  }
   test("q62 exact-Jaccard guard: counts always; throws past the ceiling only in strict mode") {
     // round 13 (VERDICT r12 #1): the default behavior past the class
     // ceiling is ROUTING to the banded candidate path, so the guard

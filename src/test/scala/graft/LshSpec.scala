@@ -223,4 +223,76 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(got == expected)
   }
+
+  private def q98(dir: String) = graft.operators.Extensions.defs
+    .find(_.name == "q98_embedding_neardup").get.fn(spark, dir)
+
+  test("q98 hostile inputs: null embedding drops, ragged pair skips, NaN cosine admits and dominates max (ADVICE r14)") {
+    // round 15: the round-14 typed kernel inherited Scala comparison
+    // semantics and assumed dense, rectangular, non-null input. Pin the
+    // declared contract on a hostile fixture:
+    //  * a NULL embedding buckets to NULL on the oracle side and joins
+    //    nothing — the engine must drop it, not NPE;
+    //  * a ragged (shorter) vector pairs with nobody (the old zip_with
+    //    plan null-padded → null cosine → filtered);
+    //  * two zero-norm vectors produce a NaN cosine, and BOTH dialects
+    //    order NaN above every value — the pair is ADMITTED by
+    //    `cos >= 0.4` and max_cos is NaN, unlike Scala's always-false
+    //    NaN compare.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q98hostile").toString
+    val ones = Array.fill(64)(1.0)
+    val rows = Seq(
+      (1L, ones, 0),                       // bucket 147
+      (2L, ones.map(_ * 2.0), 0),          // bucket 147, cos 1.0 with vec 1
+      (3L, Array.fill(64)(0.0), 1),        // zero norm → bucket 0
+      (4L, Array.fill(64)(0.0), 2),        // zero norm → bucket 0
+      (5L, Array.fill(32)(1.0), 3),        // ragged → null dots → bucket 0
+      (6L, null.asInstanceOf[Array[Double]], 4)) // null → dropped
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q98(dir).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("max_cos"),
+          r.getAs[Long]("n_same_label")))).toMap
+    // bucket 147: the one real pair, cosine exactly 1.0, same label
+    assert(out.contains(147), s"dense pair bucket missing: $out")
+    assert(out(147)._1 == 1L && math.abs(out(147)._2 - 1.0) < 1e-12 &&
+      out(147)._3 == 1L, s"dense pair readout wrong: ${out(147)}")
+    // bucket 0 holds vecs 3,4 (zero) and 5 (ragged): the only admitted
+    // pair is (3,4) with NaN cosine; ragged pairs are skipped
+    assert(out.contains(0), s"NaN bucket missing: $out")
+    assert(out(0)._1 == 1L && out(0)._2.isNaN && out(0)._3 == 0L,
+      s"NaN/ragged contract broke: ${out(0)}")
+    assert(out.size == 2, s"unexpected extra buckets (null row leaked?): $out")
+  }
+
+  test("q98 oversized-bucket guard: warns by default, refuses under strict guards") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q98cap").toString
+    // 5 co-directional vectors → one 5-member bucket; cap lowered to 4
+    (1 to 5).map(i => (i.toLong, Array.fill(64)(i.toDouble), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    sys.props("graft.maxNearDupBucket") = "4"
+    try {
+      // default: warn-and-proceed — C(5,2) identical-direction pairs
+      val r = q98(dir).collect()
+      assert(r.length == 1 && r.head.getAs[Long]("n_pairs") == 10L,
+        s"warn-mode kernel output wrong: ${r.toSeq}")
+      assume(!sys.env.contains("SPARK_GRAFT_STRICT_GUARDS"),
+        "SPARK_GRAFT_STRICT_GUARDS set in environment; strict leg skipped")
+      sys.props("graft.strictGuards") = "1"
+      try {
+        val e = intercept[Exception] { q98(dir).collect() }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(c =>
+          c.getMessage != null && c.getMessage.contains("MaxNearDupBucket")),
+          s"strict-mode refusal missing: $e")
+      } finally sys.props.remove("graft.strictGuards")
+    } finally sys.props.remove("graft.maxNearDupBucket")
+  }
 }
