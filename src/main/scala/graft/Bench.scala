@@ -2,6 +2,28 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Box self-protection (round 16, VERDICT r15 #1): a killed Spark JVM
+    // leaks shuffle/state dirs into the tmpfs spark.local.dir and poisons
+    // the NEXT run's shuffle IO while the start-of-run anchors stay clean
+    // — the round-15 regression cluster followed exactly one such crash.
+    // Sweep leftovers older than 10 minutes (anything younger might be a
+    // concurrent live JVM's) before the session starts, and RECORD the
+    // sweep in the JSON so a dirty-box run is visible evidence.
+    val sweptDirs: Int = {
+      val root = new java.io.File("/dev/shm/graft-local")
+      val stale = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.lastModified < System.currentTimeMillis - 10 * 60 * 1000)
+      stale.foreach { d =>
+        try {
+          val st = java.nio.file.Files.walk(d.toPath)
+          try st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => try java.nio.file.Files.delete(p)
+                          catch { case _: java.io.IOException => () })
+          finally st.close()
+        } catch { case _: Throwable => () }
+      }
+      stale.length
+    }
     val spark = GraftSession.build("graft-bench")
     // Warm the session (codegen, parquet footer cache, shuffle machinery)
     // so the first measured query isn't charged for JVM startup.
@@ -41,11 +63,27 @@ object Bench {
       (1 to 3).map { _ =>
         val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
       }.min
-    val anchorCpu = anchorTime(() =>
-      spark.range(100L * 1000 * 1000).selectExpr("sum(id * id % 7)").collect())
-    val anchorShuffle = anchorTime(() =>
-      spark.range(2L * 1000 * 1000).selectExpr("id % 1000 AS k", "id AS v")
-        .groupBy("k").sum("v").collect())
+    def measureAnchors(): (Double, Double) = (
+      anchorTime(() => spark.range(100L * 1000 * 1000)
+        .selectExpr("sum(id * id % 7)").collect()),
+      anchorTime(() => spark.range(2L * 1000 * 1000)
+        .selectExpr("id % 1000 AS k", "id AS v").groupBy("k").sum("v")
+        .collect()))
+    // Anchor band gate (round 16, VERDICT r15 #1): the clean-epoch band
+    // is cpu ≈ 0.11–0.13 / shuffle ≈ 0.24–0.45 (BENCH_NOTES). A breach
+    // means the box is still digesting something (page-cache churn, a
+    // neighbor JVM, IO-credit trough) — wait out one settling window and
+    // re-measure ONCE; if still out of band, the run proceeds (the
+    // driver needs a file) but carries "anchors_out_of_band":true so the
+    // protocol refuses it as committed evidence.
+    var (anchorCpu, anchorShuffle) = measureAnchors()
+    def inBand = anchorCpu <= 0.16 && anchorShuffle <= 0.55
+    if (!inBand) {
+      Thread.sleep(60 * 1000)
+      val (c2, s2) = measureAnchors()
+      anchorCpu = c2; anchorShuffle = s2
+    }
+    val anchorsOutOfBand = !inBand
     // Noise fence (round 8; trigger tightened 3x -> 1.5x in round 12 per
     // VERDICT r11 #2): the box's IO-credit bursts keep flagging queries
     // whose clean times are 3-5x lower (q65 9.1s vs 1.8s in round 7) —
@@ -170,8 +208,10 @@ object Bench {
     val suspectJson = suspects.map { case (n, t) =>
       "\"" + n + "\":{\"this\":" + fmt(t) + ",\"upper\":" + fmt(xrung(n)) + "}"
     }.mkString("{", ",", "}")
+    val boxJson =
+      s""""swept_local_dirs":$sweptDirs,"anchors_out_of_band":$anchorsOutOfBand"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(results)},"retimed":$retimedJson,"failed":$failedJson,"carried":${toJson(carried)},"suspect_vs_upper_rung":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},$boxJson,"queries":${toJson(results)},"retimed":$retimedJson,"failed":$failedJson,"carried":${toJson(carried)},"suspect_vs_upper_rung":$suspectJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char tail of the run's output, so a
     // 123-query map truncates mid-line and never parses. Final line =
     // compact summary (total + the slowest headline queries, guaranteed
@@ -179,7 +219,7 @@ object Bench {
     // an earlier stdout line for human readers.
     val headline = results.sortBy(-_._2).take(16).sortBy(_._1)
     val compactJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},"queries":${toJson(headline)},"queries_full":"$outFile","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},$boxJson,"queries":${toJson(headline)},"queries_full":"$outFile","sf":"$sfDir"}"""
     // Only a FULL run may replace the record file: a SPARK_GRAFT_BENCH_ONLY
     // run covers a subset, and overwriting would both lose the committed
     // full-suite record and destroy the noise fence's per-query baseline.

@@ -57,8 +57,26 @@ object GraftSession {
   def shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
 
+  /** Keep RocksDB's NATIVE logging out of the JVM (round 16, VERDICT
+    * r15 #2): Spark's state-store `RocksDB.createLogger()` always
+    * installs a JNI callback logger whose native `InfoLogLevel` follows
+    * the slf4j level of the `...state.RocksDB` class — at the session's
+    * root WARN level that is WARN_LEVEL, so every compaction/commit logs
+    * through `LoggerJniCallback::Logv`, and that callback racing query
+    * stop SIGSEGV'd a round-15 bench JVM (hs_err_pid5760: SEGV_MAPERR in
+    * librocksdbjni Logv mid-`graft.Bench`). Pinning this one logger to
+    * ERROR drops the native level to ERROR_LEVEL — the floor Spark sets
+    * even when logging is OFF — so the callback essentially never fires.
+    * Idempotent; called from every session entry point. */
+  def quietRocksDbNativeLogger(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 backend: nothing to pin
+
   /** Apply engine conf to an existing session (idempotent). */
   def prepare(spark: SparkSession): SparkSession = {
+    quietRocksDbNativeLogger()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -88,6 +106,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietRocksDbNativeLogger()
     s
   }
 }

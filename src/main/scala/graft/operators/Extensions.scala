@@ -466,9 +466,11 @@ object Extensions {
             while (j < rows.length) {
               val be = rows(j)._3
               // Ragged pair: the old Column plan's zip_with null-padded
-              // → null cosine → filtered; keep that contract (the
-              // oracle's list_cosine_similarity would refuse the pair
-              // outright, so no hash surface exists either way).
+              // → null cosine → filtered; keep that contract. (On a
+              // ragged corpus DuckDB's list_cosine_similarity errors the
+              // WHOLE query, not just the pair — the oracle only defines
+              // a hash surface for fixed-length corpora, which the
+              // testdata embeddings are; ADVICE r15.)
               if (be.length == ae.length) {
                 var dot = 0.0; var k = 0
                 while (k < ae.length) { dot += ae(k) * be(k); k += 1 }

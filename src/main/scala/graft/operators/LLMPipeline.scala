@@ -739,6 +739,21 @@ object LLMPipeline {
             it: Iterator[(Int, Long, Long, String, Array[Long], Array[Long])]) =>
           val band = gk._1
           val rows = it.toArray.sortBy(_._3) // ascending doc_id
+          // Loud occupancy guard (round 16, VERDICT r15 #8): q71 is the
+          // UNCAPPED parity demo — dropping rows would break its
+          // global-distinct contract — so an oversized bucket warns
+          // (refuses under strict guards) and directs to the capped
+          // q220/q225 production path rather than silently running an
+          // unbounded O(B²) enumeration on one task.
+          if (rows.length > Lsh.MaxBandBucket) {
+            val msg = s"q71_minhash_lsh: bucket (band=$band, sig=${gk._2}) " +
+              s"holds ${rows.length} docs > MaxBandBucket=" +
+              s"${Lsh.MaxBandBucket} — uncapped O(B²) verify on one task; " +
+              "use the capped q220/q225 path for this corpus"
+            if (graft.GraftSession.strictGuards)
+              throw new IllegalStateException(msg)
+            graft.GraftSession.routedWarn(msg)
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
           var i = 0
           while (i < rows.length - 1) {

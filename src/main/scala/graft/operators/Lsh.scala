@@ -33,6 +33,19 @@ object Lsh {
   def MaxNearDupBucket: Int =
     sys.props.get("graft.maxNearDupBucket").map(_.toInt).getOrElse(65536)
 
+  /** Same loud-guard ceiling for a MINHASH band bucket in the banded
+    * pair kernels (q71 — round 16, VERDICT r15 #8): a (band, sig)
+    * bucket of B rows is O(B²) sorted-merge verifies and O(B) shingle
+    * arrays resident on one task. q220/q225 bound this with the ≤64
+    * occupancy cap that their first-SURVIVING-band dedup rule prices
+    * in; q71 is deliberately uncapped (its contract is parity with the
+    * global-distinct candidate set), so past this ceiling it can only
+    * warn — or refuse under strict guards — and point at the capped
+    * production path. Prop override `graft.maxBandBucket` lets a spec
+    * trip it on a 6-row fixture. */
+  def MaxBandBucket: Int =
+    sys.props.get("graft.maxBandBucket").map(_.toInt).getOrElse(65536)
+
   /** Deterministic plane family, identical across JVMs and engines (the
     * oracle SQL embeds the same literals). Prefix-stable: the first b
     * rows of a wider family equal `hyperplanes(b)`, so widening only

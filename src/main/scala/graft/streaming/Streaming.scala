@@ -131,22 +131,45 @@ object Streaming {
   private[graft] def drainParquet: Boolean =
     sys.env.get("SPARK_GRAFT_STREAM_DRAIN").contains("parquet")
 
-  private val drainDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val drainDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** Recursive delete for a drain dir (data + checkpoint). Best-effort:
+    * a half-deleted leftover is still better than an unbounded leak. */
+  private def deleteDrainDir(dir: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try java.nio.file.Files.delete(p)
+                        catch { case _: java.io.IOException => () })
+        finally st.close()
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Fresh sink dir for `name` — a retime re-run in the same JVM must
-    * not append onto the first run's files. */
-  private def newDrainDir(name: String): String = {
+    * not append onto the first run's files. The PREVIOUS run's dir (data
+    * + checkpoint) is deleted on replace, and every live dir on JVM
+    * exit: at the sf100 rungs this mode exists for (~95M-row outputs) an
+    * unbounded per-retime leak fills /tmp mid-rung (ADVICE r15). */
+  private def newDrainDir(name: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_drain_$name")
-    drainDirs.put(name, dir.toString)
+    val prev = drainDirs.put(name, (dir.toString, schema))
+    if (prev != null) deleteDrainDir(prev._1)
     dir.toString
   }
+
+  // JVM-exit sweep of whatever dirs are still registered.
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    drainDirs.values.forEach(v => deleteDrainDir(v._1))))
 
   /** writeStream writer pointed at the selected drain sink. */
   private[graft] def drainWriter(df: DataFrame, name: String, mode: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     if (drainParquet) {
-      val dir = newDrainDir(name)
+      val dir = newDrainDir(name, df.schema)
       val saveMode = if (mode == "complete") "overwrite" else "append"
       df.writeStream.outputMode(mode)
         .option("checkpointLocation", s"$dir/ckpt")
@@ -155,12 +178,21 @@ object Streaming {
         }
     } else df.writeStream.format("memory").queryName(name).outputMode(mode)
 
-  /** Read back what the selected drain sink wrote. */
+  /** Read back what the selected drain sink wrote. A stream that ran to
+    * completion without emitting a batch leaves no data dir — that (and
+    * only that) reads back as an empty frame WITH the query's output
+    * schema, so downstream groupBy/select still resolve. Every other
+    * failure (half-failed foreachBatch write, disk full, perms)
+    * propagates: swallowing it recorded a deceptively fast zero-row
+    * "success" in Bench (VERDICT r15 / ADVICE r15). */
   private[graft] def drainTable(s: SparkSession, name: String): DataFrame =
     if (drainParquet) {
-      val dir = drainDirs.get(name)
-      try s.read.parquet(s"$dir/data")
-      catch { case _: Throwable => s.emptyDataFrame } // zero-batch stream
+      val (dir, schema) = drainDirs.get(name)
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, "data")))
+        s.read.schema(schema).parquet(s"$dir/data")
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else s.table(name)
 
   /** Run a finite streaming DF to the drain sink, return the result. */
@@ -187,7 +219,31 @@ object Streaming {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "8"))
-    try start finally s.conf.set(key, prev)
+    // State-store backend switch (round 16): the default HDFS-backed
+    // provider keeps every store version's key map ON HEAP — right for
+    // the correctness runs (tiny state, no native deps in the loop) but
+    // a hard ceiling for the big-state operators at the scale rungs:
+    // q83's session-window state at sf100 (~95M open sessions as JVM
+    // objects) OOMed the executors and died in state-store recovery
+    // (CANNOT_LOAD_STATE_STORE, r15 measurement log). On a real cluster
+    // data-proportional state lives in RocksDB (off-heap, spillable,
+    // incremental checkpoints); `SPARK_GRAFT_STATE_STORE=rocksdb`
+    // applies exactly that here for scale-evidence runs. The
+    // transformWithState queries pin RocksDB explicitly either way
+    // (stateful-v2 contract); default (unset) is bit-identical to the
+    // old behavior.
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val pPrev = s.conf.getOption(pKey)
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      s.conf.set(pKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try start finally {
+      s.conf.set(key, prev)
+      pPrev match {
+        case Some(p) => s.conf.set(pKey, p)
+        case None => s.conf.unset(pKey)
+      }
+    }
   }
 
   /** Warm the streaming machinery (micro-batch planner, state store

@@ -295,4 +295,43 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally sys.props.remove("graft.strictGuards")
     } finally sys.props.remove("graft.maxNearDupBucket")
   }
+
+  test("q71 oversized band-bucket guard: warns by default (parity output intact), refuses under strict guards") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q71cap").toString
+    // 6 DISTINCT texts (so exact-dedup keeps all) whose distinct
+    // 2-shingle set is identically {"a b", "b a"} — alternating words of
+    // increasing length — so every doc lands in the SAME (band, sig)
+    // bucket in all 3 bands: one 6-member bucket, cap lowered to 4.
+    val docs = (3 to 8).map { n =>
+      val text = Array.tabulate(n)(i => if (i % 2 == 0) "a" else "b")
+        .mkString(" ")
+      (n.toLong, text, "en", "src0", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q71 = SparkEntry.queries("q71_minhash_lsh")
+    sys.props("graft.maxBandBucket") = "4"
+    try {
+      // default: warn-and-proceed, and the UNCAPPED parity contract must
+      // hold — all C(6,2)=15 pairs verify at Jaccard distance 0, emitted
+      // once each at their lowest matching band
+      val r = q71(s, dir).collect()
+      assert(r.length == 1 && r.head.getAs[Long]("n_candidate_pairs") == 15L
+          && r.head.getAs[Double]("min_dist") == 0.0,
+        s"warn-mode parity output wrong: ${r.toSeq}")
+      assume(!sys.env.contains("SPARK_GRAFT_STRICT_GUARDS"),
+        "SPARK_GRAFT_STRICT_GUARDS set in environment; strict leg skipped")
+      sys.props("graft.strictGuards") = "1"
+      try {
+        val e = intercept[Exception] { q71(s, dir).collect() }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(c =>
+          c.getMessage != null && c.getMessage.contains("MaxBandBucket")),
+          s"strict-mode refusal missing: $e")
+      } finally sys.props.remove("graft.strictGuards")
+    } finally sys.props.remove("graft.maxBandBucket")
+  }
 }
