@@ -24,6 +24,21 @@ object Bench {
       }
       stale.length
     }
+    // Hypervisor steal tracking (round 16): this box is a VM, and
+    // /proc/stat showed 3–11% CPU STEAL during the round-16 session —
+    // cycles the host gives to a neighbor. Steal inflates every timing
+    // uniformly-ish but hits scheduler-latency-sensitive shapes (many
+    // tiny micro-batch jobs — exactly the stateful-streaming family that
+    // carried the round-15 "regression") several-fold. Recording the
+    // run's steal fraction in the JSON turns "the numbers moved and
+    // nothing changed" from a bisection hunt into a one-field read.
+    def procStat(): Array[Long] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      } catch { case _: Throwable => Array.empty[Long] }
+    val statStart = procStat()
     val spark = GraftSession.build("graft-bench")
     // Warm the session (codegen, parquet footer cache, shuffle machinery)
     // so the first measured query isn't charged for JVM startup.
@@ -76,6 +91,30 @@ object Bench {
     // re-measure ONCE; if still out of band, the run proceeds (the
     // driver needs a file) but carries "anchors_out_of_band":true so the
     // protocol refuses it as committed evidence.
+    // Scheduling-latency anchor (round 16): the cpu/shuffle anchors
+    // measure the box's THROUGHPUT and stayed in-band through the entire
+    // round-15/16 "regression" — which turned out to be the hypervisor
+    // epoch degrading task-wakeup latency (identical r14 source, re-run
+    // today in quiet windows, measures 2.4–2.8× its committed numbers on
+    // barrier-heavy queries; see BENCH_NOTES round 16). Every stage
+    // boundary pays the slowest task's wakeup tax, so many-stage shapes
+    // (micro-batch streaming, iterative loops) amplify latency that a
+    // saturating job never sees. This anchor measures it directly: 40
+    // sequential 8-task jobs over a cached 8-row frame — pure
+    // schedule/wake/collect round-trips, ~0 compute. Clean epoch ≈
+    // 0.3–0.5 s; the degraded epoch reads 2–5×.
+    val latencyProbe = {
+      val df = spark.range(8).repartition(8).cache()
+      df.count() // materialize outside the timed loop
+      df
+    }
+    val anchorLatency = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 40) { latencyProbe.count(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    latencyProbe.unpersist()
     var (anchorCpu, anchorShuffle) = measureAnchors()
     def inBand = anchorCpu <= 0.16 && anchorShuffle <= 0.55
     if (!inBand) {
@@ -208,8 +247,16 @@ object Bench {
     val suspectJson = suspects.map { case (n, t) =>
       "\"" + n + "\":{\"this\":" + fmt(t) + ",\"upper\":" + fmt(xrung(n)) + "}"
     }.mkString("{", ",", "}")
+    val stealPct = {
+      val statEnd = procStat()
+      if (statStart.length >= 8 && statEnd.length >= 8) {
+        val d = statEnd.zip(statStart).map { case (b, a) => b - a }
+        val tot = d.sum.toDouble
+        if (tot > 0) 100.0 * d(7) / tot else -1.0
+      } else -1.0
+    }
     val boxJson =
-      s""""swept_local_dirs":$sweptDirs,"anchors_out_of_band":$anchorsOutOfBand"""
+      s""""swept_local_dirs":$sweptDirs,"anchors_out_of_band":$anchorsOutOfBand,"steal_pct":${fmt(stealPct)},"anchor_latency":${fmt(anchorLatency)}"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_failed":${failed.size},"anchor_cpu":${fmt(anchorCpu)},"anchor_shuffle":${fmt(anchorShuffle)},$boxJson,"queries":${toJson(results)},"retimed":$retimedJson,"failed":$failedJson,"carried":${toJson(carried)},"suspect_vs_upper_rung":$suspectJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char tail of the run's output, so a
