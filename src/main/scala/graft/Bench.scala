@@ -9,10 +9,37 @@ object Bench {
     // Sweep leftovers older than 10 minutes (anything younger might be a
     // concurrent live JVM's) before the session starts, and RECORD the
     // sweep in the JSON so a dirty-box run is visible evidence.
+    // Liveness gate (ADVICE r16): a live Spark JVM's spark-*/blockmgr-*
+    // dirs stop getting top-level mtime updates after startup, so a
+    // concurrent run older than 10 min would have its LIVE shuffle files
+    // swept mid-run by the age heuristic alone. The age test only says
+    // "probably orphaned"; liveness says "definitely not in use" — scan
+    // /proc for any OTHER java process mentioning graft and skip the
+    // sweep entirely while one is running.
+    def otherGraftJvmAlive(): Boolean = {
+      // Exclude the whole ancestor chain, not just self: Bench runs under
+      // an sbt launcher whose own cmdline contains "runMain graft.Bench" —
+      // matching it would make the gate permanently true.
+      val family = Iterator.iterate(Option(ProcessHandle.current())) {
+        _.flatMap(h => { val p = h.parent(); if (p.isPresent) Some(p.get) else None })
+      }.takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+      val procs = Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+      procs.exists { d =>
+        d.getName.forall(_.isDigit) && !family.contains(d.getName.toLong) && {
+          try {
+            val cmd = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(d.getPath, "cmdline")), "UTF-8")
+            cmd.contains("java") && (cmd.contains("graft") || cmd.contains("sbt"))
+          } catch { case _: Throwable => false }
+        }
+      }
+    }
     val sweptDirs: Int = {
       val root = new java.io.File("/dev/shm/graft-local")
-      val stale = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(_.lastModified < System.currentTimeMillis - 10 * 60 * 1000)
+      val stale =
+        if (otherGraftJvmAlive()) Array.empty[java.io.File]
+        else Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(_.lastModified < System.currentTimeMillis - 10 * 60 * 1000)
       stale.foreach { d =>
         try {
           val st = java.nio.file.Files.walk(d.toPath)

@@ -146,7 +146,12 @@ object Streaming {
                         catch { case _: java.io.IOException => () })
         finally st.close()
       }
-    } catch { case _: java.io.IOException => () }
+      // NonFatal, not just IOException: Files.walk traversal throws
+      // UncheckedIOException (a RuntimeException) when an entry vanishes
+      // or turns unreadable mid-walk, and a "best-effort" delete that
+      // fails the caller's query over a leftover dir is worse than the
+      // leak it was cleaning up (ADVICE r16).
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Fresh sink dir for `name` — a retime re-run in the same JVM must
     * not append onto the first run's files. The PREVIOUS run's dir (data
@@ -187,7 +192,15 @@ object Streaming {
     * "success" in Bench (VERDICT r15 / ADVICE r15). */
   private[graft] def drainTable(s: SparkSession, name: String): DataFrame =
     if (drainParquet) {
-      val (dir, schema) = drainDirs.get(name)
+      // Option-wrap: ConcurrentHashMap.get returns null when no
+      // drainWriter ever registered `name` (readback without a prior
+      // start, or a call-site name mismatch) — destructuring null threw
+      // an opaque MatchError where a named error pinpoints the bug
+      // (ADVICE r16).
+      val (dir, schema) = Option(drainDirs.get(name)).getOrElse(
+        throw new IllegalStateException(
+          s"no drain registered for '$name': drainWriter was never started " +
+          "for this query name in this JVM"))
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(dir, "data")))
         s.read.schema(schema).parquet(s"$dir/data")
