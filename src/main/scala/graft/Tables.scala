@@ -62,4 +62,57 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `documents` with scan split-starvation fixed (round 17, the q363
+    * idiom generalized): the driver's sf test files are SINGLE parquet
+    * row groups, so every heavy per-token pass (md5 bucketing, n-gram
+    * hashing, shingling) downstream of the scan inherits a ONE-task
+    * stage — 1.2–1.6 s serial at sf0.1 while 31 cores idle, measured in
+    * q317/q318/q354 stage profiles. A conditional round-robin
+    * repartition to the session's default parallelism parallelizes the
+    * per-token work; a real multi-row-group table (every scale rung,
+    * any production layout) keeps its natural splits and never pays the
+    * extra shuffle. Row order is irrelevant at every call site (all
+    * consumers aggregate), so results are unchanged.
+    */
+  def documentsParallel(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+    if (t.rdd.getNumPartitions < 16)
+      t.repartition(s.sparkContext.defaultParallelism)
+    else t
+  }
+
+  /** Exact table row count served from the parquet FOOTERS on the
+    * driver (round 17 optimization): the overflow-guard call sites
+    * (q363/q395) need only "is the table under the long-fold row cap",
+    * but paid a full `count()` scan job for it — ~0.5 s at sf0.1 and a
+    * 600M-row pass at sf100. The footer's row count is the same number
+    * the scan would return (parquet stores it per row group), so this
+    * is metadata, not result caching; cached per (dir, table) because
+    * the testdata directories are immutable for a run. Falls back to
+    * `count()` if the footer read fails (exotic fs, schema corruption).
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def parquetRowCount(s: SparkSession, d: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$d/$name", _ => {
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+        val fs = root.getFileSystem(conf)
+        val files: Seq[org.apache.hadoop.fs.Path] =
+          if (fs.getFileStatus(root).isDirectory)
+            fs.listStatus(root).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+          else Seq(root)
+        files.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) =>
+        load(s, d, name).count()
+      }
+    })
 }

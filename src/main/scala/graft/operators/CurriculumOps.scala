@@ -825,24 +825,35 @@ object CurriculumOps {
         |JOIN voc v2 ON v2.rnk = k.r2
         |ORDER BY k.n_pos DESC, k.center, k.context LIMIT 20""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
+      // documentsParallel (round 17): the pair-generation and vocab
+      // passes were split-starved to one task at the sf rungs — see
+      // Tables scaladoc
+      val tok = Tables.documentsParallel(s, d)
         .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
       // ±2-window pairs via SHIFTED ZIPS (round 10, sf10 fence): the old
       // nested transform/filter/sequence form evaluated its lambda
-      // INTERPRETED once per token (78 s at sf10); four slice-zips are
+      // INTERPRETED once per token (78 s at sf10); slice-zips are
       // plain codegen expressions generating the identical (center,
       // context) multiset — for k ∈ {1,2}, zip(ws, ws<<k) yields every
-      // |i−j| = k pair, and the union adds both directions.
-      def zk(k: Int) = tok.select(explode(arrays_zip(
-          slice(col("ws"), lit(1), greatest(size(col("ws")) - k, lit(0))).as("l"),
-          slice(col("ws"), lit(k + 1), greatest(size(col("ws")) - k, lit(0))).as("r")))
-          .as("z"))
-        .select(col("z.l").as("l"), col("z.r").as("r"))
-      val pr = Seq(1, 2).map { k =>
-        val z = zk(k)
-        z.select(col("l").as("center"), col("r").as("context"))
-          .unionAll(z.select(col("r").as("center"), col("l").as("context")))
-      }.reduce(_.unionAll(_))
+      // |i−j| = k pair, with both directions. Round 17: the four zip
+      // branches used to be a 4-way unionAll, which re-scanned and
+      // re-tokenized `documents` once PER BRANCH; concatenating the
+      // four zipped arrays inside one projection generates the same
+      // pair multiset from a single scan + single generator.
+      // arrays_zip over unnamed slice() args names its struct fields
+      // positionally ("0", "1"), so the reversed direction just swaps
+      // the argument order and every element reads center="0",
+      // context="1".
+      def zarr(k: Int, rev: Boolean) = {
+        val l = slice(col("ws"), lit(1), greatest(size(col("ws")) - k, lit(0)))
+        val r = slice(col("ws"), lit(k + 1), greatest(size(col("ws")) - k, lit(0)))
+        if (rev) arrays_zip(r, l) else arrays_zip(l, r)
+      }
+      val pr = tok.select(explode(concat(
+          zarr(1, rev = false), zarr(1, rev = true),
+          zarr(2, rev = false), zarr(2, rev = true))).as("z"))
+        .select(col("z").getField("0").as("center"),
+          col("z").getField("1").as("context"))
       val cnt = pr.groupBy("center", "context").agg(count(lit(1)).as("n_pos"))
       // VOCAB-GRAIN frequency rank via the two-phase range-partition
       // form (round 10): vocabulary grows with the corpus, so the old

@@ -71,7 +71,10 @@ object QualityOps {
         |  GROUP BY 1)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, round(xent2, 6) AS xent2
         |FROM sc ORDER BY round(xent2, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val wz = Tables.documents(s, d)
+      // documentsParallel (round 17): wz feeds THREE per-token passes
+      // (bigram build twice, vocab count once) that each ran as a
+      // single split-starved task at the sf rungs — see Tables scaladoc
+      val wz = Tables.documentsParallel(s, d)
         .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
       val wd = wz.where(size(col("ws")) >= 2)
       val bg = wd.select(col("doc_id"),
@@ -125,7 +128,10 @@ object QualityOps {
         |  GROUP BY 1, 2)
         |SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens, round(dsir, 6) AS dsir_logratio
         |FROM sc ORDER BY round(dsir, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val bk = Tables.documents(s, d)
+      // documentsParallel (round 17): the md5-per-token bucket pass runs
+      // twice (distribution build + scoring join) and was split-starved
+      // to ONE task at the sf rungs — see Tables scaladoc
+      val bk = Tables.documentsParallel(s, d)
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
         .select(col("doc_id"), col("lang"),
@@ -345,7 +351,10 @@ object QualityOps {
         |  round(CAST(cum_en AS DOUBLE) / ne, 6) AS cum_recall,
         |  round((CAST(cum_en AS DOUBLE) / ne) / (CAST(cum_docs AS DOUBLE) / nd), 6) AS lift
         |FROM cum ORDER BY decile""".stripMargin) { (s, d) =>
-      val bk = Tables.documents(s, d)
+      // documentsParallel (round 17): the md5-per-token bucket pass runs
+      // twice (rc distribution + sc scoring) and was split-starved to
+      // ONE ~1.4 s task at the sf rungs — see Tables scaladoc
+      val bk = Tables.documentsParallel(s, d)
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.Text.wordsCol(col("text"))).as("w"))
         .select(col("doc_id"), col("lang"),

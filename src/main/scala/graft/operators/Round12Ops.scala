@@ -507,9 +507,11 @@ object Round12Ops {
         val scanParts = f.rdd.getNumPartitions
         val src = if (scanParts < 16) f.repartition(32) else f
         // overflow guard (round 14, ADVICE r13): past the safe long
-        // bound, same fold in DECIMAL(38,0) — lossless fallback, one
-        // metadata-served count(*) per (session, dir) to decide
-        val useLong = Tables.lineitem(s, d).count() <= SplitFoldLongRowCap
+        // bound, same fold in DECIMAL(38,0) — lossless fallback. The
+        // row count is served from the parquet footers on the driver
+        // (round 17): the old count() here was a full scan job just to
+        // compare one number against the cap.
+        val useLong = Tables.parquetRowCount(s, d, "lineitem") <= SplitFoldLongRowCap
         val aggs = cvFoldAggs(useLong)
         src.groupBy(col("fold")).agg(aggs.head, aggs.tail: _*)
       }

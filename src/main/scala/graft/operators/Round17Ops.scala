@@ -546,7 +546,9 @@ object Round17Ops {
       // scaladoc above): long accumulators inside the q363 row cap,
       // lossless DECIMAL(38,0) beyond it — identical summed terms, same
       // reconstruction string as the oracle, bit-identical doubles
-      val useLong = Tables.lineitem(s, d).count() <= Round12Ops.SplitFoldLongRowCap
+      // footer-served row count (round 17): the cap check needs one
+      // number, not a scan job — see Tables.parquetRowCount
+      val useLong = Tables.parquetRowCount(s, d, "lineitem") <= Round12Ops.SplitFoldLongRowCap
       def irls(prev: DataFrame): DataFrame = {
         val eta = col("c0") + col("c1") * col("x1") + col("c2") * col("x2")
         val p = lit(1.0) / (lit(1.0) + exp(-eta))

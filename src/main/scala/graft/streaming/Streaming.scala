@@ -1463,8 +1463,31 @@ object Streaming {
             // pair-grain — same element-cardinality fence as their batch
             // twins, checked once per refresh over the cached grid
             graft.operators.CausalOps.guardFullEnum(grid, "q357_stream_causal_panel")
-            val melted = readouts.flatMap { r =>
-              r.fn(s, grid).collect().toSeq.flatMap { row =>
+            // Fan the ten readout collects out over a small thread pool
+            // (round 17, guide §2.6 "overlap independent jobs"): each
+            // readout is an independent expression tree over the SAME
+            // persisted grid (materialized by the guard's action just
+            // above), and the driver loop ran them strictly
+            // sequentially — the panel's wall time was the SUM of ten
+            // tree latencies while the executors sat mostly idle
+            // between stages. Spark's scheduler runs concurrent jobs
+            // FIFO, so later readouts back-fill the tail of earlier
+            // ones. Result order is preserved (one Future per readout,
+            // joined in registry order) and each readout's rows are
+            // untouched, so the melted output is row-identical to the
+            // sequential loop's.
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(readouts.size, 5))
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val collected =
+              try scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(readouts.map(r =>
+                  scala.concurrent.Future((r, r.fn(s, grid).collect())))),
+                scala.concurrent.duration.Duration.Inf)
+              finally pool.shutdown()
+            val melted = collected.flatMap { case (r, rows) =>
+              rows.toSeq.flatMap { row =>
                 val k = r.ids.map(c => String.valueOf(row.getAs[Any](c))).mkString("|")
                 r.metrics.map { m =>
                   // numeric types only, matched EXPLICITLY (round-9
