@@ -63,17 +63,23 @@ object InferenceOps {
     * (`cnt`, 0 if absent) and its count strictly below it (`cl`).
     * Domains come from the cached [[hist]], not fresh fact scans.
     */
-  private[operators] def cumGrid(s: SparkSession, d: String): DataFrame = {
-    val ht = hist(s, d)
-    val vals = ht.select(col("hv").as("v")).distinct()
-    val types = ht.select(col("hel").as("el")).distinct()
-    val w = Window.partitionBy(col("el")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    vals.crossJoin(types)
-      .join(ht, col("hel") === col("el") && col("hv") === col("v"), "left")
-      .select(col("el"), col("v"), coalesce(col("hcnt"), lit(0L)).as("cnt"))
-      .withColumn("cl", coalesce(sum(col("cnt")).over(w), lit(0L)))
-  }
+  private[operators] def cumGrid(s: SparkSession, d: String): DataFrame =
+    // PlanCache (round 17): six queries across the two-sample family
+    // (q273/q274/q405/q406/q407/q414) re-derived this identical
+    // O(P·V) grid — domain cross-join, left join, prefix window — per
+    // invocation; one materialization per (session, dir) serves all,
+    // the same discipline as [[hist]] itself.
+    PlanCache.cached(s, s"inference_cumgrid|$d") {
+      val ht = hist(s, d)
+      val vals = ht.select(col("hv").as("v")).distinct()
+      val types = ht.select(col("hel").as("el")).distinct()
+      val w = Window.partitionBy(col("el")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vals.crossJoin(types)
+        .join(ht, col("hel") === col("el") && col("hv") === col("v"), "left")
+        .select(col("el"), col("v"), coalesce(col("hcnt"), lit(0L)).as("cnt"))
+        .withColumn("cl", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    }
 
   private[operators] val cumGridSql =
     """vals AS (SELECT DISTINCT value AS v FROM events),

@@ -203,7 +203,10 @@ object QualityOps {
         |FROM dn d LEFT JOIN cv ON cv.doc_id = d.doc_id
         |ORDER BY round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / d.n_tokens, 6) DESC, d.doc_id
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val dn = Tables.documents(s, d)
+      // documentsParallel (round 17): the 8-gram md5 shingle pass was
+      // split-starved to ONE ~1.9 s task at the sf rungs — see Tables
+      // scaladoc
+      val dn = Tables.documentsParallel(s, d)
         .select(col("doc_id"), graft.functions.Text.wordsCol(col("text")).as("ws"))
         .where(size(col("ws")) >= 8)
         .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"), col("ws"))
@@ -213,8 +216,18 @@ object QualityOps {
               |  i -> named_struct('i', i, 'sg', md5(concat_ws(' ', slice(ws, i, 8)))))""".stripMargin))
             .as("u"))
         .select(col("doc_id"), col("u.i").as("i"), col("u.sg").as("sg"))
-      val shc = sh.groupBy(col("sg").as("csg")).agg(countDistinct(col("doc_id")).as("nd"))
-      val sp = sh.join(shc, col("csg") === col("sg") && col("nd") >= 2)
+      // shared-span filter as ONE window over the shingle key (round
+      // 17): the aggregate-then-join-back form derived the md5 shingle
+      // pass TWICE and shuffled it twice (once into the groupBy, once
+      // into the join); a count-distinct window over the same sg
+      // partitioning computes the identical per-span document count in
+      // one pass and one shuffle. size(collect_set(doc_id)) ==
+      // count(DISTINCT doc_id) exactly (integers), and shingle groups
+      // are duplicate-cluster-sized, so the per-partition set is tiny.
+      val wSg = org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))
+      val sp = sh
+        .withColumn("nd", size(collect_set(col("doc_id")).over(wSg)))
+        .where(col("nd") >= 2)
         .select(col("doc_id"), col("i"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("i")).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -139,17 +139,21 @@ object Round19Ops {
        |  SELECT src, dst, max(ma) AS na, max(mb) AS nb FROM pg GROUP BY 1, 2)"""
       .stripMargin
 
-  private def pairGrid(s: SparkSession, d: String): DataFrame = {
-    val g = InferenceOps.cumGrid(s, d)
-    val a = g.select(col("el").as("src"), col("v"), col("cnt").as("ca"),
-      (col("cl") + col("cnt")).as("ma"))
-    val b = g.select(col("el").as("dst"), col("v").as("vb"), col("cnt").as("cb"),
-      (col("cl") + col("cnt")).as("mb"))
-    a.join(b, col("vb") === col("v") && col("src") < col("dst"))
-      .where(col("ca") + col("cb") > 0)
-      .select(col("src"), col("dst"), col("v"), col("ca"), col("ma"),
-        col("cb"), col("mb"))
-  }
+  private def pairGrid(s: SparkSession, d: String): DataFrame =
+    // PlanCache (round 17): q405/q406/q407 each re-derived the same
+    // guarded O(V·P²) pair grid (cumGrid self-join on the value key);
+    // one materialization per (session, dir) serves all three.
+    graft.PlanCache.cached(s, s"inference_pairgrid|$d") {
+      val g = InferenceOps.cumGrid(s, d)
+      val a = g.select(col("el").as("src"), col("v"), col("cnt").as("ca"),
+        (col("cl") + col("cnt")).as("ma"))
+      val b = g.select(col("el").as("dst"), col("v").as("vb"), col("cnt").as("cb"),
+        (col("cl") + col("cnt")).as("mb"))
+      a.join(b, col("vb") === col("v") && col("src") < col("dst"))
+        .where(col("ca") + col("cb") > 0)
+        .select(col("src"), col("dst"), col("v"), col("ca"), col("ma"),
+          col("cb"), col("mb"))
+    }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -1447,18 +1447,20 @@ object Streaming {
       val q = withStreamConf(s) {
         agg.writeStream.outputMode("complete")
           .foreachBatch { (b: DataFrame, _: Long) =>
-            // PERSIST the grid before the readout fan-out (round 10,
-            // VERDICT r9 #7, measured in PanelScaleSpec): every action
-            // inside foreachBatch re-executes the stateful aggregation
-            // — ten readout collects = ten state-store re-reads per
-            // micro-batch without this persist; with it, the state is
-            // read once and all ten expression trees run over the
-            // cached O(P·T) grid.
-            val grid = b.select(col("el"),
+            // Materialize the O(P·T) grid ONCE from the state store and
+            // RE-ROOT it in the outer session (round 17; replaces the
+            // round-10 persist, which solved the ten-state-store-reads
+            // problem but kept every readout on the stream's cloned
+            // session where MicroBatchExecution force-disables AQE —
+            // see causalRefresh). Bounded collect (P fenced, T the day
+            // window); same rows ⇒ bit-identical readouts, now with
+            // runtime join re-planning and partition coalescing.
+            val proj = b.select(col("el"),
               datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
                 .as("di"),
               (col("sv").cast("double") / col("n")).as("v"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val grid = s.createDataFrame(
+              java.util.Arrays.asList(proj.collect(): _*), proj.schema)
             // three of the panel's readouts (leadlag/granger/pcorr) are
             // pair-grain — same element-cardinality fence as their batch
             // twins, checked once per refresh over the cached grid
@@ -1508,7 +1510,6 @@ object Streaming {
                 }
               }
             }
-            grid.unpersist()
             latest.set(melted)
           }.start()
       }
@@ -1581,7 +1582,12 @@ object Streaming {
       val q = withStreamConf(s) {
         agg.writeStream.outputMode("complete")
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val c = b.groupBy("et", "bin")
+            // re-root the O(types·bins·2) count state in the outer
+            // session (round 17, the causalRefresh rule): foreachBatch
+            // frames run on the stream clone with AQE force-disabled
+            val local = s.createDataFrame(
+              java.util.Arrays.asList(b.collect(): _*), b.schema)
+            val c = local.groupBy("et", "bin")
               .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("nr"),
                 sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("nc"))
             val r = DriftOps.w1FromCounts(s, c)
@@ -1622,7 +1628,12 @@ object Streaming {
       val q = withStreamConf(s) {
         agg.writeStream.outputMode("complete")
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val c = b.groupBy("et", "bin")
+            // re-root the O(types·bins·2) count state in the outer
+            // session (round 17, the causalRefresh rule): foreachBatch
+            // frames run on the stream clone with AQE force-disabled
+            val local = s.createDataFrame(
+              java.util.Arrays.asList(b.collect(): _*), b.schema)
+            val c = local.groupBy("et", "bin")
               .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("nr"),
                 sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("nc"))
             val psi = DriftOps.psiFromCounts(c)
@@ -1662,7 +1673,12 @@ object Streaming {
       val q = withStreamConf(s) {
         agg.writeStream.outputMode("complete")
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val c = b.groupBy("et", "bin")
+            // re-root the O(types·bins·2) count state in the outer
+            // session (round 17, the causalRefresh rule): foreachBatch
+            // frames run on the stream clone with AQE force-disabled
+            val local = s.createDataFrame(
+              java.util.Arrays.asList(b.collect(): _*), b.schema)
+            val c = local.groupBy("et", "bin")
               .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("nr"),
                 sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("nc"))
             val r = DriftOps.psiFromCounts(c)
@@ -1829,25 +1845,36 @@ object Streaming {
     val q = withStreamConf(s) {
       agg.writeStream.outputMode("complete")
         .foreachBatch { (b: DataFrame, _: Long) =>
-          // persist before the guard + readout (the q357 panel's rule):
-          // the guard's countDistinct and every derivation of `grid`
-          // inside the readout tree would otherwise each re-read the
-          // stateful aggregation's state store
-          val grid = b.select(col("el"),
+          // Materialize the O(P·T) grid ONCE from the state store, then
+          // RE-ROOT it in the outer session (round 17): foreachBatch
+          // frames belong to the stream's cloned session, whose AQE is
+          // force-disabled by MicroBatchExecution ("AQE is not
+          // supported in stateful workloads") — so the whole readout
+          // tree used to run with no runtime join re-planning and no
+          // partition coalescing at the static stream partition count.
+          // The grid is contractually bounded (P fenced by
+          // guardFullEnum, T the day window), so the one collect here
+          // is the same bounded-artifact class as the readout's own
+          // collect below; rebuilt as a local relation on the outer
+          // session, the readout runs with AQE on. Same rows, same
+          // types ⇒ bit-identical readout. (Replaces the round-10
+          // persist, which solved the re-read problem but kept the
+          // readout on the AQE-less clone.)
+          val proj = b.select(col("el"),
             datediff(col("w.start").cast("date"), lit("2024-01-01").cast("date"))
               .as("di"),
             (col("sv").cast("double") / col("n")).as("v"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            // pair-grain readouts (O(P²) or worse per refresh) carry the
-            // SAME element-cardinality fence their batch twins enforce —
-            // without it a high-cardinality domain hits the quadratic
-            // blowup silently on the streaming path (r11 advice)
-            guardAs.foreach(n => graft.operators.CausalOps.guardFullEnum(grid, n))
-            val r = readout(grid)
-            // O(P²) rows — the per-batch refreshed artifact
-            latest.set((r.schema, r.collect()))
-          } finally grid.unpersist()
+          val rows = proj.collect()
+          val grid = s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), proj.schema)
+          // pair-grain readouts (O(P²) or worse per refresh) carry the
+          // SAME element-cardinality fence their batch twins enforce —
+          // without it a high-cardinality domain hits the quadratic
+          // blowup silently on the streaming path (r11 advice)
+          guardAs.foreach(n => graft.operators.CausalOps.guardFullEnum(grid, n))
+          val r = readout(grid)
+          // O(P²) rows — the per-batch refreshed artifact
+          latest.set((r.schema, r.collect()))
         }.start()
     }
     try q.processAllAvailable() finally q.stop()
