@@ -672,17 +672,12 @@ object CurriculumOps {
         |FROM pairs GROUP BY p1, p2
         |HAVING count(*) >= 2
         |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
-      val baskets = Tables.load(s, d, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      baskets
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
-        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-        .groupBy("p1", "p2")
-        .agg(count(lit(1)).as("n_orders"))
-        .where(col("n_orders") >= 2)
+      // the basket materialization is the family-shared
+      // GraphOps.coorderPairs entry (round 17 — this site was uncached,
+      // paying its own basket explode + pair shuffle every run)
+      GraphOps.coorderPairs(s, d)
+        .select(col("u").as("p1"), col("v").as("p2"),
+          col("nco").as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
         .limit(20)
     },

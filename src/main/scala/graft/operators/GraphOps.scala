@@ -24,6 +24,34 @@ object GraphOps {
   private def r6(c: Column) = round(c, 6)
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
 
+  /** Support-floored co-order part pairs — the ONE basket materialization
+    * the whole co-purchase family shares (round 17, guide §2.4 "remove
+    * redundant passes"): q218 (support counts), q285/q349 (edge set),
+    * q331 (cosine numerator), q364 (triangle edges), q376 (k-core e0),
+    * q383 (LPA e0) all derive the identical pair table — previously six
+    * separate basket-explode + pair-shuffle materializations under three
+    * different PlanCache keys (`q364_edges`, `coorder_edges`) plus two
+    * uncached sites. One groupBy(order) collects each basket, pairs
+    * expand MAP-SIDE from the sorted array (never a fact self-join), one
+    * grouped count applies the ≥2 support floor. collect_set dedups, so
+    * the explicit DISTINCT the op-form sites used is structural here. */
+  private[operators] def coorderPairs(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.cached(s, s"coorder_paircnt|$d") {
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("pr"))
+        .select(col("pr.u").as("u"), col("pr.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("nco"))
+        .where(col("nco") >= 2)
+    }
+
+  /** The pair set without its support counts — the edge-set view. */
+  private[operators] def coorderEdges(s: SparkSession, d: String): DataFrame =
+    coorderPairs(s, d).select(col("u"), col("v"))
+
   /** Journey states (the non-conversion event types). Fixed, like the
     * q93 dimension literal: the attribution contract is over the known
     * channel vocabulary; 'purchase' is the absorbing conversion. */
@@ -71,25 +99,9 @@ object GraphOps {
         |FROM nw ORDER BY round(score, 6) DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
       // q218's basket idiom: ONE groupBy(order) builds the sorted item
       // set, pairs expand MAP-SIDE from each basket (no fact-table
-      // self-join — at 100 TB that join's shuffle dwarfs the basket agg)
-      val baskets = Tables.lineitem(s, d)
-        .groupBy("l_orderkey")
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      // the support-floored co-order edge set is SHARED by q285 and
-      // q349 and feeds multiple plan references each — one PlanCache
-      // entry per (session, dir) (round-10 sf10 fence: uncached,
-      // Catalyst re-executed the basket explosion per reference — ~7
-      // fact scans in q285 alone; the q364 edge-cache discipline)
-      val ed = graft.PlanCache.cached(s, s"coorder_edges|$d") {
-        baskets
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))),
-              y => struct(x.as("u"), y.as("v")))))).as("pr"))
-          .select(col("pr.u").as("u"), col("pr.v").as("v"))
-          .groupBy("u", "v")
-          .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
-          .select(col("u"), col("v"))
-      }
+      // self-join — at 100 TB that join's shuffle dwarfs the basket agg);
+      // the materialization is the family-shared [[coorderPairs]] entry
+      val ed = coorderEdges(s, d)
       val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
       val dg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
       val e2 = sym.select(col("u").as("w2"), col("v").as("b2"))
@@ -133,14 +145,9 @@ object GraphOps {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val ni = op.groupBy(col("p").as("w")).agg(count(lit(1)).as("n"))
-      val co = op.groupBy("o")
-        .agg(array_sort(collect_set(col("p"))).as("ps"))
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("u"), y.as("v")))))).as("pr"))
-        .select(col("pr.u").as("u"), col("pr.v").as("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
+      // the support-floored pair counts are the family-shared
+      // [[coorderPairs]] materialization (round 17)
+      val co = coorderPairs(s, d)
       co.join(ni.select(col("w").as("wa"), col("n").as("na")), col("wa") === col("u"))
         .join(ni.select(col("w").as("wb"), col("n").as("nb")), col("wb") === col("v"))
         .select(col("u"), col("v"), col("nco").cast("long").as("n_co"),
@@ -259,24 +266,9 @@ object GraphOps {
         |  round((n * sxy - sx * sy)
         |    / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6) AS assortativity
         |FROM mm""".stripMargin) { (s, d) =>
-      val baskets = Tables.lineitem(s, d)
-        .groupBy("l_orderkey")
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      // the support-floored co-order edge set is SHARED by q285 and
-      // q349 and feeds multiple plan references each — one PlanCache
-      // entry per (session, dir) (round-10 sf10 fence: uncached,
-      // Catalyst re-executed the basket explosion per reference — ~7
-      // fact scans in q285 alone; the q364 edge-cache discipline)
-      val ed = graft.PlanCache.cached(s, s"coorder_edges|$d") {
-        baskets
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))),
-              y => struct(x.as("u"), y.as("v")))))).as("pr"))
-          .select(col("pr.u").as("u"), col("pr.v").as("v"))
-          .groupBy("u", "v")
-          .agg(count(lit(1)).as("nco")).where(col("nco") >= 2)
-          .select(col("u"), col("v"))
-      }
+      // the support-floored co-order edge set is the family-shared
+      // [[coorderPairs]] materialization (round 17)
+      val ed = coorderEdges(s, d)
       val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
       val dg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
       val pe = sym

@@ -572,19 +572,10 @@ object Round12Ops {
         |  round(3.0 * t / wtot, 6) AS clustering
         |FROM tri, wed""".stripMargin) { (s, d) =>
       // edges via the q218/q331 basket idiom: pairs expand map-side
-      // from per-order collected baskets, never a fact self-join
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = graft.PlanCache.cached(s, s"q364_edges|$d") {
-        op.groupBy("o")
-          .agg(array_sort(collect_set(col("p"))).as("ps"))
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))),
-              y => struct(x.as("u"), y.as("v")))))).as("pr"))
-          .select(col("pr.u").as("u"), col("pr.v").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("nco"))
-          .where(col("nco") >= 2).select(col("u"), col("v"))
-      }
+      // from per-order collected baskets, never a fact self-join; the
+      // materialization is the family-shared GraphOps.coorderPairs
+      // entry (round 17 — was its own `q364_edges` PlanCache key)
+      val e = GraphOps.coorderEdges(s, d)
       val deg = e.select(col("u").as("w")).unionAll(e.select(col("v").as("w")))
         .groupBy("w").agg(count(lit(1)).as("dg"))
       // orient each edge from its (deg, id)-smaller endpoint. The degree

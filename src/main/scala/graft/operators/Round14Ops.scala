@@ -381,18 +381,9 @@ object Round14Ops {
            |$stats
            |) ORDER BY round""".stripMargin
       }) { (s, d) =>
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = graft.PlanCache.cached(s, s"q364_edges|$d") {
-        op.groupBy("o")
-          .agg(array_sort(collect_set(col("p"))).as("ps"))
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))),
-              y => struct(x.as("u"), y.as("v")))))).as("pr"))
-          .select(col("pr.u").as("u"), col("pr.v").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("nco"))
-          .where(col("nco") >= 2).select(col("u"), col("v"))
-      }
+      // the edge set is the family-shared GraphOps.coorderPairs
+      // materialization (round 17 — was the shared `q364_edges` key)
+      val e0 = GraphOps.coorderEdges(s, d)
       // peel rounds: each round references the previous round's plan
       // THREE times (degree + two semi-joins), so an un-truncated
       // lineage grows 3^r — Catalyst analysis alone would spin for

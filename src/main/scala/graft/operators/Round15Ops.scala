@@ -672,18 +672,9 @@ object Round15Ops {
            |$stats
            |) ORDER BY round""".stripMargin
       }) { (s, d) =>
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = PlanCache.cached(s, s"q364_edges|$d") {
-        op.groupBy("o")
-          .agg(array_sort(collect_set(col("p"))).as("ps"))
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))),
-              y => struct(x.as("u"), y.as("v")))))).as("pr"))
-          .select(col("pr.u").as("u"), col("pr.v").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("nco"))
-          .where(col("nco") >= 2).select(col("u"), col("v"))
-      }
+      // the edge set is the family-shared GraphOps.coorderPairs
+      // materialization (round 17 — was the shared `q364_edges` key)
+      val e0 = GraphOps.coorderEdges(s, d)
       val und = PlanCache.cached(s, s"q383_und|$d") {
         e0.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
